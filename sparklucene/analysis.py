@@ -1,0 +1,104 @@
+"""Analysis chain — StandardAnalyzer-equivalent, fully vectorized.
+
+Mirrors the capability of Lucene's StandardAnalyzer (public knowledge:
+lucene/core/.../analysis/standard/StandardAnalyzer.java = StandardTokenizer
++ LowerCaseFilter + StopFilter with the classic 33-word English list).
+
+Pinned tokenizer spec (the engine's own oracle-checked contract, SURVEY.md
+§2.2): lowercase, then tokens are maximal runs of ``[a-z0-9_]`` — a
+UAX#29-approximation appropriate for source code (underscore joins, like
+UAX#29 ExtendNumLet, so ``snake_case`` stays one token). The identical
+spec is expressible in DuckDB as
+``regexp_extract_all(lower(text), '[a-z0-9_]+')`` which is what the
+driver oracle uses — parity is exact (verified test_analysis.py).
+
+Exposed both as plain-Python helpers (for the brute-force oracle) and as
+an Arrow-vectorized pandas UDF factory for DataFrame pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+TOKEN_RE_SQL = "[a-z0-9_]+"
+
+#: Lucene's classic English stop set (EnglishAnalyzer.ENGLISH_STOP_WORDS_SET,
+#: 33 words — public knowledge).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def tokenize_text(text: str, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> list[str]:
+    """Reference tokenizer: lowercase -> [a-z0-9_]+ runs -> stop filter."""
+    return [t for t in TOKEN_RE.findall(text.lower()) if t not in stopwords]
+
+
+def tokenize_series(texts: pd.Series,
+                    stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> pd.Series:
+    """Vectorized tokenization of a string Series -> Series of list[str].
+
+    Uses pandas' C-implemented str accessor for lower/findall; the stop
+    filter runs as a numpy membership test over the flattened token array
+    (no per-token Python hash-set probing in a Python loop).
+    """
+    lowered = texts.fillna("").str.lower()
+    token_lists = lowered.str.findall(TOKEN_RE)
+    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
+    if lengths.sum() == 0:
+        return pd.Series([[] for _ in range(len(texts))], index=texts.index)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists.to_numpy()])
+    stop_arr = np.array(sorted(stopwords), dtype=object)
+    keep = ~np.isin(flat, stop_arr)
+    doc_idx = np.repeat(np.arange(len(texts)), lengths)
+    kept_tokens = flat[keep]
+    kept_doc = doc_idx[keep]
+    # split back into per-doc lists
+    counts = np.bincount(kept_doc, minlength=len(texts))
+    splits = np.cumsum(counts)[:-1]
+    per_doc = np.split(kept_tokens, splits)
+    return pd.Series([list(x) for x in per_doc], index=texts.index)
+
+
+def flat_tokens(texts: pd.Series, doc_ids: np.ndarray,
+                stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch and return flat (token, doc_id) parallel arrays.
+
+    This is the invert-stage fast path: no per-doc list materialization.
+    """
+    lowered = texts.fillna("").str.lower()
+    token_lists = lowered.str.findall(TOKEN_RE)
+    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
+    if lengths.sum() == 0:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists.to_numpy()])
+    docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lengths)
+    stop_arr = np.array(sorted(stopwords), dtype=object)
+    keep = ~np.isin(flat, stop_arr)
+    return flat[keep], docs[keep]
+
+
+def make_tokenize_udf(stopwords: frozenset[str] = ENGLISH_STOP_WORDS):
+    """pandas_udf: content string -> array<string> of analyzed tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def tokenize(content: pd.Series) -> pd.Series:
+        return tokenize_series(content, stopwords)
+
+    return tokenize
+
+
+def tokenize_sql(col: str, stop: frozenset[str] = ENGLISH_STOP_WORDS) -> str:
+    """DuckDB lateral-unnest-ready expression pieces used by oracle SQL."""
+    return f"regexp_extract_all(lower({col}), '{TOKEN_RE_SQL}')"
+
+
+def stoplist_sql(stop: frozenset[str] = ENGLISH_STOP_WORDS) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in sorted(stop)) + ")"

@@ -1,0 +1,156 @@
+"""Posting-list codec: delta-gap + variable-byte, 128-doc blocks, block-max.
+
+Reimplements from public knowledge of Apache Lucene 8.x:
+  - VByte == Lucene ``DataOutput.writeVInt``: little-endian 7-bit groups,
+    high bit = continuation (lucene/core/.../store/DataOutput.java).
+  - docIDs are sorted; stored as delta gaps (first value absolute).
+  - 128-doc blocks with per-block impact metadata (last_doc, max_tf,
+    min_norm) mirroring Lucene84SkipWriter impacts — these power
+    block-max WAND (SURVEY.md §4.2) and skip-list style ``advance``
+    (searchsorted on the block last_doc array).
+
+All encode/decode paths are vectorized numpy — no per-element Python in
+the hot loop. Cells are ``bytes`` so posting lists travel through Spark
+as packed binary columns (shuffle volume ~ index size, SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized VByte (Lucene writeVInt) encode of a uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # position of first byte of each value
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    # write groups: for k in 0..maxbytes-1 scatter the k-th 7-bit group
+    maxb = int(nbytes.max())
+    for k in range(maxb):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        vals = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = vals.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized VByte decode -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    payload = (raw & 0x7F).astype(np.uint64)
+    # byte position within its value
+    pos_in_val = np.arange(raw.size, dtype=np.int64)
+    pos_in_val -= np.repeat(starts, ends - starts + 1)
+    shifted = payload << (np.uint64(7) * pos_in_val.astype(np.uint64))
+    # segment sum via cumsum difference
+    cs = np.concatenate(([np.uint64(0)], np.cumsum(shifted, dtype=np.uint64)))
+    return cs[ends + 1] - cs[starts]
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """Sorted ids -> gaps (first absolute). Gaps must be >= 1 for doc ids."""
+    v = np.asarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64)
+
+
+class PostingCell(NamedTuple):
+    """One packed posting-list cell for a (term, doc-range) shard."""
+
+    doc_bytes: bytes        # delta+vbyte docIDs
+    tf_bytes: bytes         # vbyte term frequencies
+    block_last_doc: np.ndarray  # int64[nblocks] — last docID per 128-block
+    block_max_tf: np.ndarray    # int32[nblocks]
+    block_min_norm: np.ndarray  # uint8[nblocks] — smallest norm byte (shortest doc)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                    norms: np.ndarray | None = None) -> PostingCell:
+    """Pack sorted (doc_ids, tfs[, norm bytes]) into a compressed cell.
+
+    ``norms`` are the norm bytes aligned with doc_ids; when omitted the
+    block_min_norm is 0 (most permissive upper bound — still score-safe).
+    """
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    t = np.asarray(tfs, dtype=np.uint64)
+    if d.size != t.size:
+        raise ValueError("doc_ids and tfs length mismatch")
+    if d.size > 1 and not (d[1:] > d[:-1]).all():
+        raise ValueError("doc_ids must be strictly increasing")
+    n = d.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    last = np.empty(nblocks, dtype=np.int64)
+    maxtf = np.empty(nblocks, dtype=np.int32)
+    minnorm = np.zeros(nblocks, dtype=np.uint8)
+    if n:
+        ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
+        last[:] = d[ends - 1].astype(np.int64)
+        # block-wise max tf via reduceat
+        starts = np.arange(nblocks) * BLOCK_SIZE
+        maxtf[:] = np.maximum.reduceat(t, starts).astype(np.int32)
+        if norms is not None:
+            nb = np.asarray(norms, dtype=np.uint8)
+            # LENGTH_TABLE is monotone in the byte, so min byte == min length
+            minnorm[:] = np.minimum.reduceat(nb, starts)
+    return PostingCell(
+        doc_bytes=vbyte_encode(delta_encode(d)),
+        tf_bytes=vbyte_encode(t),
+        block_last_doc=last,
+        block_max_tf=maxtf,
+        block_min_norm=minnorm,
+    )
+
+
+def decode_doc_ids(doc_bytes: bytes) -> np.ndarray:
+    return delta_decode(vbyte_decode(doc_bytes)).astype(np.int64)
+
+
+def decode_tfs(tf_bytes: bytes) -> np.ndarray:
+    return vbyte_decode(tf_bytes).astype(np.int64)
+
+
+def decode_block(doc_bytes: bytes, tf_bytes: bytes, block_idx: np.ndarray,
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected 128-doc blocks (block-max skipping).
+
+    VByte is not random-access per block, so we decode the cell once and
+    slice; at 128-doc granularity with numpy this is still far cheaper
+    than scoring every doc, and the *scored* doc count (the WAND metric)
+    is what block selection reduces. A v2 layout can add per-block byte
+    offsets for true random access.
+    """
+    docs = decode_doc_ids(doc_bytes)
+    tfs = decode_tfs(tf_bytes)
+    keep = np.zeros(docs.size, dtype=bool)
+    for bi in np.asarray(block_idx, dtype=np.int64):
+        keep[bi * BLOCK_SIZE:(bi + 1) * BLOCK_SIZE] = True
+    return docs[keep], tfs[keep]

@@ -1,0 +1,118 @@
+"""Brute-force BM25 oracle — the engine's independent correctness reference.
+
+~120 LoC of auditable pandas/numpy: tokenize every doc, score every doc,
+sort. No inverted index, no compression, no pruning. The Spark engine must
+be rank-identical to this (SURVEY.md §5.2.2 — the Solr
+distributed-vs-control pattern, BaseDistributedSearchTestCase analog).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from sparklucene import bm25
+from sparklucene.analysis import ENGLISH_STOP_WORDS, tokenize_series
+from sparklucene.norms import int_to_byte4, quantize_length
+from sparklucene.query import And, MatchNoDocs, Not, Or, Query, Term
+
+
+@dataclass
+class OracleIndex:
+    doc_ids: np.ndarray          # int64, sorted
+    dl: np.ndarray               # int64 true post-stop token counts
+    norm_bytes: np.ndarray       # uint8
+    dlq: np.ndarray              # int64 quantized lengths
+    tf: pd.DataFrame             # columns: term, doc_id, tf
+    doc_count: int               # docs with dl >= 1
+    sum_dl: int
+
+    def df_of(self, term: str) -> int:
+        return int((self.tf["term"] == term).sum())
+
+    def postings(self, term: str) -> pd.DataFrame:
+        return self.tf[self.tf["term"] == term]
+
+
+def build_oracle_index(docs: pd.DataFrame, text_col: str = "content",
+                       id_col: str = "doc_id",
+                       stopwords=ENGLISH_STOP_WORDS) -> OracleIndex:
+    docs = docs.sort_values(id_col).reset_index(drop=True)
+    doc_ids = docs[id_col].to_numpy(dtype=np.int64)
+    toks = tokenize_series(docs[text_col], stopwords)
+    lengths = toks.str.len().to_numpy(dtype=np.int64)
+    norm_bytes = int_to_byte4(lengths)
+    rows = []
+    for did, tl in zip(doc_ids, toks):
+        if tl:
+            terms, counts = np.unique(np.asarray(tl, dtype=object), return_counts=True)
+            rows.append(pd.DataFrame({"term": terms, "doc_id": did, "tf": counts}))
+    tf = (pd.concat(rows, ignore_index=True) if rows
+          else pd.DataFrame({"term": [], "doc_id": [], "tf": []}))
+    return OracleIndex(
+        doc_ids=doc_ids, dl=lengths, norm_bytes=norm_bytes,
+        dlq=quantize_length(lengths), tf=tf,
+        doc_count=int((lengths >= 1).sum()), sum_dl=int(lengths.sum()),
+    )
+
+
+def _term_scores(idx: OracleIndex, term: str, mode: str) -> pd.Series:
+    """Series doc_id -> float32 score for one term."""
+    p = idx.postings(term)
+    if p.empty:
+        return pd.Series(dtype=np.float32)
+    d = p["doc_id"].to_numpy(dtype=np.int64)
+    t = p["tf"].to_numpy(dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, d)
+    df = len(p)
+    if mode == "lucene8":
+        s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count, idx.sum_dl)
+    else:
+        s = bm25.score_f64(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl)
+    return pd.Series(s, index=d)
+
+
+def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
+    """doc_id -> total score (float64 accumulator, sorted-term order)."""
+    if isinstance(q, MatchNoDocs):
+        return pd.Series(dtype=np.float64)
+    if isinstance(q, Term):
+        return _term_scores(idx, q.term, mode).astype(np.float64)
+    if isinstance(q, Not):
+        pos = _eval(idx, q.positive, mode)
+        neg_docs: set = set()
+        for t in q.negative.terms():
+            neg_docs.update(_term_scores(idx, t, mode).index)
+        return pos[~pos.index.isin(sorted(neg_docs))]
+    assert isinstance(q, (And, Or))
+    parts = [_eval(idx, c, mode) for c in sorted(q.clauses, key=repr)]
+    if not parts:
+        return pd.Series(dtype=np.float64)
+    total = None
+    count = None
+    for p in parts:
+        if total is None:
+            total, count = p.copy(), pd.Series(1, index=p.index)
+        else:
+            total = total.add(p, fill_value=0.0)
+            count = count.add(pd.Series(1, index=p.index), fill_value=0)
+    if isinstance(q, And):
+        return total[count == len(parts)]
+    return total[count >= q.min_should_match]
+
+
+def search_oracle(idx: OracleIndex, q: Query, k: int = 10,
+                  mode: str = "lucene8") -> pd.DataFrame:
+    """Top-k (doc_id, score float32), score desc then doc_id asc."""
+    totals = _eval(idx, q, mode)
+    if totals.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float32)})
+    score32 = totals.astype(np.float32)
+    out = pd.DataFrame({"doc_id": score32.index.to_numpy(dtype=np.int64),
+                        "score": score32.to_numpy()})
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)

@@ -1,0 +1,174 @@
+"""Query AST + parser + logical rewrites — the engine's tiny planner.
+
+Mirrors the capability of Lucene's Query tree + BooleanQuery rewrite
+(public knowledge: lucene/core/.../search/BooleanQuery.java#rewrite,
+queryparser/classic/QueryParser.jj), restricted to the v1 algebra:
+
+  Term(t)               — TermQuery
+  And(clauses)          — BooleanQuery MUST (docID intersection, scores sum)
+  Or(clauses, msm)      — BooleanQuery SHOULD (union, scores sum,
+                          minimumShouldMatch)
+  Not(positive, negative) — MUST + MUST_NOT (anti-join, no score from neg)
+
+Parser syntax (subset of the classic Lucene syntax):
+  ``a b c``        -> Or of terms (default OR, like Solr q.op=OR)
+  ``+a +b``        -> And
+  ``a -b``         -> Not(a, b)
+  ``a AND b``, ``a OR b``, ``a NOT b`` -> as expected
+
+Rewrites implemented (SURVEY.md §4.1): flatten nested same-kind boolean
+nodes, deduplicate clauses, unwrap single-clause booleans, drop
+stop-filtered (empty) terms.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from sparklucene.analysis import ENGLISH_STOP_WORDS, tokenize_text
+
+
+class Query:
+    def terms(self) -> list[str]:
+        """All positive scoring terms, sorted + deduped."""
+        raise NotImplementedError
+
+    def neg_terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    term: str
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class And(Query):
+    clauses: tuple[Query, ...]
+
+    def terms(self) -> list[str]:
+        out: set[str] = set()
+        for c in self.clauses:
+            out.update(c.terms())
+        return sorted(out)
+
+    def neg_terms(self) -> list[str]:
+        out: set[str] = set()
+        for c in self.clauses:
+            out.update(c.neg_terms())
+        return sorted(out)
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    clauses: tuple[Query, ...]
+    min_should_match: int = 1
+
+    def terms(self) -> list[str]:
+        out: set[str] = set()
+        for c in self.clauses:
+            out.update(c.terms())
+        return sorted(out)
+
+    def neg_terms(self) -> list[str]:
+        out: set[str] = set()
+        for c in self.clauses:
+            out.update(c.neg_terms())
+        return sorted(out)
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    positive: Query
+    negative: Query
+
+    def terms(self) -> list[str]:
+        return self.positive.terms()
+
+    def neg_terms(self) -> list[str]:
+        return sorted(set(self.negative.terms()) | set(self.positive.neg_terms()))
+
+
+@dataclass
+class MatchNoDocs(Query):
+    _ignored: int = field(default=0)
+
+    def terms(self) -> list[str]:
+        return []
+
+
+def rewrite(q: Query) -> Query:
+    """BooleanQuery.rewrite-style simplification (public Lucene behavior)."""
+    if isinstance(q, (Term, MatchNoDocs)):
+        return q
+    if isinstance(q, Not):
+        pos = rewrite(q.positive)
+        neg = rewrite(q.negative)
+        if isinstance(pos, MatchNoDocs):
+            return MatchNoDocs()
+        if isinstance(neg, MatchNoDocs):
+            return pos
+        return Not(pos, neg)
+    if isinstance(q, (And, Or)):
+        kind = type(q)
+        flat: list[Query] = []
+        seen: set = set()
+        for c in q.clauses:
+            c = rewrite(c)
+            sub = c.clauses if isinstance(c, kind) and not (
+                isinstance(c, Or) and c.min_should_match > 1) else (c,)
+            for s in sub:
+                key = repr(s)
+                if key not in seen:
+                    seen.add(key)
+                    flat.append(s)
+        if isinstance(q, And):
+            if any(isinstance(c, MatchNoDocs) for c in flat):
+                return MatchNoDocs()
+        else:
+            flat = [c for c in flat if not isinstance(c, MatchNoDocs)]
+        if not flat:
+            return MatchNoDocs()
+        if len(flat) == 1 and (not isinstance(q, Or) or q.min_should_match <= 1):
+            return flat[0]
+        if isinstance(q, Or):
+            return Or(tuple(flat), q.min_should_match)
+        return And(tuple(flat))
+
+
+def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
+    """Parse a (small) classic-syntax query string into the AST.
+
+    Terms are passed through the same analysis chain as documents
+    (lowercase + stop filter); terms that analyze to nothing vanish,
+    exactly like Lucene's analyzer-in-the-query-parser behavior.
+    """
+    raw = query.replace(" AND ", " +").replace(" NOT ", " -").replace(" OR ", " ")
+    must: list[Query] = []
+    should: list[Query] = []
+    neg: list[Query] = []
+    for tok in raw.split():
+        bucket = should
+        if tok.startswith("+"):
+            bucket, tok = must, tok[1:]
+        elif tok.startswith("-"):
+            bucket, tok = neg, tok[1:]
+        analyzed = tokenize_text(tok, stopwords)
+        for t in analyzed:
+            bucket.append(Term(t))
+    if must and should:
+        # classic semantics: required clauses dominate; SHOULD become optional
+        pos: Query = And(tuple(must) + tuple(should))
+    elif must:
+        pos = And(tuple(must))
+    elif should:
+        pos = Or(tuple(should))
+    else:
+        pos = MatchNoDocs()
+    if neg:
+        pos = Not(pos, Or(tuple(neg)))
+    return rewrite(pos)

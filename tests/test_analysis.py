@@ -1,0 +1,60 @@
+"""Analyzer parity: python == pandas-vectorized == DuckDB SQL (oracle)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from sparklucene.analysis import (ENGLISH_STOP_WORDS, flat_tokens,
+                                  stoplist_sql, tokenize_series, tokenize_sql,
+                                  tokenize_text)
+
+
+def test_stopword_list_is_the_classic_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"the", "and", "of", "will", "such"} <= ENGLISH_STOP_WORDS
+    assert "you" not in ENGLISH_STOP_WORDS
+
+
+def test_tokenize_text_basics():
+    assert tokenize_text("The QUICK brown-fox; jumps_over 42 the lazy dog!") == [
+        "quick", "brown", "fox", "jumps_over", "42", "lazy", "dog"]
+    assert tokenize_text("THE AND OF") == []
+    assert tokenize_text("") == []
+    assert tokenize_text("camelCase snake_case x1y2") == ["camelcase", "snake_case", "x1y2"]
+
+
+def test_series_matches_scalar(corpus_pdf):
+    texts = corpus_pdf["content"].head(200)
+    vec = tokenize_series(texts)
+    for t, lst in zip(texts, vec):
+        assert lst == tokenize_text(t)
+
+
+def test_flat_tokens_matches(corpus_pdf):
+    texts = corpus_pdf["content"].head(100)
+    ids = corpus_pdf["doc_id"].head(100).to_numpy()
+    toks, docs = flat_tokens(texts, ids)
+    per_doc = {}
+    for tk, d in zip(toks, docs):
+        per_doc.setdefault(d, []).append(tk)
+    for t, d in zip(texts, ids):
+        assert per_doc.get(d, []) == tokenize_text(t)
+
+
+def test_duckdb_oracle_parity(corpus_pdf):
+    df = pd.DataFrame({"doc_id": corpus_pdf["doc_id"], "text": corpus_pdf["content"]})
+    con = duckdb.connect()
+    con.register("docs", df)
+    sql = f"""
+      select doc_id, u.tok from docs,
+        unnest({tokenize_sql('text')}) as u(tok)
+      where u.tok not in {stoplist_sql()}
+      order by doc_id
+    """
+    got = con.execute(sql).df()
+    rows = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        rows += [(d, tk) for tk in tokenize_text(t)]
+    want = pd.DataFrame(rows, columns=["doc_id", "tok"]).sort_values("doc_id", kind="stable")
+    assert got["tok"].tolist() == want["tok"].tolist()
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
