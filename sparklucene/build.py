@@ -1,0 +1,302 @@
+"""Distributed inverted-index build — invert, merge, checkpoint, resume.
+
+Spark-first redesign of Lucene's indexing chain (SURVEY.md §2.3, §3.3):
+
+  Lucene DWPT thread-local invert  -> per-doc-range ``applyInPandas`` invert
+  segment flush                    -> one posting-partial parquet per range,
+                                      written atomically + manifest row
+  SegmentMerger k-way term merge   -> ``repartitionByRange("term")`` +
+                                      term-sorted final postings table
+  docID remap at merge             -> unnecessary: doc_ids are global up
+                                      front (deliberate Spark simplification)
+  tlog / commit point              -> per-partition manifest JSON with
+                                      lineage + counts; resume skips
+                                      completed ranges (BASELINE.json:14)
+
+Scale design (the 100 TB story):
+  * Posting lists are sharded by **doc-range** (``drange``): a posting row
+    is ``(term, drange, packed cell)``. Hot stopword-like terms therefore
+    never concentrate in one task or one row — a term with 10^10 postings
+    is ~10^4 rows of ~10^6 docs each. Queries re-group by ``drange`` so
+    scoring is embarrassingly parallel across ranges, and AND/OR/WAND
+    combine *locally* within a range (doc ranges are disjoint).
+  * The invert stage is doc-partitioned (`groupBy(drange)`) — uniform by
+    construction (dense doc_ids), immune to term skew; the only term-keyed
+    shuffle carries packed binary cells, so shuffle volume ~ index size.
+  * Global term stats use a two-stage (optionally salted) aggregation.
+
+The index directory must be on a shared filesystem (S3A/HDFS/NFS) in a
+real cluster; tasks write their own partial files (pyarrow) so checkpoint
+granularity is one doc-range, not one job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens
+from sparklucene.codec import encode_postings_batch
+from sparklucene.corpus import with_drange
+from sparklucene.norms import int_to_byte4
+
+POSTINGS_SCHEMA = (
+    "term string, drange int, df_part long, cf_part long, doc_bytes binary, "
+    "tf_bytes binary, block_last array<long>, block_max_tf array<int>, "
+    "block_min_norm binary"
+)
+DOCMETA_SCHEMA = "drange int, doc_id long, dl long, norm int"
+MANIFEST_SCHEMA = ("drange int, status string, n_docs long, n_terms long, "
+                   "n_postings long, sum_dl long, sha string")
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def partials(self) -> str:
+        return os.path.join(self.root, "partials")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.partials, "manifest")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def docmeta(self) -> str:
+        return os.path.join(self.root, "docmeta")
+
+    @property
+    def termstats(self) -> str:
+        return os.path.join(self.root, "termstats")
+
+    @property
+    def stats_json(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+
+def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
+        pa.Table, pa.Table, dict]:
+    """Pure function: corpus rows of one doc range -> (postings, docmeta, manifest)."""
+    pdf = pdf.sort_values("doc_id")
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    toks, tdocs = flat_tokens(pdf["content"], doc_ids, stopwords)
+    # doc lengths (post-stop), incl. zero-token docs
+    pos_of_doc = np.searchsorted(doc_ids, tdocs)
+    dl = np.bincount(pos_of_doc, minlength=doc_ids.size).astype(np.int64)
+    norm_bytes = int_to_byte4(dl)
+    if toks.size:
+        term_codes, uniques = pd.factorize(pd.Series(toks), sort=True)
+        order = np.lexsort((tdocs, term_codes))
+        tc, dc = term_codes[order], tdocs[order]
+        # run-length collapse of (term, doc) -> tf
+        change = np.empty(tc.size, dtype=bool)
+        change[0] = True
+        change[1:] = (tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1])
+        run_starts = np.flatnonzero(change)
+        run_ends = np.concatenate((run_starts[1:], [tc.size]))
+        tfs = (run_ends - run_starts).astype(np.int64)
+        p_terms = tc[run_starts]
+        p_docs = dc[run_starts]
+        p_norms = norm_bytes[np.searchsorted(doc_ids, p_docs)]
+        # term slice boundaries in the collapsed arrays
+        tchange = np.empty(p_terms.size, dtype=bool)
+        tchange[0] = True
+        tchange[1:] = p_terms[1:] != p_terms[:-1]
+        tstarts = np.concatenate((np.flatnonzero(tchange), [p_terms.size]))
+        cells = encode_postings_batch(tstarts, p_docs, tfs, p_norms)
+        terms_out = np.asarray(uniques, dtype=object)[p_terms[tstarts[:-1]]]
+        df_part = np.diff(tstarts)
+        cf_part = np.add.reduceat(tfs, tstarts[:-1])
+        postings = pa.table({
+            "term": pa.array(terms_out, type=pa.string()),
+            "drange": pa.array(np.full(len(cells), drange, dtype=np.int32)),
+            "df_part": pa.array(df_part.astype(np.int64)),
+            "cf_part": pa.array(cf_part.astype(np.int64)),
+            "doc_bytes": pa.array([c.doc_bytes for c in cells], type=pa.binary()),
+            "tf_bytes": pa.array([c.tf_bytes for c in cells], type=pa.binary()),
+            "block_last": pa.array([c.block_last_doc.tolist() for c in cells],
+                                   type=pa.list_(pa.int64())),
+            "block_max_tf": pa.array([c.block_max_tf.tolist() for c in cells],
+                                     type=pa.list_(pa.int32())),
+            "block_min_norm": pa.array([c.block_min_norm.tobytes() for c in cells],
+                                       type=pa.binary()),
+        })
+        n_postings = int(df_part.sum())
+        n_terms = len(cells)
+    else:
+        postings = pa.table({
+            "term": pa.array([], type=pa.string()),
+            "drange": pa.array([], type=pa.int32()),
+            "df_part": pa.array([], type=pa.int64()),
+            "cf_part": pa.array([], type=pa.int64()),
+            "doc_bytes": pa.array([], type=pa.binary()),
+            "tf_bytes": pa.array([], type=pa.binary()),
+            "block_last": pa.array([], type=pa.list_(pa.int64())),
+            "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
+            "block_min_norm": pa.array([], type=pa.binary()),
+        })
+        n_postings = n_terms = 0
+    docmeta = pa.table({
+        "drange": pa.array(np.full(doc_ids.size, drange, dtype=np.int32)),
+        "doc_id": pa.array(doc_ids),
+        "dl": pa.array(dl),
+        "norm": pa.array(norm_bytes.astype(np.int32)),
+    })
+    sha = hashlib.sha256(doc_ids.tobytes() + dl.tobytes()).hexdigest()[:16]
+    manifest = {"drange": int(drange), "n_docs": int(doc_ids.size),
+                "n_terms": int(n_terms), "n_postings": int(n_postings),
+                "sum_dl": int(dl.sum()), "sha": sha, "ts": time.time()}
+    return postings, docmeta, manifest
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def _completed_dranges(paths: IndexPaths) -> set[int]:
+    done: set[int] = set()
+    if os.path.isdir(paths.manifest_dir):
+        for f in os.listdir(paths.manifest_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(paths.manifest_dir, f)) as fh:
+                    done.add(json.load(fh)["drange"])
+    return done
+
+
+def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
+           stopwords=ENGLISH_STOP_WORDS, resume: bool = True) -> pd.DataFrame:
+    """Stage A: per-doc-range invert with per-partition checkpoints.
+
+    Returns the manifest (one row per range, status built|skipped).
+    """
+    os.makedirs(paths.manifest_dir, exist_ok=True)
+    done = _completed_dranges(paths) if resume else set()
+    sharded = with_drange(corpus.select("doc_id", "content"), drange_size)
+    todo = sharded.filter(~F.col("drange").isin(sorted(done))) if done else sharded
+    partials_dir, manifest_dir = paths.partials, paths.manifest_dir
+    stop = frozenset(stopwords)
+
+    def build_group(key, pdf):
+        dr = int(key[0])
+        postings, docmeta, man = _invert_one_range(pdf, dr, stop)
+        _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
+        _atomic_write(docmeta, os.path.join(partials_dir, f"docmeta-{dr:06d}.parquet"))
+        mpath = os.path.join(manifest_dir, f"part-{dr:06d}.json")
+        tmp = f"{mpath}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, mpath)
+        return pd.DataFrame([{"drange": dr, "status": "built",
+                              "n_docs": man["n_docs"], "n_terms": man["n_terms"],
+                              "n_postings": man["n_postings"],
+                              "sum_dl": man["sum_dl"], "sha": man["sha"]}])
+
+    built = (todo.groupBy("drange")
+             .applyInPandas(build_group, schema=MANIFEST_SCHEMA)
+             .toPandas())
+    skipped = pd.DataFrame([{"drange": d, "status": "skipped", "n_docs": -1,
+                             "n_terms": -1, "n_postings": -1, "sum_dl": -1,
+                             "sha": ""} for d in sorted(done)])
+    return pd.concat([built, skipped], ignore_index=True) if len(skipped) else built
+
+
+def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
+          n_term_buckets: int | None = None, salt: int = 0) -> dict:
+    """Stage B: term-range segment merge + global stats.
+
+    Final postings are range-partitioned and sorted by (term, drange):
+    Parquet row-group min/max stats on the sorted ``term`` column give
+    Lucene-FST-style term seeks for free via predicate pushdown.
+
+    ``salt`` > 0 demonstrates skew-safe two-stage stats aggregation
+    (identical results, asserted in tests); partial aggregation already
+    makes the plain groupBy safe, so salting is a belt-and-braces knob
+    for pathological single-term skew.
+    """
+    partial_files = [os.path.join(paths.partials, f)
+                     for f in sorted(os.listdir(paths.partials))
+                     if f.startswith("postings-")]
+    docmeta_files = [os.path.join(paths.partials, f)
+                     for f in sorted(os.listdir(paths.partials))
+                     if f.startswith("docmeta-")]
+    postings = spark.read.parquet(*partial_files)
+    docmeta = spark.read.parquet(*docmeta_files)
+
+    if n_term_buckets is None:
+        n_term_buckets = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+    (postings
+     .repartitionByRange(n_term_buckets, "term", "drange")
+     .sortWithinPartitions("term", "drange")
+     .write.mode("overwrite").parquet(paths.postings))
+
+    if salt > 0:
+        pre = (postings
+               .withColumn("_salt", F.pmod(F.col("drange"), F.lit(salt)))
+               .groupBy("term", "_salt")
+               .agg(F.sum("df_part").alias("df_s"), F.sum("cf_part").alias("cf_s")))
+        stats_df = pre.groupBy("term").agg(F.sum("df_s").alias("df"),
+                                           F.sum("cf_s").alias("cf"))
+    else:
+        stats_df = postings.groupBy("term").agg(F.sum("df_part").alias("df"),
+                                                F.sum("cf_part").alias("cf"))
+    (stats_df.repartitionByRange(max(1, n_term_buckets // 4), "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(paths.termstats))
+
+    (docmeta.repartitionByRange(max(1, n_term_buckets // 4), "drange", "doc_id")
+     .sortWithinPartitions("drange", "doc_id")
+     .write.mode("overwrite").parquet(paths.docmeta))
+
+    g = docmeta.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("dl") >= 1, 1).otherwise(0)).alias("doc_count"),
+        F.sum("dl").alias("sum_dl"),
+    ).collect()[0]
+    stats = {"n_docs": g["n_docs"], "doc_count": g["doc_count"],
+             "sum_dl": g["sum_dl"], "drange_size": drange_size,
+             "n_term_buckets": n_term_buckets, "ts": time.time()}
+    tmp = paths.stats_json + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh, indent=1)
+    os.replace(tmp, paths.stats_json)
+    return stats
+
+
+def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
+                drange_size: int | None = None, resume: bool = True,
+                salt: int = 0, stopwords=ENGLISH_STOP_WORDS) -> dict:
+    """Full build: invert -> merge -> stats. Returns the stats dict."""
+    paths = IndexPaths(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    if drange_size is None:
+        n = corpus.count()
+        par = spark.sparkContext.defaultParallelism
+        drange_size = max(64, 1 << int(np.ceil(np.log2(max(1, n / (4 * par))))))
+    manifest = invert(corpus, paths, drange_size, stopwords, resume)
+    stats = merge(spark, paths, drange_size, salt=salt)
+    stats["n_ranges"] = int(len(manifest))
+    stats["n_ranges_skipped"] = int((manifest["status"] == "skipped").sum())
+    return stats
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(IndexPaths(index_dir).stats_json) as fh:
+        return json.load(fh)

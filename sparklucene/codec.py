@@ -130,6 +130,71 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     )
 
 
+def _vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Bytes each value needs under VByte (>=1)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
+def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
+                          norms: np.ndarray) -> list[PostingCell]:
+    """Encode many posting lists in one vectorized pass (invert hot path).
+
+    ``starts`` — int64[nterms+1] offsets delimiting each term's slice of
+    the flat, per-term-doc-sorted ``docs``/``tfs``/``norms`` arrays.
+    All heavy work (gap computation, VByte packing, block-max reduction)
+    happens once over the whole partition; per-term work is just slicing.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    nterms = starts.size - 1
+    docs = np.asarray(docs, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    norms = np.asarray(norms, dtype=np.uint8)
+    n = docs.size
+    if n == 0:
+        return [PostingCell(b"", b"", np.empty(0, np.int64), np.empty(0, np.int32),
+                            np.empty(0, np.uint8)) for _ in range(nterms)]
+    # gaps, reset to absolute at each term start
+    gaps = docs.copy()
+    gaps[1:] -= docs[:-1]
+    term_starts = starts[:-1][starts[:-1] < n]
+    gaps[term_starts] = docs[term_starts]
+    doc_buf = np.frombuffer(vbyte_encode(gaps), dtype=np.uint8)
+    tf_buf = np.frombuffer(vbyte_encode(tfs), dtype=np.uint8)
+    doc_off = np.concatenate(([0], np.cumsum(_vbyte_lengths(gaps))))
+    tf_off = np.concatenate(([0], np.cumsum(_vbyte_lengths(tfs))))
+    # global block grid: blocks never cross term boundaries
+    lengths = np.diff(starts)
+    nblocks = (lengths + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tot_blocks = int(nblocks.sum())
+    term_of_block = np.repeat(np.arange(nterms), nblocks)
+    blk_cum = np.concatenate(([0], np.cumsum(nblocks)))
+    within = np.arange(tot_blocks) - blk_cum[term_of_block]
+    bstart = starts[term_of_block] + within * BLOCK_SIZE
+    bend = np.minimum(bstart + BLOCK_SIZE, starts[term_of_block + 1])
+    blast = docs[bend - 1].astype(np.int64) if tot_blocks else np.empty(0, np.int64)
+    bmaxtf = (np.maximum.reduceat(tfs, bstart).astype(np.int32)
+              if tot_blocks else np.empty(0, np.int32))
+    bminnorm = (np.minimum.reduceat(norms, bstart)
+                if tot_blocks else np.empty(0, np.uint8))
+    cells: list[PostingCell] = []
+    for t in range(nterms):
+        b0, b1 = blk_cum[t], blk_cum[t + 1]
+        cells.append(PostingCell(
+            doc_bytes=doc_buf[doc_off[starts[t]]:doc_off[starts[t + 1]]].tobytes(),
+            tf_bytes=tf_buf[tf_off[starts[t]]:tf_off[starts[t + 1]]].tobytes(),
+            block_last_doc=blast[b0:b1],
+            block_max_tf=bmaxtf[b0:b1],
+            block_min_norm=bminnorm[b0:b1],
+        ))
+    return cells
+
+
 def decode_doc_ids(doc_bytes: bytes) -> np.ndarray:
     return delta_decode(vbyte_decode(doc_bytes)).astype(np.int64)
 

@@ -1,0 +1,68 @@
+"""Corpus loading — the engine's document source (SURVEY.md §1.2).
+
+Input shape pinned by BASELINE.json input_hint:
+``corpus(repo string, path string, commit string, lang string, content string)``
+plus a deterministic global ``doc_id bigint``.
+
+Two loaders:
+  - ``load_corpus``: maps the driver-provided ``documents.parquet``
+    (doc_id, text, lang, source, n_chars) onto the corpus shape per
+    FIXTURES.md §1 (content <- text, repo <- source, ...). The driver
+    doc_id is already dense + deterministic, so it is kept.
+  - ``assign_doc_ids``: for arbitrary corpora without ids — dense
+    row_number over (repo, path, commit); deterministic and stable across
+    retries (never monotonically_increasing_id, SURVEY.md §1.2).
+
+``expand_corpus`` deterministically replicates the corpus K-fold for
+throughput/scaling benchmarks (seeded, derived purely from driver data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CORPUS_COLS = ["repo", "path", "commit", "lang", "content", "doc_id"]
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def assign_doc_ids(df: DataFrame) -> DataFrame:
+    """Dense deterministic doc_id for a raw (repo,path,commit,...) corpus.
+
+    A global sort — done exactly once per corpus build (SURVEY.md §7.4.2);
+    at cluster scale this is a range-partitioned sort Spark handles natively.
+    """
+    w = Window.orderBy("repo", "path", "commit")
+    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+def expand_corpus(df: DataFrame, factor: int, n_base: int) -> DataFrame:
+    """Replicate the corpus ``factor``-fold with fresh dense doc_ids.
+
+    doc_id' = replica * n_base + doc_id keeps ids dense and deterministic;
+    term statistics scale uniformly so relevance behavior is preserved.
+    """
+    if factor <= 1:
+        return df
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("replica")
+    out = df.select("*", replicas)
+    return (out
+            .withColumn("doc_id", F.col("replica") * n_base + F.col("doc_id"))
+            .withColumn("repo", F.concat_ws("-", "repo", "replica"))
+            .drop("replica"))
+
+
+def with_drange(df: DataFrame, drange_size: int) -> DataFrame:
+    """Attach the doc-range shard key (SURVEY.md §1.2 segment analog)."""
+    return df.withColumn("drange", (F.col("doc_id") / F.lit(drange_size)).cast("int"))

@@ -1,0 +1,356 @@
+"""Doc-range scorer — BM25 top-k with MAXSCORE / block-max pruning.
+
+The Spark-idiomatic counterpart of Lucene's per-leaf scorers (public
+knowledge: WANDScorer.java, MaxScoreCache.java, BlockMaxConjunctionScorer;
+papers: Broder et al. CIKM'03, Ding & Suel SIGIR'11). One instance scores
+one *doc range* (the engine's segment analog): all posting cells for the
+query terms in that range, plus the range's docmeta (norms).
+
+Pruning design (SURVEY.md §7.4.3 — block-at-a-time, score-safe):
+  * every pruning bound uses the same score function as the scorer with
+    (block max_tf, block min_norm), which dominates every true score in
+    the block under monotone float rounding — pruning can never change
+    the top-k set (asserted exhaustive-vs-pruned in tests);
+  * Term: process 128-doc blocks in descending upper-bound order,
+    maintain the running k-heap threshold θ, stop when ub <= θ;
+  * Or (sum of SHOULD): MAXSCORE — seed θ by fully scoring the
+    highest-upper-bound term, split terms into essential/non-essential by
+    ascending prefix-sum of term upper bounds vs θ, score essential terms
+    fully, then probe non-essential terms only for surviving candidates
+    (decoding only the blocks that can contain them);
+  * And: df-ascending intersection (ConjunctionDISI's cost ordering) with
+    block-level skip (searchsorted on block last_doc) before decode;
+  * minimumShouldMatch > 1 disables θ seeding (a single-term kth-best is
+    not a valid lower bound when docs can be disqualified) — still exact;
+  * MUST_NOT docs are masked out *before* any θ is computed, keeping
+    seeded pruning safe under exclusions.
+
+Scores: float32 per (term, doc), summed per doc in a float64 accumulator
+in sorted-term order, cast to float32 — both precision modes (lucene8 /
+f64) share this combiner, matching the brute-force oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sparklucene import bm25
+from sparklucene.codec import BLOCK_SIZE, decode_doc_ids, decode_tfs
+from sparklucene.norms import LENGTH_TABLE
+from sparklucene.query import And, MatchNoDocs, Not, Or, Query, Term
+
+
+@dataclass
+class RangeCell:
+    """Decoded-on-demand posting cell for one (term, drange)."""
+
+    doc_bytes: bytes
+    tf_bytes: bytes
+    block_last: np.ndarray
+    block_max_tf: np.ndarray
+    block_min_norm: np.ndarray
+    _docs: np.ndarray | None = field(default=None, repr=False)
+    _tfs: np.ndarray | None = field(default=None, repr=False)
+
+    def decode(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._docs is None:
+            self._docs = decode_doc_ids(self.doc_bytes)
+            self._tfs = decode_tfs(self.tf_bytes)
+        return self._docs, self._tfs
+
+
+
+@dataclass
+class RangeDocmeta:
+    doc_ids: np.ndarray   # int64 sorted
+    norm_bytes: np.ndarray  # uint8 aligned
+
+
+@dataclass
+class TermStats:
+    df: int
+    cf: int
+
+
+@dataclass
+class GlobalStats:
+    doc_count: int
+    sum_dl: int
+    term_stats: dict[str, TermStats]
+
+
+@dataclass
+class ScoreMetrics:
+    docs_scored: int = 0
+    docs_total: int = 0
+    blocks_skipped: int = 0
+
+
+class RangeScorer:
+    def __init__(self, cells: dict[str, RangeCell], meta: RangeDocmeta,
+                 stats: GlobalStats, mode: str = "lucene8", prune: bool = True):
+        self.cells = cells
+        self.meta = meta
+        self.stats = stats
+        self.mode = mode
+        self.prune = prune
+        self.metrics = ScoreMetrics()
+        self._neg_mask_docs: np.ndarray | None = None
+
+    # ---- scoring primitives -------------------------------------------
+
+    def _score_arrays(self, term: str, docs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+        ts = self.stats.term_stats[term]
+        pos = np.searchsorted(self.meta.doc_ids, docs)
+        nb = self.meta.norm_bytes[pos]
+        self.metrics.docs_scored += int(docs.size)
+        if self.mode == "lucene8":
+            return bm25.score_lucene8(tfs, nb, ts.df, self.stats.doc_count,
+                                      self.stats.sum_dl)
+        return bm25.score_f64(tfs, LENGTH_TABLE[nb], ts.df, self.stats.doc_count,
+                              self.stats.sum_dl)
+
+    def _block_ubs(self, term: str, cell: RangeCell) -> np.ndarray:
+        ts = self.stats.term_stats[term]
+        if self.mode == "lucene8":
+            return bm25.block_upper_bound_lucene8(
+                cell.block_max_tf, cell.block_min_norm, ts.df,
+                self.stats.doc_count, self.stats.sum_dl)
+        return bm25.block_upper_bound_f64(
+            cell.block_max_tf, cell.block_min_norm, ts.df,
+            self.stats.doc_count, self.stats.sum_dl)
+
+    def _filtered(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded postings with MUST_NOT docs masked out."""
+        cell = self.cells.get(term)
+        if cell is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, tfs = cell.decode()
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            keep = ~np.isin(docs, self._neg_mask_docs, assume_unique=True)
+            docs, tfs = docs[keep], tfs[keep]
+        return docs, tfs
+
+    def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        docs, tfs = self._filtered(term)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        return docs, self._score_arrays(term, docs, tfs)
+
+    # ---- top-level evaluation ------------------------------------------
+
+    def topk(self, q: Query, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, float32 scores) — partition-local top-k, score desc,
+        doc asc."""
+        q, neg_terms = self._split_neg(q)
+        self._neg_mask_docs = self._neg_docs(neg_terms)
+        for t in self._pos_terms(q):
+            cell = self.cells.get(t)
+            if cell is not None:
+                self.metrics.docs_total += cell.decode()[0].size
+        if isinstance(q, MatchNoDocs):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if isinstance(q, Term):
+            docs, scores = self._topk_single(q.term, k)
+        elif isinstance(q, And):
+            docs, scores = self._eval_and(q)
+        elif isinstance(q, Or):
+            docs, scores = self._eval_or(q, k)
+        else:  # pragma: no cover
+            raise TypeError(f"unsupported query node {type(q)}")
+        return _take_topk(docs, scores, k)
+
+    def _split_neg(self, q: Query) -> tuple[Query, list[str]]:
+        if isinstance(q, Not):
+            return q.positive, q.negative.terms()
+        return q, []
+
+    def _pos_terms(self, q: Query) -> list[str]:
+        return q.terms() if not isinstance(q, MatchNoDocs) else []
+
+    def _neg_docs(self, neg_terms: list[str]) -> np.ndarray:
+        if not neg_terms:
+            return np.empty(0, np.int64)
+        parts = []
+        for t in neg_terms:
+            cell = self.cells.get(t)
+            if cell is not None:
+                parts.append(cell.decode()[0])
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts))
+
+    # ---- single term with block-max pruning ----------------------------
+
+    def _topk_single(self, term: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        cell = self.cells.get(term)
+        if cell is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs, tfs = self._filtered(term)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        if not self.prune or docs.size <= k or self._neg_mask_docs.size:
+            return docs, self._score_arrays(term, docs, tfs)
+        # block-at-a-time with descending-ub order and running θ
+        alldocs, _ = cell.decode()
+        ubs = self._block_ubs(term, cell)
+        order = np.argsort(-ubs.astype(np.float64), kind="stable")
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        theta = -np.inf
+        n_collected = 0
+        # map original positions: block b covers alldocs[b*128:(b+1)*128]
+        for b in order:
+            # strict <: a block whose ub ties θ can still hold a doc that
+            # wins the (score, doc_id asc) tie-break — never skip it
+            if n_collected >= k and ubs[b] < theta:
+                self.metrics.blocks_skipped += 1
+                continue
+            sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+            bd, bt = alldocs[sl], tfs[sl]
+            s = self._score_arrays(term, bd, bt)
+            out_docs.append(bd)
+            out_scores.append(s)
+            n_collected += bd.size
+            if n_collected >= k:
+                allsc = np.concatenate(out_scores)
+                theta = np.partition(allsc, allsc.size - k)[allsc.size - k]
+        return np.concatenate(out_docs), np.concatenate(out_scores)
+
+    # ---- AND: df-ascending intersection --------------------------------
+
+    def _eval_and(self, q: And) -> tuple[np.ndarray, np.ndarray]:
+        terms = sorted({t for c in q.clauses for t in c.terms()})
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        by_df = sorted(terms, key=lambda t: self.stats.term_stats[t].df)
+        docs = self._filtered(by_df[0])[0]
+        for t in by_df[1:]:
+            if docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            other = self._filtered(t)[0]
+            docs = docs[np.isin(docs, other, assume_unique=True)]
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        total = np.zeros(docs.size, dtype=np.float64)
+        for t in sorted(terms):  # oracle-order accumulation
+            tdocs, ttfs = self._filtered(t)
+            pos = np.searchsorted(tdocs, docs)
+            total += self._score_arrays(t, docs, ttfs[pos]).astype(np.float64)
+        return docs, total.astype(np.float32)
+
+    # ---- OR: MAXSCORE ---------------------------------------------------
+
+    def _eval_or(self, q: Or, k: int) -> tuple[np.ndarray, np.ndarray]:
+        terms = sorted({t for c in q.clauses for t in c.terms()})
+        terms = [t for t in terms if t in self.cells]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        msm = q.min_should_match
+        if not self.prune or msm > 1 or len(terms) == 1:
+            return self._or_exhaustive(terms, msm)
+
+        term_ub = {t: float(self._block_ubs(t, self.cells[t]).max(initial=0.0))
+                   for t in terms}
+        by_ub = sorted(terms, key=lambda t: term_ub[t])  # ascending
+        # seed θ from the strongest term's own scores (valid lower bound)
+        seed = by_ub[-1]
+        sdocs, sscores = self._term_scores(seed)
+        theta = 0.0
+        if sdocs.size >= k:
+            theta = float(np.partition(sscores.astype(np.float64),
+                                       sscores.size - k)[sscores.size - k])
+        # strict <: prefix == θ can still tie into the top-k on doc_id
+        prefix = np.cumsum([term_ub[t] for t in by_ub])
+        n_noness = int(np.searchsorted(prefix, theta, side="left"))
+        essential = set(by_ub[n_noness:])
+        essential.add(seed)
+        non_essential = [t for t in by_ub[:n_noness] if t != seed]
+
+        # score essential terms fully; accumulate per-doc partials
+        acc: dict[str, tuple[np.ndarray, np.ndarray]] = {seed: (sdocs, sscores)}
+        for t in sorted(essential - {seed}):
+            acc[t] = self._term_scores(t)
+        cand = np.unique(np.concatenate([d for d, _ in acc.values()])) \
+            if acc else np.empty(0, np.int64)
+        partial = np.zeros(cand.size, dtype=np.float64)
+        for t in sorted(acc):  # oracle-order accumulation (stage 1)
+            d, s = acc[t]
+            idx = np.searchsorted(cand, d)
+            partial[idx] += s.astype(np.float64)
+        # prune candidates that cannot reach θ even with all non-essential
+        rest_ub = float(sum(term_ub[t] for t in non_essential))
+        if cand.size > k:
+            keep = partial + rest_ub >= theta  # >= : ties stay competitive
+            if keep.sum() < k:
+                top_idx = np.argpartition(-partial, k - 1)[:k]
+                keep[top_idx] = True
+            cand, partial = cand[keep], partial[keep]
+        # probe non-essential terms for surviving candidates only
+        probe_scores: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t in non_essential:
+            d, s = self._probe(t, cand)
+            probe_scores[t] = (d, s)
+        # re-accumulate in global sorted-term order for bit-parity
+        total = np.zeros(cand.size, dtype=np.float64)
+        for t in sorted(set(acc) | set(probe_scores)):
+            d, s = acc.get(t, probe_scores.get(t))
+            mask = np.isin(d, cand, assume_unique=True)
+            d2, s2 = d[mask], s[mask]
+            idx = np.searchsorted(cand, d2)
+            np.add.at(total, idx, s2.astype(np.float64))
+        return cand, total.astype(np.float32)
+
+    def _or_exhaustive(self, terms: list[str], msm: int) -> tuple[np.ndarray, np.ndarray]:
+        per_term = {t: self._term_scores(t) for t in terms}
+        nonempty = {t: v for t, v in per_term.items() if v[0].size}
+        if not nonempty:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs = np.unique(np.concatenate([d for d, _ in nonempty.values()]))
+        total = np.zeros(docs.size, dtype=np.float64)
+        count = np.zeros(docs.size, dtype=np.int64)
+        for t in sorted(nonempty):
+            d, s = nonempty[t]
+            idx = np.searchsorted(docs, d)
+            total[idx] += s.astype(np.float64)
+            count[idx] += 1
+        if msm > 1:
+            m = count >= msm
+            docs, total = docs[m], total[m]
+        return docs, total.astype(np.float32)
+
+    def _probe(self, term: str, candidates: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Scores of ``term`` restricted to candidate docs, decoding only
+        blocks that can contain them (skip-list analog: searchsorted on
+        block last_doc)."""
+        cell = self.cells.get(term)
+        if cell is None or candidates.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        need = np.unique(np.searchsorted(cell.block_last, candidates))
+        need = need[need < cell.block_last.size]
+        self.metrics.blocks_skipped += int(cell.block_last.size - need.size)
+        docs, tfs = cell.decode()
+        keep = np.zeros(docs.size, dtype=bool)
+        for b in need:
+            keep[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = True
+        d, t = docs[keep], tfs[keep]
+        m = np.isin(d, candidates, assume_unique=True)
+        d, t = d[m], t[m]
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            m2 = ~np.isin(d, self._neg_mask_docs, assume_unique=True)
+            d, t = d[m2], t[m2]
+        if d.size == 0:
+            return d, np.empty(0, np.float32)
+        return d, self._score_arrays(term, d, t)
+
+
+def _take_topk(docs: np.ndarray, scores: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (score desc, doc_id asc) top-k; full lexsort keeps tie
+    handling trivially correct (a doc-range holds <= drange_size docs,
+    so the sort is partition-local and small)."""
+    order = np.lexsort((docs, -scores.astype(np.float64)))
+    return docs[order][:k], scores[order][:k]

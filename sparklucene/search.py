@@ -1,0 +1,134 @@
+"""Distributed top-k search — the two-phase Solr/Lucene plan on Spark.
+
+Maps the reference's distributed query lifecycle (SURVEY.md §3.2, public
+knowledge of QueryComponent.distributedProcess / TopDocs.merge) onto
+Catalyst:
+
+  phase 0  parse + rewrite (driver, tiny AST)
+  phase 1  stats gather: termstats rows for the query terms (predicate
+           pushdown on the term-sorted Parquet), collected + broadcast —
+           Lucene's TermStates.build
+  phase 2  scatter: postings rows for the query terms (term-pruned scan),
+           co-grouped with docmeta by doc-range; each task runs the
+           vectorized RangeScorer (WAND/MAXSCORE) and emits its local
+           top-k — Solr's per-shard STAGE_EXECUTE_QUERY
+  phase 3  merge: global orderBy(score desc, doc_id asc).limit(k) over
+           <= n_ranges * k candidate rows — TopDocs.merge
+  phase 4  optional hydration: broadcast semi-join of the k winners back
+           to the corpus — Solr's STAGE_GET_FIELDS second round
+
+Only packed binary cells and k-row results ever shuffle; posting decode
+and scoring stay columnar inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparklucene.build import IndexPaths, load_stats
+from sparklucene.query import MatchNoDocs, Query, parse, rewrite
+from sparklucene.scorer import (GlobalStats, RangeCell, RangeDocmeta,
+                                RangeScorer, TermStats)
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+class Index:
+    """Handle to a built index directory (SURVEY.md §1.2 layout)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.stats = load_stats(index_dir)
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    def docmeta(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docmeta)
+
+    def termstats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.termstats)
+
+    def term_stats_for(self, terms: list[str]) -> dict[str, TermStats]:
+        if not terms:
+            return {}
+        rows = (self.termstats()
+                .filter(F.col("term").isin(terms))
+                .collect())
+        return {r["term"]: TermStats(df=r["df"], cf=r["cf"]) for r in rows}
+
+
+def _as_query(query: str | Query) -> Query:
+    return parse(query) if isinstance(query, str) else rewrite(query)
+
+
+def search(index: Index, query: str | Query, k: int = 10,
+           mode: str = "lucene8", prune: bool = True,
+           hydrate: DataFrame | None = None) -> DataFrame:
+    """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
+
+    ``score`` is the float32 engine score widened to double (exact).
+    ``hydrate`` joins winners back to a corpus DataFrame (two-phase plan).
+    """
+    spark = index.spark
+    q = _as_query(query)
+    empty = spark.createDataFrame([], RESULT_SCHEMA)
+    if isinstance(q, MatchNoDocs):
+        return _hydrate(empty, hydrate)
+    pos_terms = q.terms()
+    all_terms = sorted(set(pos_terms) | set(q.neg_terms()))
+    tstats = index.term_stats_for(all_terms)
+    if not any(t in tstats for t in pos_terms):
+        return _hydrate(empty, hydrate)
+
+    gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
+                         sum_dl=int(index.stats["sum_dl"]),
+                         term_stats=tstats)
+
+    postings = index.postings().filter(F.col("term").isin(all_terms))
+    # prune docmeta scan to ranges that can match (cheap: postings are
+    # already term-pruned); at cluster scale this avoids a full docmeta scan
+    ranges = postings.select("drange").distinct()
+    docmeta = index.docmeta().join(F.broadcast(ranges), "drange", "semi")
+
+    def score_group(key, pdf_postings: pd.DataFrame, pdf_meta: pd.DataFrame
+                    ) -> pd.DataFrame:
+        if len(pdf_postings) == 0 or len(pdf_meta) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        cells = {}
+        for r in pdf_postings.itertuples(index=False):
+            cells[r.term] = RangeCell(
+                doc_bytes=bytes(r.doc_bytes), tf_bytes=bytes(r.tf_bytes),
+                block_last=np.asarray(r.block_last, dtype=np.int64),
+                block_max_tf=np.asarray(r.block_max_tf, dtype=np.int32),
+                block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
+            )
+        pdf_meta = pdf_meta.sort_values("doc_id")
+        meta = RangeDocmeta(
+            doc_ids=pdf_meta["doc_id"].to_numpy(dtype=np.int64),
+            norm_bytes=pdf_meta["norm"].to_numpy(dtype=np.int64).astype(np.uint8),
+        )
+        scorer = RangeScorer(cells, meta, gstats, mode=mode, prune=prune)
+        docs, scores = scorer.topk(q, k)
+        return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                             "score": scores.astype(np.float64)})
+
+    candidates = (postings.groupBy("drange")
+                  .cogroup(docmeta.groupBy("drange"))
+                  .applyInPandas(score_group, schema=RESULT_SCHEMA))
+    topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return _hydrate(topk, hydrate)
+
+
+def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:
+    if corpus is None:
+        return topk
+    # winners are <= k rows: broadcast them into the corpus scan
+    return (corpus.join(F.broadcast(topk), "doc_id", "inner")
+            .select("doc_id", "score", "repo", "path", "lang")
+            .orderBy(F.desc("score"), F.asc("doc_id")))

@@ -1,0 +1,148 @@
+"""End-to-end Spark engine tests — build, search, resume, skew, control.
+
+Implements the reference test strategy mapped in SURVEY.md §5:
+distributed-vs-control (BaseDistributedSearchTestCase), WAND on/off
+equivalence, salted == unsalted merge, per-partition resume, and the
+sha256(content) per-row invariant (BASELINE.json input_hint).
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.build import IndexPaths, build_index, invert, load_stats
+from sparklucene.corpus import load_corpus
+from sparklucene.oracle import build_oracle_index, search_oracle
+from sparklucene.query import parse
+from sparklucene.search import Index, search
+
+SF = "/root/testdata/sf0.001"
+IDX_DIR = "/root/repo/.cache/test-index"
+
+QUERY_SET = [
+    "merge",                              # single mid-df term
+    "customer",                           # another term
+    "merge join",                         # OR
+    "table scan filter window small",     # 5-term OR (WAND stress)
+    "+merge +join",                       # AND
+    "+table +scan +filter",               # 3-term AND
+    "merge -join",                        # NOT
+    "zzz_absent_term",                    # empty
+    "the of and",                         # all stopwords -> empty
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    shutil.rmtree(IDX_DIR, ignore_errors=True)
+    corpus = load_corpus(spark, SF)
+    stats = build_index(spark, corpus, IDX_DIR, drange_size=128)
+    return Index(spark, IDX_DIR), corpus, stats
+
+
+@pytest.fixture(scope="module")
+def oidx(corpus_pdf):
+    return build_oracle_index(corpus_pdf)
+
+
+def test_global_stats_match_oracle(built, oidx):
+    _, _, stats = built
+    assert stats["doc_count"] == oidx.doc_count
+    assert stats["sum_dl"] == oidx.sum_dl
+    assert stats["n_docs"] == oidx.doc_ids.size
+
+
+def test_index_invariants(built, spark, oidx):
+    idx, _, _ = built
+    # FIXTURES.md §6.2: sum(df) == distinct (term, doc) pairs
+    total_df = idx.termstats().agg(F.sum("df")).collect()[0][0]
+    assert total_df == len(oidx.tf)
+    # sum(cf) == sumTotalTermFreq == sum(dl)
+    total_cf = idx.termstats().agg(F.sum("cf")).collect()[0][0]
+    assert total_cf == oidx.sum_dl
+    # docmeta matches oracle norms
+    meta = idx.docmeta().orderBy("doc_id").toPandas()
+    assert (meta["dl"].to_numpy() == oidx.dl).all()
+    assert (meta["norm"].to_numpy().astype(np.uint8) == oidx.norm_bytes).all()
+
+
+@pytest.mark.parametrize("mode", ["lucene8", "f64"])
+def test_rank_identical_vs_oracle(built, oidx, mode):
+    idx, _, _ = built
+    for qs in QUERY_SET:
+        got = search(idx, qs, k=10, mode=mode).toPandas()
+        want = search_oracle(oidx, parse(qs), k=10, mode=mode)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), (qs, mode)
+        assert (got["score"].to_numpy() ==
+                want["score"].to_numpy().astype(np.float64)).all(), (qs, mode)
+
+
+def test_wand_on_equals_off(built):
+    idx, _, _ = built
+    for qs in ["table scan filter window small", "merge join"]:
+        on = search(idx, qs, k=10, prune=True).toPandas()
+        off = search(idx, qs, k=10, prune=False).toPandas()
+        assert on["doc_id"].tolist() == off["doc_id"].tolist()
+        assert (on["score"].to_numpy() == off["score"].to_numpy()).all()
+
+
+def test_distributed_vs_control(spark, built, oidx):
+    """Solr's 1-node-control vs N-shard pattern: 1 doc range vs many."""
+    idx_many, _, _ = built
+    ctl_dir = "/root/repo/.cache/test-index-control"
+    shutil.rmtree(ctl_dir, ignore_errors=True)
+    corpus = load_corpus(spark, SF)
+    build_index(spark, corpus, ctl_dir, drange_size=1 << 20)  # single range
+    idx_one = Index(spark, ctl_dir)
+    assert load_stats(ctl_dir)["doc_count"] == oidx.doc_count
+    for qs in QUERY_SET:
+        a = search(idx_many, qs, k=10).toPandas()
+        b = search(idx_one, qs, k=10).toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), qs
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all(), qs
+
+
+def test_salted_equals_unsalted(spark, built):
+    idx, corpus, _ = built
+    salted_dir = "/root/repo/.cache/test-index-salted"
+    shutil.rmtree(salted_dir, ignore_errors=True)
+    build_index(spark, corpus, salted_dir, drange_size=128, salt=4)
+    a = idx.termstats().orderBy("term").toPandas()
+    b = Index(spark, salted_dir).termstats().orderBy("term").toPandas()
+    assert a["term"].tolist() == b["term"].tolist()
+    assert (a["df"].to_numpy() == b["df"].to_numpy()).all()
+    assert (a["cf"].to_numpy() == b["cf"].to_numpy()).all()
+
+
+def test_resume_skips_completed_partitions(spark, built):
+    _, corpus, _ = built
+    paths = IndexPaths(IDX_DIR)
+    # re-run invert: everything checkpointed -> all skipped
+    manifest = invert(corpus, paths, drange_size=128, resume=True)
+    assert (manifest["status"] == "skipped").all()
+    # kill one partition's checkpoint -> only that one rebuilds
+    victims = sorted(glob.glob(os.path.join(paths.manifest_dir, "part-*.json")))
+    with open(victims[0]) as fh:
+        victim_range = json.load(fh)["drange"]
+    os.remove(victims[0])
+    manifest2 = invert(corpus, paths, drange_size=128, resume=True)
+    rebuilt = manifest2[manifest2["status"] == "built"]
+    assert rebuilt["drange"].tolist() == [victim_range]
+    assert (manifest2["status"] == "skipped").sum() == len(manifest) - 1
+
+
+def test_hydration_and_sha_invariant(spark, built):
+    """Two-phase fetch + BASELINE input_hint: sha256(content) preserved."""
+    idx, corpus, _ = built
+    got = search(idx, "merge join", k=5, hydrate=corpus).toPandas()
+    assert {"doc_id", "score", "repo", "path", "lang"} <= set(got.columns)
+    assert len(got) == 5
+    # commit column was derived as sha256(content)[:40] at load; re-derive
+    chk = (corpus.withColumn("sha", F.sha2(F.col("content"), 256).substr(1, 40))
+           .filter(F.col("commit") != F.col("sha")).count())
+    assert chk == 0
