@@ -140,6 +140,26 @@ def rewrite(q: Query) -> Query:
         return And(tuple(flat))
 
 
+def prune_missing(q: Query, present: set[str]) -> Query:
+    """Replace terms absent from the index with MatchNoDocs, then rewrite.
+
+    Mirrors Lucene's behavior where a TermQuery on an unindexed term yields
+    an empty scorer: an AND containing it matches nothing, an OR simply
+    drops it, a MUST_NOT on it is a no-op (BooleanWeight null-scorer
+    handling — public Lucene behavior).
+    """
+    if isinstance(q, Term):
+        return q if q.term in present else MatchNoDocs()
+    if isinstance(q, Not):
+        return rewrite(Not(prune_missing(q.positive, present),
+                           prune_missing(q.negative, present)))
+    if isinstance(q, (And, Or)):
+        clauses = tuple(prune_missing(c, present) for c in q.clauses)
+        node = And(clauses) if isinstance(q, And) else Or(clauses, q.min_should_match)
+        return rewrite(node)
+    return q
+
+
 def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
     """Parse a (small) classic-syntax query string into the AST.
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparklucene.build import IndexPaths, load_stats
-from sparklucene.query import MatchNoDocs, Query, parse, rewrite
+from sparklucene.query import MatchNoDocs, Query, parse, prune_missing, rewrite
 from sparklucene.scorer import (GlobalStats, RangeCell, RangeDocmeta,
                                 RangeScorer, TermStats)
 
@@ -82,8 +82,12 @@ def search(index: Index, query: str | Query, k: int = 10,
     pos_terms = q.terms()
     all_terms = sorted(set(pos_terms) | set(q.neg_terms()))
     tstats = index.term_stats_for(all_terms)
-    if not any(t in tstats for t in pos_terms):
+    # unindexed terms: empty scorers — AND dies, OR drops them (Lucene
+    # BooleanWeight null-scorer behavior)
+    q = prune_missing(q, set(tstats))
+    if isinstance(q, MatchNoDocs):
         return _hydrate(empty, hydrate)
+    all_terms = sorted(set(q.terms()) | set(q.neg_terms()))
 
     gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
                          sum_dl=int(index.stats["sum_dl"]),
