@@ -80,6 +80,9 @@ def build_once(cores: int, tag: str) -> dict:
 
 def run_queries(spark, index_dir: str) -> tuple[dict, dict]:
     idx = Index(spark, index_dir)
+    # searcher warm-up (Solr firstSearcher analog): populate the postings
+    # cache + Python workers before the timed reps
+    search(idx, Term("data"), k=10).collect()
     per_query: dict[str, float] = {}
     samples: list[float] = []
     for name, q in QUERIES.items():

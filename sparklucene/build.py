@@ -50,10 +50,13 @@ from sparklucene.codec import encode_postings_batch
 from sparklucene.corpus import with_drange
 from sparklucene.norms import int_to_byte4
 
+#: bump when the on-disk postings layout changes (stale-cache guard)
+FORMAT_VERSION = 2
+
 POSTINGS_SCHEMA = (
     "term string, drange int, df_part long, cf_part long, doc_bytes binary, "
-    "tf_bytes binary, block_last array<long>, block_max_tf array<int>, "
-    "block_min_norm binary"
+    "tf_bytes binary, norm_bytes binary, block_last array<long>, "
+    "block_max_tf array<int>, block_min_norm binary"
 )
 DOCMETA_SCHEMA = "drange int, doc_id long, dl long, norm int"
 MANIFEST_SCHEMA = ("drange int, status string, n_docs long, n_terms long, "
@@ -129,6 +132,7 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
             "cf_part": pa.array(cf_part.astype(np.int64)),
             "doc_bytes": pa.array([c.doc_bytes for c in cells], type=pa.binary()),
             "tf_bytes": pa.array([c.tf_bytes for c in cells], type=pa.binary()),
+            "norm_bytes": pa.array([c.norm_bytes for c in cells], type=pa.binary()),
             "block_last": pa.array([c.block_last_doc.tolist() for c in cells],
                                    type=pa.list_(pa.int64())),
             "block_max_tf": pa.array([c.block_max_tf.tolist() for c in cells],
@@ -146,6 +150,7 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
             "cf_part": pa.array([], type=pa.int64()),
             "doc_bytes": pa.array([], type=pa.binary()),
             "tf_bytes": pa.array([], type=pa.binary()),
+            "norm_bytes": pa.array([], type=pa.binary()),
             "block_last": pa.array([], type=pa.list_(pa.int64())),
             "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
             "block_min_norm": pa.array([], type=pa.binary()),
@@ -242,6 +247,9 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     if n_term_buckets is None:
         n_term_buckets = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
 
+    # one pass over the partials feeds both the term-range layout write and
+    # the stats aggregation (avoids re-reading every partial file)
+    postings = postings.persist()
     (postings
      .repartitionByRange(n_term_buckets, "term", "drange")
      .sortWithinPartitions("term", "drange")
@@ -260,9 +268,12 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     (stats_df.repartitionByRange(max(1, n_term_buckets // 4), "term")
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(paths.termstats))
+    postings.unpersist()
 
-    (docmeta.repartitionByRange(max(1, n_term_buckets // 4), "drange", "doc_id")
-     .sortWithinPartitions("drange", "doc_id")
+    # docmeta partials are already disjoint drange shards sorted by doc_id
+    # (norms travel inside the posting cells, so docmeta is off the query
+    # hot path); compact without a range shuffle
+    (docmeta.coalesce(max(1, n_term_buckets // 4))
      .write.mode("overwrite").parquet(paths.docmeta))
 
     g = docmeta.agg(
@@ -272,7 +283,8 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     ).collect()[0]
     stats = {"n_docs": g["n_docs"], "doc_count": g["doc_count"],
              "sum_dl": g["sum_dl"], "drange_size": drange_size,
-             "n_term_buckets": n_term_buckets, "ts": time.time()}
+             "n_term_buckets": n_term_buckets, "format": FORMAT_VERSION,
+             "ts": time.time()}
     tmp = paths.stats_json + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(stats, fh, indent=1)

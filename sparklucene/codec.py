@@ -88,6 +88,7 @@ class PostingCell(NamedTuple):
 
     doc_bytes: bytes        # delta+vbyte docIDs
     tf_bytes: bytes         # vbyte term frequencies
+    norm_bytes: bytes       # raw uint8 norm byte per posting (impact-style)
     block_last_doc: np.ndarray  # int64[nblocks] — last docID per 128-block
     block_max_tf: np.ndarray    # int32[nblocks]
     block_min_norm: np.ndarray  # uint8[nblocks] — smallest norm byte (shortest doc)
@@ -97,8 +98,11 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
                     norms: np.ndarray | None = None) -> PostingCell:
     """Pack sorted (doc_ids, tfs[, norm bytes]) into a compressed cell.
 
-    ``norms`` are the norm bytes aligned with doc_ids; when omitted the
-    block_min_norm is 0 (most permissive upper bound — still score-safe).
+    ``norms`` are the norm bytes aligned with doc_ids, stored raw (1
+    byte/posting) inside the cell — the impact-list design (Lucene 8.x
+    keeps (freq, norm) impact pairs with the postings) taken to its
+    conclusion so BM25 scoring needs no separate norms lookup/shuffle at
+    query time. When omitted, norms are all-0 (score-safe upper bounds).
     """
     d = np.asarray(doc_ids, dtype=np.uint64)
     t = np.asarray(tfs, dtype=np.uint64)
@@ -111,19 +115,20 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     last = np.empty(nblocks, dtype=np.int64)
     maxtf = np.empty(nblocks, dtype=np.int32)
     minnorm = np.zeros(nblocks, dtype=np.uint8)
+    nb = (np.asarray(norms, dtype=np.uint8) if norms is not None
+          else np.zeros(n, dtype=np.uint8))
     if n:
         ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
         last[:] = d[ends - 1].astype(np.int64)
         # block-wise max tf via reduceat
         starts = np.arange(nblocks) * BLOCK_SIZE
         maxtf[:] = np.maximum.reduceat(t, starts).astype(np.int32)
-        if norms is not None:
-            nb = np.asarray(norms, dtype=np.uint8)
-            # LENGTH_TABLE is monotone in the byte, so min byte == min length
-            minnorm[:] = np.minimum.reduceat(nb, starts)
+        # LENGTH_TABLE is monotone in the byte, so min byte == min length
+        minnorm[:] = np.minimum.reduceat(nb, starts)
     return PostingCell(
         doc_bytes=vbyte_encode(delta_encode(d)),
         tf_bytes=vbyte_encode(t),
+        norm_bytes=nb.tobytes(),
         block_last_doc=last,
         block_max_tf=maxtf,
         block_min_norm=minnorm,
@@ -157,8 +162,9 @@ def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     norms = np.asarray(norms, dtype=np.uint8)
     n = docs.size
     if n == 0:
-        return [PostingCell(b"", b"", np.empty(0, np.int64), np.empty(0, np.int32),
-                            np.empty(0, np.uint8)) for _ in range(nterms)]
+        return [PostingCell(b"", b"", b"", np.empty(0, np.int64),
+                            np.empty(0, np.int32), np.empty(0, np.uint8))
+                for _ in range(nterms)]
     # gaps, reset to absolute at each term start
     gaps = docs.copy()
     gaps[1:] -= docs[:-1]
@@ -188,6 +194,7 @@ def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
         cells.append(PostingCell(
             doc_bytes=doc_buf[doc_off[starts[t]]:doc_off[starts[t + 1]]].tobytes(),
             tf_bytes=tf_buf[tf_off[starts[t]]:tf_off[starts[t + 1]]].tobytes(),
+            norm_bytes=norms[starts[t]:starts[t + 1]].tobytes(),
             block_last_doc=blast[b0:b1],
             block_max_tf=bmaxtf[b0:b1],
             block_min_norm=bminnorm[b0:b1],

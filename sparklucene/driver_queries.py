@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from sparklucene import bm25
 from sparklucene.analysis import TOKEN_RE_SQL, stoplist_sql
-from sparklucene.build import build_index
+from sparklucene.build import FORMAT_VERSION, build_index, load_stats
 from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
 from sparklucene.query import And, Not, Or, Query, Term
@@ -128,7 +128,12 @@ def index_for(spark: SparkSession, sf_dir: str) -> Index:
         return idx
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
     index_dir = os.path.join("/tmp", "sparklucene-idx", f"{os.path.basename(key)}-{tag}")
-    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+    fresh = False
+    if os.path.exists(os.path.join(index_dir, "stats.json")):
+        fresh = load_stats(index_dir).get("format") == FORMAT_VERSION
+    if not fresh:
+        import shutil
+        shutil.rmtree(index_dir, ignore_errors=True)
         corpus = load_corpus(spark, sf_dir)
         build_index(spark, corpus, index_dir)
     idx = Index(spark, index_dir)

@@ -44,10 +44,15 @@ from sparklucene.query import And, MatchNoDocs, Not, Or, Query, Term
 
 @dataclass
 class RangeCell:
-    """Decoded-on-demand posting cell for one (term, drange)."""
+    """Decoded-on-demand posting cell for one (term, drange).
+
+    Norm bytes travel inside the cell (impact-list design): scoring needs
+    no docmeta lookup, so the whole query path is a single postings scan.
+    """
 
     doc_bytes: bytes
     tf_bytes: bytes
+    norm_bytes: bytes
     block_last: np.ndarray
     block_max_tf: np.ndarray
     block_min_norm: np.ndarray
@@ -60,12 +65,8 @@ class RangeCell:
             self._tfs = decode_tfs(self.tf_bytes)
         return self._docs, self._tfs
 
-
-
-@dataclass
-class RangeDocmeta:
-    doc_ids: np.ndarray   # int64 sorted
-    norm_bytes: np.ndarray  # uint8 aligned
+    def norms(self) -> np.ndarray:
+        return np.frombuffer(self.norm_bytes, dtype=np.uint8)
 
 
 @dataclass
@@ -89,10 +90,9 @@ class ScoreMetrics:
 
 
 class RangeScorer:
-    def __init__(self, cells: dict[str, RangeCell], meta: RangeDocmeta,
-                 stats: GlobalStats, mode: str = "lucene8", prune: bool = True):
+    def __init__(self, cells: dict[str, RangeCell], stats: GlobalStats,
+                 mode: str = "lucene8", prune: bool = True):
         self.cells = cells
-        self.meta = meta
         self.stats = stats
         self.mode = mode
         self.prune = prune
@@ -101,11 +101,10 @@ class RangeScorer:
 
     # ---- scoring primitives -------------------------------------------
 
-    def _score_arrays(self, term: str, docs: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    def _score_arrays(self, term: str, tfs: np.ndarray, nb: np.ndarray) -> np.ndarray:
+        """Scores for postings of ``term`` given aligned (tf, norm byte)."""
         ts = self.stats.term_stats[term]
-        pos = np.searchsorted(self.meta.doc_ids, docs)
-        nb = self.meta.norm_bytes[pos]
-        self.metrics.docs_scored += int(docs.size)
+        self.metrics.docs_scored += int(tfs.size)
         if self.mode == "lucene8":
             return bm25.score_lucene8(tfs, nb, ts.df, self.stats.doc_count,
                                       self.stats.sum_dl)
@@ -122,22 +121,24 @@ class RangeScorer:
             cell.block_max_tf, cell.block_min_norm, ts.df,
             self.stats.doc_count, self.stats.sum_dl)
 
-    def _filtered(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Decoded postings with MUST_NOT docs masked out."""
+    def _filtered(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (docs, tfs, norm bytes) with MUST_NOT docs masked out."""
         cell = self.cells.get(term)
         if cell is None:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.uint8))
         docs, tfs = cell.decode()
+        norms = cell.norms()
         if self._neg_mask_docs is not None and self._neg_mask_docs.size:
             keep = ~np.isin(docs, self._neg_mask_docs, assume_unique=True)
-            docs, tfs = docs[keep], tfs[keep]
-        return docs, tfs
+            docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
+        return docs, tfs, norms
 
     def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        docs, tfs = self._filtered(term)
+        docs, tfs, norms = self._filtered(term)
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
-        return docs, self._score_arrays(term, docs, tfs)
+        return docs, self._score_arrays(term, tfs, norms)
 
     # ---- top-level evaluation ------------------------------------------
 
@@ -188,11 +189,11 @@ class RangeScorer:
         cell = self.cells.get(term)
         if cell is None:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        docs, tfs = self._filtered(term)
+        docs, tfs, norms = self._filtered(term)
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
         if not self.prune or docs.size <= k or self._neg_mask_docs.size:
-            return docs, self._score_arrays(term, docs, tfs)
+            return docs, self._score_arrays(term, tfs, norms)
         # block-at-a-time with descending-ub order and running θ
         alldocs, _ = cell.decode()
         ubs = self._block_ubs(term, cell)
@@ -209,8 +210,8 @@ class RangeScorer:
                 self.metrics.blocks_skipped += 1
                 continue
             sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
-            bd, bt = alldocs[sl], tfs[sl]
-            s = self._score_arrays(term, bd, bt)
+            bd, bt, bn = alldocs[sl], tfs[sl], norms[sl]
+            s = self._score_arrays(term, bt, bn)
             out_docs.append(bd)
             out_scores.append(s)
             n_collected += bd.size
@@ -236,9 +237,9 @@ class RangeScorer:
             return docs, np.empty(0, np.float32)
         total = np.zeros(docs.size, dtype=np.float64)
         for t in sorted(terms):  # oracle-order accumulation
-            tdocs, ttfs = self._filtered(t)
+            tdocs, ttfs, tnorms = self._filtered(t)
             pos = np.searchsorted(tdocs, docs)
-            total += self._score_arrays(t, docs, ttfs[pos]).astype(np.float64)
+            total += self._score_arrays(t, ttfs[pos], tnorms[pos]).astype(np.float64)
         return docs, total.astype(np.float32)
 
     # ---- OR: MAXSCORE ---------------------------------------------------
@@ -333,18 +334,19 @@ class RangeScorer:
         need = need[need < cell.block_last.size]
         self.metrics.blocks_skipped += int(cell.block_last.size - need.size)
         docs, tfs = cell.decode()
+        norms = cell.norms()
         keep = np.zeros(docs.size, dtype=bool)
         for b in need:
             keep[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE] = True
-        d, t = docs[keep], tfs[keep]
+        d, t, nb = docs[keep], tfs[keep], norms[keep]
         m = np.isin(d, candidates, assume_unique=True)
-        d, t = d[m], t[m]
+        d, t, nb = d[m], t[m], nb[m]
         if self._neg_mask_docs is not None and self._neg_mask_docs.size:
             m2 = ~np.isin(d, self._neg_mask_docs, assume_unique=True)
-            d, t = d[m2], t[m2]
+            d, t, nb = d[m2], t[m2], nb[m2]
         if d.size == 0:
             return d, np.empty(0, np.float32)
-        return d, self._score_arrays(term, d, t)
+        return d, self._score_arrays(term, t, nb)
 
 
 def _take_topk(docs: np.ndarray, scores: np.ndarray, k: int

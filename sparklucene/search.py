@@ -8,10 +8,11 @@ Catalyst:
   phase 1  stats gather: termstats rows for the query terms (predicate
            pushdown on the term-sorted Parquet), collected + broadcast —
            Lucene's TermStates.build
-  phase 2  scatter: postings rows for the query terms (term-pruned scan),
-           co-grouped with docmeta by doc-range; each task runs the
-           vectorized RangeScorer (WAND/MAXSCORE) and emits its local
-           top-k — Solr's per-shard STAGE_EXECUTE_QUERY
+  phase 2  scatter: postings rows for the query terms (term-pruned scan;
+           norm bytes are inlined in the cells, so no docmeta join) are
+           grouped by doc-range; each task runs the vectorized
+           RangeScorer (WAND/MAXSCORE) and emits its local top-k —
+           Solr's per-shard STAGE_EXECUTE_QUERY
   phase 3  merge: global orderBy(score desc, doc_id asc).limit(k) over
            <= n_ranges * k candidate rows — TopDocs.merge
   phase 4  optional hydration: broadcast semi-join of the k winners back
@@ -30,36 +31,57 @@ from pyspark.sql import functions as F
 
 from sparklucene.build import IndexPaths, load_stats
 from sparklucene.query import MatchNoDocs, Query, parse, prune_missing, rewrite
-from sparklucene.scorer import (GlobalStats, RangeCell, RangeDocmeta,
-                                RangeScorer, TermStats)
+from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 RESULT_SCHEMA = "doc_id long, score double"
 
 
 class Index:
-    """Handle to a built index directory (SURVEY.md §1.2 layout)."""
+    """Handle to a built index directory (SURVEY.md §1.2 layout).
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``cache=True`` persists the postings/termstats DataFrames across
+    queries (Solr's searcher-held segment readers analog) — repeated
+    queries skip the parquet scan entirely.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.stats = load_stats(index_dir)
+        self._cache = cache
+        self._postings: DataFrame | None = None
+        self._termstats: DataFrame | None = None
+        self._tstats_memo: dict[str, TermStats | None] = {}
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        if self._postings is None:
+            df = self.spark.read.parquet(self.paths.postings)
+            self._postings = df.persist() if self._cache else df
+        return self._postings
 
     def docmeta(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.docmeta)
 
     def termstats(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.termstats)
+        if self._termstats is None:
+            df = self.spark.read.parquet(self.paths.termstats)
+            self._termstats = df.persist() if self._cache else df
+        return self._termstats
 
     def term_stats_for(self, terms: list[str]) -> dict[str, TermStats]:
-        if not terms:
-            return {}
-        rows = (self.termstats()
-                .filter(F.col("term").isin(terms))
-                .collect())
-        return {r["term"]: TermStats(df=r["df"], cf=r["cf"]) for r in rows}
+        """df/cf per term (Lucene TermStates.build). Memoized per handle —
+        repeated queries on overlapping vocabularies pay no Spark action
+        (misses are remembered too, as None)."""
+        missing = [t for t in terms if t not in self._tstats_memo]
+        if missing:
+            rows = (self.termstats()
+                    .filter(F.col("term").isin(missing))
+                    .collect())
+            found = {r["term"]: TermStats(df=r["df"], cf=r["cf"]) for r in rows}
+            for t in missing:
+                self._tstats_memo[t] = found.get(t)
+        return {t: s for t in terms
+                if (s := self._tstats_memo.get(t)) is not None}
 
 
 def _as_query(query: str | Query) -> Query:
@@ -94,36 +116,26 @@ def search(index: Index, query: str | Query, k: int = 10,
                          term_stats=tstats)
 
     postings = index.postings().filter(F.col("term").isin(all_terms))
-    # prune docmeta scan to ranges that can match (cheap: postings are
-    # already term-pruned); at cluster scale this avoids a full docmeta scan
-    ranges = postings.select("drange").distinct()
-    docmeta = index.docmeta().join(F.broadcast(ranges), "drange", "semi")
 
-    def score_group(key, pdf_postings: pd.DataFrame, pdf_meta: pd.DataFrame
-                    ) -> pd.DataFrame:
-        if len(pdf_postings) == 0 or len(pdf_meta) == 0:
+    def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf_postings) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "score": pd.Series(dtype=np.float64)})
         cells = {}
         for r in pdf_postings.itertuples(index=False):
             cells[r.term] = RangeCell(
                 doc_bytes=bytes(r.doc_bytes), tf_bytes=bytes(r.tf_bytes),
+                norm_bytes=bytes(r.norm_bytes),
                 block_last=np.asarray(r.block_last, dtype=np.int64),
                 block_max_tf=np.asarray(r.block_max_tf, dtype=np.int32),
                 block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
             )
-        pdf_meta = pdf_meta.sort_values("doc_id")
-        meta = RangeDocmeta(
-            doc_ids=pdf_meta["doc_id"].to_numpy(dtype=np.int64),
-            norm_bytes=pdf_meta["norm"].to_numpy(dtype=np.int64).astype(np.uint8),
-        )
-        scorer = RangeScorer(cells, meta, gstats, mode=mode, prune=prune)
+        scorer = RangeScorer(cells, gstats, mode=mode, prune=prune)
         docs, scores = scorer.topk(q, k)
         return pd.DataFrame({"doc_id": docs.astype(np.int64),
                              "score": scores.astype(np.float64)})
 
     candidates = (postings.groupBy("drange")
-                  .cogroup(docmeta.groupBy("drange"))
                   .applyInPandas(score_group, schema=RESULT_SCHEMA))
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return _hydrate(topk, hydrate)

@@ -12,8 +12,7 @@ from sparklucene.codec import encode_postings
 from sparklucene.norms import int_to_byte4
 from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import And, Not, Or, Term, parse
-from sparklucene.scorer import (GlobalStats, RangeCell, RangeDocmeta,
-                                RangeScorer, TermStats)
+from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 
 def _scorer_from_oracle(oidx, mode="lucene8", prune=True):
@@ -24,14 +23,13 @@ def _scorer_from_oracle(oidx, mode="lucene8", prune=True):
         t = g["tf"].to_numpy(dtype=np.int64)
         nb = oidx.norm_bytes[np.searchsorted(oidx.doc_ids, d)]
         c = encode_postings(d, t, nb)
-        cells[term] = RangeCell(c.doc_bytes, c.tf_bytes, c.block_last_doc,
-                                c.block_max_tf, c.block_min_norm)
-    meta = RangeDocmeta(doc_ids=oidx.doc_ids, norm_bytes=oidx.norm_bytes)
+        cells[term] = RangeCell(c.doc_bytes, c.tf_bytes, c.norm_bytes,
+                                c.block_last_doc, c.block_max_tf, c.block_min_norm)
     stats = GlobalStats(
         doc_count=oidx.doc_count, sum_dl=oidx.sum_dl,
         term_stats={t: TermStats(df=int(g), cf=0)
                     for t, g in oidx.tf.groupby("term").size().items()})
-    return RangeScorer(cells, meta, stats, mode=mode, prune=prune)
+    return RangeScorer(cells, stats, mode=mode, prune=prune)
 
 
 @pytest.fixture(scope="module")
