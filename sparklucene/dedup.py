@@ -1,0 +1,179 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The standard near-dup stack for web/pretraining corpora (public knowledge:
+Broder's shingling/MinHash resemblance estimation, Charikar's SimHash,
+banded LSH), implemented Spark-first:
+
+  * all hashing is md5-derived 60-bit integers computed by Catalyst
+    builtins (md5/conv) — JVM codegen, reproducible in any engine;
+  * MinHash signatures use S universal-hash permutations evaluated as S
+    aggregate expressions over one shingle-hash column — no S-fold row
+    explosion; candidate generation is banded LSH (equi-join on band
+    keys), never an all-pairs product;
+  * SimHash pairs are chunk-banded (Hamming<=k pairs must share one of
+    k+1 signature chunks — pigeonhole), so the join is equi-key too;
+  * per-doc work partial-aggregates before any shuffle; shuffle keys are
+    (band_key) / (chunk value) — skew only from degenerate corpora, and
+    AQE skew-join splits those.
+
+Scale: at 10^12 docs the only wide ops are groupBy(doc) [dense, uniform]
+and the band-key self-joins [bounded fan-out by construction].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklucene.textops import TOKEN_EXPR, _hash60
+
+MERSENNE61 = 2305843009213693951
+LSH_PRIME = 2147483647          # 2^31 - 1 universal-hash modulus
+HASH30_MOD = 1073741824         # fold 60-bit hash into 30 bits pre-permutation
+
+#: fixed (a, b) per MinHash permutation — small deterministic constants so
+#: a*h30 + b stays well inside int64
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (387, 17), (1031, 901), (2053, 4099), (4099, 8209),
+    (8209, 389), (16411, 1021), (32771, 2039), (65537, 4093),
+]
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: sha256(text) groups with >1 member; keeper = min id."""
+    return (docs
+            .groupBy(F.sha2(F.col("text"), 256).alias("content_sha"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_copies") > 1))
+
+
+def _shingle_hashes(docs: DataFrame, shingle: int) -> DataFrame:
+    """(doc_id, h) — 60-bit hash per *distinct* token shingle of each doc."""
+    toks = F.expr(TOKEN_EXPR)
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle - 1), F.lit(0)))
+    shingles = F.array_distinct(F.transform(
+        idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                           for j in range(shingle)])))
+    return (docs.select("doc_id", F.explode(shingles).alias("s"))
+            .select("doc_id", _hash60(F.col("s")).alias("h")))
+
+
+def minhash_signatures(docs: DataFrame, shingle: int = 3) -> DataFrame:
+    """Per-doc MinHash signature columns sig0..sig{S-1}.
+
+    sig_i = min over shingles of (a_i * (h mod 2^30) + b_i) mod (2^31-1);
+    computed as S min-aggregates in ONE groupBy — partial aggregation
+    makes this a map-side combine, shuffling S ints per doc.
+    """
+    sh = _shingle_hashes(docs, shingle)
+    h30 = F.pmod(F.col("h"), F.lit(HASH30_MOD))
+    aggs = [F.min(F.pmod(a * h30 + b, F.lit(LSH_PRIME))).alias(f"sig{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, shingle: int = 3,
+                        rows_per_band: int = 2) -> DataFrame:
+    """Banded-LSH near-dup candidates: docs sharing >= 1 full band.
+
+    Bands of ``rows_per_band`` signature rows; equi-join on (band_id,
+    band_key) — the LSH trick that replaces the O(n^2) similarity scan.
+    """
+    sigs = minhash_signatures(docs, shingle)
+    n_bands = len(MINHASH_COEFFS) // rows_per_band
+    bands = [
+        F.struct(F.lit(b).alias("band_id"),
+                 F.concat_ws("_", *[F.col(f"sig{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)]).alias("band_key"))
+        for b in range(n_bands)
+    ]
+    exploded = (sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+                .select("doc_id", "b.band_id", "b.band_key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (a.join(b, ["band_id", "band_key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Charikar SimHash over analyzed term frequencies.
+
+    For each bit b: sum tf * (+1 if bit b of hash(term) else -1) over the
+    doc's terms; simhash bit b = 1 iff the sum > 0. One explode over
+    (term, bit) then a partial-aggregating groupBy(doc).
+    """
+    toks = F.expr(TOKEN_EXPR)
+    tf = (docs.select("doc_id", F.explode(toks).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+          .withColumn("h", _hash60(F.col("term"))))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    contrib = (tf.select("doc_id", "tf", "h", bit)
+               .select("doc_id", "b",
+                       F.expr("tf * ((shiftright(h, b) & 1) * 2 - 1)").alias("c")))
+    bitsum = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+    return (bitsum.groupBy("doc_id")
+            .agg(F.sum(F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+                "ELSE CAST(0 AS BIGINT) END")).alias("simhash")))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
+                  n_chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: with n_chunks > max_hamming, any qualifying pair
+    agrees exactly on >= 1 chunk -> equi-join on (chunk_id, chunk value),
+    then verify with bit_count(xor) on the candidates only.
+    """
+    assert n_chunks > max_hamming, "pigeonhole needs n_chunks > max_hamming"
+    sh = simhash(docs, bits)
+    width = bits // n_chunks
+    chunks = [
+        F.struct(F.lit(c).alias("chunk_id"),
+                 F.shiftright(F.col("simhash"), c * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk_val"))
+        for c in range(n_chunks)
+    ]
+    ex = (sh.select("doc_id", "simhash", F.explode(F.array(*chunks)).alias("c"))
+          .select("doc_id", "simhash", "c.chunk_id", "c.chunk_val"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, ["chunk_id", "chunk_val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle: int = 3,
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs within one ``source``
+    (blocking key) — the verify step after LSH candidate generation, or a
+    standalone blocked near-dup pass.
+    """
+    sh = _shingle_hashes(docs.select("doc_id", "source", "text"), shingle) \
+        .join(docs.select("doc_id", "source"), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    out = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+           .withColumn("jaccard",
+                       F.col("n_inter") / F.col("n_union").cast("double")))
+    return out.filter(F.col("jaccard") >= min_jaccard) \
+        .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")

@@ -336,6 +336,652 @@ FROM documents GROUP BY lang ORDER BY lang""")
     return e
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col: str) -> F.Column:
+    """Exact currency sum: DECIMAL(18,2) accumulate, DOUBLE result —
+    identical on both engines regardless of summation order."""
+    from pyspark.sql.functions import col as c
+    return F.sum(c(col).cast("decimal(18,2)")).cast("double")
+
+
+def _stream_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Solr streaming-expression algebra (SURVEY.md §2.9) via
+    sparklucene.streams — select/top/unique/merge/joins/rollup/stats/fetch
+    over the TPC-H-ish driver tables."""
+    from sparklucene import streams as st
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def sel(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return st.select_stream(orders, {
+            "okey": "o_orderkey",
+            "discounted": F.col("o_totalprice") * F.lit(0.9).cast("double"),
+            "pri": F.upper(F.col("o_orderpriority"))})
+    e["stream_select_eval"] = (sel, """
+SELECT o_orderkey AS okey,
+       o_totalprice * CAST(0.9 AS DOUBLE) AS discounted,
+       upper(o_orderpriority) AS pri
+FROM orders""")
+
+    def top(spark, sf):
+        return st.rank_stream(_t(spark, sf, "orders"), 15,
+                              F.desc("o_totalprice"), F.asc("o_orderkey")
+                              ).select("o_orderkey", "o_totalprice")
+    e["stream_top_k"] = (top, """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""")
+
+    def uniq(spark, sf):
+        return st.unique_stream(
+            _t(spark, sf, "orders").select("o_custkey"), ["o_custkey"])
+    e["stream_unique"] = (uniq, "SELECT DISTINCT o_custkey FROM orders")
+
+    def merge_sorted(spark, sf):
+        orders = _t(spark, sf, "orders")
+        a = orders.filter(F.col("o_orderstatus") == "F")
+        b = orders.filter(F.col("o_orderstatus") == "O")
+        return st.merge_stream(a, b, F.asc("o_orderkey")) \
+            .select("o_orderkey", "o_orderstatus")
+    e["stream_merge_sorted"] = (merge_sorted, """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderstatus IN ('F', 'O') ORDER BY o_orderkey""")
+
+    def hjoin(spark, sf):
+        return st.hash_join(
+            _t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+            _t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+            on=["c_custkey"]).select("o_orderkey", "c_custkey", "c_name",
+                                     "c_mktsegment")
+    e["stream_hash_join"] = (hjoin, """
+SELECT o_orderkey, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey""")
+
+    def outer_join(spark, sf):
+        per_cust = (_t(spark, sf, "orders").groupBy("o_custkey")
+                    .agg(F.count("*").alias("n_orders"))
+                    .withColumnRenamed("o_custkey", "c_custkey"))
+        cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+        out = st.hash_join(cust, per_cust, on=["c_custkey"], how="left")
+        return out.select("c_custkey", "c_mktsegment",
+                          F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    e["stream_outer_hash_join"] = (outer_join, """
+SELECT c_custkey, c_mktsegment, coalesce(n.n_orders, 0)::BIGINT AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*)::BIGINT AS n_orders
+           FROM orders GROUP BY o_custkey) n
+  ON c_custkey = n.o_custkey""")
+
+    def smjoin(spark, sf):
+        li = _t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+        orders = _t(spark, sf, "orders")
+        joined = st.inner_join(li, orders, on=["o_orderkey"])
+        return st.rollup_stream(
+            joined, ["o_orderstatus"],
+            [F.count("*").alias("n_lines"), _dec_sum("l_quantity").alias("sum_qty")]
+        ).orderBy("o_orderstatus")
+    e["stream_sortmerge_join_rollup"] = (smjoin, """
+SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+    def isect(spark, sf):
+        orders = _t(spark, sf, "orders")
+        f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+        o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        return st.intersect_stream(f.distinct(), o, ["o_custkey"])
+    e["stream_intersect"] = (isect, """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
+
+    def compl(spark, sf):
+        cust = _t(spark, sf, "customer").select("c_custkey")
+        orders = (_t(spark, sf, "orders").select("o_custkey")
+                  .withColumnRenamed("o_custkey", "c_custkey"))
+        return st.complement_stream(cust, orders, ["c_custkey"])
+    e["stream_complement"] = (compl, """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")
+
+    def rollup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return st.rollup_stream(
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02")),
+            ["l_returnflag", "l_linestatus"],
+            [F.count("*").alias("count_order"),
+             _dec_sum("l_quantity").alias("sum_qty"),
+             _dec_sum("l_extendedprice").alias("sum_base_price"),
+             F.min("l_quantity").alias("min_qty"),
+             F.max("l_extendedprice").alias("max_price")],
+        ).orderBy("l_returnflag", "l_linestatus")
+    e["stream_rollup_metrics"] = (rollup, """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       min(l_quantity) AS min_qty, max(l_extendedprice) AS max_price
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")
+
+    def gstats(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return st.stats_stream(li, [
+            F.count("*").alias("n"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            _dec_sum("l_extendedprice").alias("sum_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship")])
+    e["stream_stats"] = (gstats, """
+SELECT count(*)::BIGINT AS n, count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+FROM lineitem""")
+
+    def fetch(spark, sf):
+        nation = _t(spark, sf, "nation")
+        region = _t(spark, sf, "region").withColumnRenamed("r_regionkey",
+                                                           "n_regionkey")
+        return st.fetch_stream(nation, region, ["n_regionkey"], ["r_name"]) \
+            .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+    e["stream_fetch_enrich"] = (fetch, """
+SELECT n_nationkey, n_name, r_name
+FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey""")
+
+    return e
+
+
+def _window_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Sort / paging / grouping / collapse (SURVEY.md §2.6)."""
+    from pyspark.sql import Window
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def multisort(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (docs.orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+                .limit(20).select("doc_id", "lang", "n_chars"))
+    e["sort_multi_field"] = (multisort, """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 20""")
+
+    def page2(spark, sf):
+        docs = _t(spark, sf, "documents")
+        w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (docs.withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+                .select("doc_id", "n_chars", "rn"))
+    e["paging_page2"] = (page2, """
+SELECT doc_id, n_chars, rn FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn > 10 AND rn <= 20""")
+
+    def top2_per_lang(spark, sf):
+        docs = _t(spark, sf, "documents")
+        w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 2)
+                .select("lang", "rn", "doc_id", "n_chars"))
+    e["grouping_top2_per_group"] = (top2_per_lang, """
+SELECT lang, rn, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 2""")
+
+    def collapse(spark, sf):
+        docs = _t(spark, sf, "documents")
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        best = (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+        expand = docs.groupBy("source").agg(F.count("*").alias("group_size"))
+        return (best.join(F.broadcast(expand), "source")
+                .select("source", "doc_id", "n_chars", "group_size"))
+    e["collapse_expand_by_source"] = (collapse, """
+WITH best AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents),
+sizes AS (SELECT source, count(*)::BIGINT AS group_size
+          FROM documents GROUP BY source)
+SELECT b.source, b.doc_id, b.n_chars, s.group_size
+FROM best b JOIN sizes s ON b.source = s.source WHERE b.rn = 1""")
+
+    return e
+
+
+def _termdict_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Multi-term query rewrites (SURVEY.md §2.4): prefix / wildcard /
+    regexp / fuzzy expand against the index's term dictionary, then the
+    matched term set resolves to a constant-score doc set from the
+    postings (MultiTermQuery CONSTANT_SCORE_REWRITE)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparklucene.codec import decode_doc_ids, decode_tfs
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def _docs_for_terms(idx: Index, term_pred) -> DataFrame:
+        """Expand term predicate on the dictionary -> distinct doc ids."""
+        matched = idx.postings().filter(term_pred)
+
+        def decode(batches):
+            for pdf in batches:
+                for cell in pdf["doc_bytes"]:
+                    yield pd.DataFrame({"doc_id": decode_doc_ids(bytes(cell))})
+
+        out = matched.select("doc_bytes").mapInPandas(decode, "doc_id long")
+        return out.distinct().orderBy("doc_id")
+
+    def prefix(spark, sf):
+        idx = index_for(spark, sf)
+        return _docs_for_terms(idx, F.col("term").startswith("sc"))
+    e["prefix_query"] = (prefix, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sc%' ORDER BY doc_id""")
+
+    def wildcard(spark, sf):
+        idx = index_for(spark, sf)
+        return _docs_for_terms(idx, F.col("term").like("%ow"))
+    e["wildcard_query"] = (wildcard, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%ow' ORDER BY doc_id""")
+
+    def regexp(spark, sf):
+        idx = index_for(spark, sf)
+        return _docs_for_terms(idx, F.col("term").rlike("^f.*t$"))
+    e["regexp_query"] = (regexp, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '^f.*t$')
+ORDER BY doc_id""")
+
+    def fuzzy(spark, sf):
+        idx = index_for(spark, sf)
+        return _docs_for_terms(idx, F.levenshtein(F.col("term"),
+                                                  F.lit("mergee")) <= 1)
+    e["fuzzy_query"] = (fuzzy, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'mergee') <= 1
+ORDER BY doc_id""")
+
+    def termfreq(spark, sf):
+        """termfreq() relevance ValueSource: per-doc tf of one term."""
+        idx = index_for(spark, sf)
+        matched = idx.postings().filter(F.col("term") == "spark")
+
+        def decode(batches):
+            for pdf in batches:
+                for db, tb in zip(pdf["doc_bytes"], pdf["tf_bytes"]):
+                    yield pd.DataFrame({
+                        "doc_id": decode_doc_ids(bytes(db)),
+                        "tf": decode_tfs(bytes(tb)).astype(np.int64)})
+
+        return (matched.select("doc_bytes", "tf_bytes")
+                .mapInPandas(decode, "doc_id long, tf long")
+                .orderBy("doc_id"))
+    e["function_termfreq"] = (termfreq, f"""WITH {corpus_ctes()}
+SELECT doc_id, tf FROM tf WHERE term = 'spark' ORDER BY doc_id""")
+
+    def range_q(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (docs.filter(F.col("n_chars").between(500, 1500))
+                .select("doc_id").orderBy("doc_id"))
+    e["numeric_range_query"] = (range_q, """
+SELECT doc_id FROM documents WHERE n_chars BETWEEN 500 AND 1500
+ORDER BY doc_id""")
+
+    def in_set(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (docs.filter(F.col("lang").isin("en", "de"))
+                .select("doc_id", "lang").orderBy("doc_id"))
+    e["term_in_set_query"] = (in_set, """
+SELECT doc_id, lang FROM documents WHERE lang IN ('en', 'de')
+ORDER BY doc_id""")
+
+    return e
+
+
+def _scalar_fn_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Scalar function library (SURVEY.md §2.11): math / date / string
+    ValueSource equivalents, all Catalyst builtins."""
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def math_fns(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 400)
+        return li.select(
+            "l_orderkey", "l_linenumber",
+            F.abs(F.col("l_quantity") - 25.0).alias("abs_dev"),
+            F.ceil("l_extendedprice").cast("long").alias("ceil_price"),
+            F.floor("l_discount").cast("long").alias("floor_disc"),
+            F.sqrt("l_extendedprice").alias("sqrt_price"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+            F.pmod(F.col("l_partkey"), F.lit(97)).alias("mod97"),
+        ).orderBy("l_orderkey", "l_linenumber")
+    e["function_math"] = (math_fns, """
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25.0) AS abs_dev,
+       ceil(l_extendedprice)::BIGINT AS ceil_price,
+       floor(l_discount)::BIGINT AS floor_disc,
+       sqrt(l_extendedprice) AS sqrt_price,
+       greatest(l_tax, l_discount) AS max_rate,
+       least(l_tax, l_discount) AS min_rate,
+       l_partkey % 97 AS mod97
+FROM lineitem WHERE l_orderkey <= 400
+ORDER BY l_orderkey, l_linenumber""")
+
+    def date_fns(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return (orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(F.count("*").alias("n"),
+                 F.min("o_orderdate").alias("first_order"),
+                 F.max("o_orderdate").alias("last_order"))
+            .withColumn("month_num", F.month(F.col("month")).cast("long"))
+            .withColumn("year_num", F.year(F.col("month")).cast("long"))
+            .orderBy("month"))
+    e["function_date_math"] = (date_fns, """
+SELECT date_trunc('month', o_orderdate) AS month, count(*)::BIGINT AS n,
+       min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+       month(date_trunc('month', o_orderdate))::BIGINT AS month_num,
+       year(date_trunc('month', o_orderdate))::BIGINT AS year_num
+FROM orders GROUP BY 1 ORDER BY month""")
+
+    def string_fns(spark, sf):
+        cust = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 200)
+        return cust.select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("c_name")).alias("tagged"),
+            F.upper("c_name").alias("uname"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.substring("c_name", 1, 10).alias("name_prefix"),
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000001"))
+             .cast("long").alias("lev"),
+        ).orderBy("c_custkey")
+    e["function_string"] = (string_fns, """
+SELECT c_custkey,
+       concat(c_mktsegment, '/', c_name) AS tagged,
+       upper(c_name) AS uname,
+       length(c_name)::BIGINT AS name_len,
+       substring(c_name, 1, 10) AS name_prefix,
+       levenshtein(c_name, 'Customer#000000001')::BIGINT AS lev
+FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")
+
+    return e
+
+
+TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB list expression: distinct token n-gram shingles of ``toks``."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len(toks) - {n - 1}, 0) + 1), i -> {parts}))")
+
+
+def _textops_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Text-analysis pipeline ops (token stats, quality, language ID,
+    fingerprint) — sparklucene.textops, all JVM-codegen expressions."""
+    from sparklucene import textops
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    e["text_token_stats"] = (
+        lambda spark, sf: textops.token_stats(_t(spark, sf, "documents")),
+        f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
+       len({TOKS_SQL})::BIGINT AS n_tokens,
+       len(list_distinct({TOKS_SQL}))::BIGINT AS n_terms,
+       coalesce(list_sum(list_transform({TOKS_SQL},
+                t -> ceil(length(t) / 4)::BIGINT)), 0)::BIGINT AS n_subwords
+FROM documents""")
+
+    stop_list = "[" + ", ".join(
+        f"'{w}'" for w in sorted(textops.ENGLISH_STOP_WORDS)) + "]"
+    e["text_quality_score"] = (
+        lambda spark, sf: textops.quality_score(_t(spark, sf, "documents")),
+        f"""
+WITH base AS (
+  SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_intersect(toks, {stop_list}))::BIGINT AS n_stop_terms,
+       coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0)::BIGINT
+           AS n_token_chars,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha_chars,
+       length(text)::BIGINT AS n_chars_text,
+       len(list_intersect(toks, {stop_list}))
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0)
+           / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+FROM base""")
+
+    marker_cols = ",\n       ".join(
+        "len(list_intersect(list_distinct(toks), ["
+        + ", ".join(f"'{w}'" for w in ws) + f"]))::BIGINT AS score_{lg}"
+        for lg, ws in sorted(textops.LANG_MARKERS.items()))
+    langs = sorted(textops.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    e["text_language_id"] = (
+        lambda spark, sf: textops.language_id(_t(spark, sf, "documents")),
+        f"""
+WITH base AS (
+  SELECT doc_id, lang AS labeled_lang, {TOKS_SQL} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, labeled_lang,
+       {marker_cols}
+  FROM base)
+SELECT doc_id, labeled_lang, {', '.join('score_' + lg for lg in langs)},
+       {case} AS pred_lang
+FROM scored""")
+
+    e["text_fingerprint"] = (
+        lambda spark, sf: textops.fingerprint(_t(spark, sf, "documents")),
+        f"""
+WITH base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(4)} AS shingles FROM base)
+SELECT doc_id, len(shingles)::BIGINT AS n_shingles,
+       (coalesce(list_sum(list_transform(shingles,
+           s -> {H60.format(x='s')} % 2305843009213693951)), 0)
+        % 2305843009213693951)::BIGINT AS fingerprint
+FROM sh""")
+
+    return e
+
+
+def _dedup_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Dedup stack (sparklucene.dedup): exact sha groups, MinHash
+    signatures, banded-LSH candidates, SimHash + Hamming pairs, blocked
+    n-gram Jaccard."""
+    from sparklucene import dedup
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    e["dedup_exact_groups"] = (
+        lambda spark, sf: dedup.exact_dup_groups(_t(spark, sf, "documents")),
+        """
+SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1""")
+
+    sig_cols = ",\n       ".join(
+        f"min(({a} * h30 + {b}) % {dedup.LSH_PRIME})::BIGINT AS sig{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS))
+    minhash_ctes = f"""
+base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS s FROM base),
+hh AS (SELECT doc_id, {H60.format(x='s')} % {dedup.HASH30_MOD} AS h30 FROM sh),
+sigs AS (
+  SELECT doc_id,
+       {sig_cols}
+  FROM hh GROUP BY doc_id)"""
+    e["dedup_minhash_signatures"] = (
+        lambda spark, sf: dedup.minhash_signatures(_t(spark, sf, "documents")),
+        f"WITH {minhash_ctes}\nSELECT * FROM sigs")
+
+    n_bands = len(dedup.MINHASH_COEFFS) // 2
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat_ws('_', sig{2 * b}, sig{2 * b + 1}) AS band_key FROM sigs"
+        for b in range(n_bands))
+    e["dedup_lsh_candidates"] = (
+        lambda spark, sf: dedup.lsh_candidate_pairs(_t(spark, sf, "documents")),
+        f"""WITH {minhash_ctes},
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id""")
+
+    simhash_ctes = f"""
+base AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM base GROUP BY 1, 2),
+hh AS (SELECT doc_id, tf, {H60.format(x='term')} AS h FROM tf),
+bitsum AS (
+  SELECT doc_id, b, sum(tf * (((h >> b) & 1) * 2 - 1))::BIGINT AS s
+  FROM hh, range(0, 32) r(b) GROUP BY doc_id, b),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+  FROM bitsum GROUP BY doc_id)"""
+    e["dedup_simhash"] = (
+        lambda spark, sf: dedup.simhash(_t(spark, sf, "documents")),
+        f"WITH {simhash_ctes}\nSELECT * FROM sim")
+
+    e["dedup_simhash_pairs"] = (
+        lambda spark, sf: dedup.simhash_pairs(_t(spark, sf, "documents")),
+        f"""WITH {simhash_ctes},
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk_id,
+         (simhash >> (c * 8)) & 255 AS chunk_val
+  FROM sim, range(0, 4) r(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""")
+
+    e["dedup_ngram_jaccard"] = (
+        lambda spark, sf: dedup.ngram_jaccard_pairs(_t(spark, sf, "documents")),
+        f"""
+WITH base AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, source, unnest({_shingles_sql(3)}) AS s FROM base),
+hh AS (SELECT doc_id, source, {H60.format(x='s')} AS h FROM sh),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM hh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM hh a JOIN hh b
+    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter,
+       (sa.n_sh + sb.n_sh - n_inter)::BIGINT AS n_union,
+       n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b""")
+
+    return e
+
+
+def _similarity_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Embedding similarity search (sparklucene.similarity): exact
+    brute-force cosine top-k + hyperplane-LSH bucketed ANN, both on the
+    1/4096 integer grid for bit-exact cross-engine parity."""
+    from sparklucene import similarity as sim
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    QIDS = [0, 1, 2]
+    qids_sql = ", ".join(str(q) for q in QIDS)
+    quant_ctes = """
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 4096 + 0.5)::BIGINT) AS q
+  FROM embeddings),
+nv AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2
+  FROM qv)"""
+
+    e["ann_cosine_topk_exact"] = (
+        lambda spark, sf: sim.cosine_topk(_t(spark, sf, "embeddings"), QIDS, k=5),
+        f"""WITH {quant_ctes},
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         a.norm2 AS qn, b.norm2 AS bn
+  FROM nv a JOIN nv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN ({qids_sql})),
+scored AS (
+  SELECT qid, vec_id,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+  FROM pairs),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5""")
+
+    # deterministic hyperplanes, mirrored literally in SQL
+    planes = [[sim._plane_coeff(i, j) for j in range(64)] for i in range(8)]
+    proj_terms = []
+    for i, coeffs in enumerate(planes):
+        arr = "[" + ", ".join(str(c) for c in coeffs) + "]"
+        proj_terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip({arr}, q), "
+            f"z -> z[1] * z[2])) > 0 THEN {1 << i} ELSE 0 END")
+    bucket_sql = "(" + " + ".join(proj_terms) + ")::BIGINT"
+
+    e["ann_lsh_bucketed_topk"] = (
+        lambda spark, sf: sim.lsh_cosine_topk(_t(spark, sf, "embeddings"), QIDS, k=5),
+        f"""WITH {quant_ctes},
+bk AS (SELECT vec_id, q, norm2, {bucket_sql} AS bucket FROM nv),
+cand AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id, b.bucket AS bucket,
+         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         a.norm2 AS qn, b.norm2 AS bn
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+  WHERE a.vec_id IN ({qids_sql})),
+scored AS (
+  SELECT qid, vec_id, bucket,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT qid, vec_id, bucket, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
+
+    return e
+
+
+def _multimodal_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Multimodal binary-payload plumbing (sparklucene.multimodal):
+    Arrow-batched mapInPandas feature extraction over opaque bytes."""
+    from sparklucene import multimodal as mm
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def features(spark, sf):
+        return mm.extract_features(mm.attach_payload(_t(spark, sf, "documents")))
+    e["multimodal_payload_features"] = (features, """
+SELECT doc_id, 'text' AS modality,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       sha256(text) AS payload_sha,
+       substring(text, 1, 8) AS head
+FROM documents""")
+
+    return e
+
+
 # ---------------------------------------------------------------------------
 # public registry assembly
 # ---------------------------------------------------------------------------
@@ -345,6 +991,14 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_search_entries())
     e.update(_index_stat_entries())
     e.update(_facet_entries())
+    e.update(_stream_entries())
+    e.update(_window_entries())
+    e.update(_termdict_entries())
+    e.update(_scalar_fn_entries())
+    e.update(_textops_entries())
+    e.update(_dedup_entries())
+    e.update(_similarity_entries())
+    e.update(_multimodal_entries())
     return e
 
 

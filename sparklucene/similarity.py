@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns — brute-force + LSH-bucketed.
+
+Operators for an ``embeddings(vec_id, embedding array<float>, label)``
+table:
+
+  * ``cosine_topk`` — exact brute-force cosine top-k: the correctness
+    baseline. The scale story is Catalyst-shaped: the query set is tiny
+    and broadcast; per (query, candidate) scoring is a JVM-codegen'd
+    ``zip_with``/``aggregate`` fold (no Python); top-k per query is a
+    window row_number (per-partition heap + small shuffle).
+  * ``hyperplane_buckets`` / ``lsh_cosine_topk`` — random-hyperplane LSH
+    (Charikar): sign bits of projections onto fixed hyperplanes bucket the
+    vectors; search touches only the query's bucket — the 100 TB path
+    (bucket count scales with corpus, bucket join is an equi-join).
+
+Determinism/parity contract: vectors are first quantized to the 1/4096
+grid (``floor(x*4096 + 0.5)`` as int64). All dot products and norms are
+then EXACT integer arithmetic — associativity-proof, so a SQL oracle in
+any engine reproduces cosine scores bit-for-bit (final cosine is a single
+double expression over exact ints). Hyperplanes use small integer
+coefficients ((i*31 + j*17) mod 13 - 6) — deterministic, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 4096
+
+
+def quantize(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """embedding array<float> -> q array<bigint> on the 1/4096 grid."""
+    q = F.transform(F.col(col),
+                    lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("long"))
+    return df.withColumn("q", q).withColumn(
+        "norm2", F.aggregate("q", F.lit(0).cast("long"),
+                             lambda acc, x: acc + x * x))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                ) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    Returns (qid, rank, vec_id, cosine) — cosine computed from exact
+    integer dot/norms in one double expression.
+    """
+    base = quantize(embeddings).select("vec_id", "q", "norm2")
+    queries = (base.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                       F.col("norm2").alias("qnorm2")))
+    pairs = base.crossJoin(F.broadcast(queries)) \
+        .filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = pairs.select(
+        "qid", "vec_id",
+        (dot / (F.sqrt(F.col("qnorm2").cast("double"))
+                * F.sqrt(F.col("norm2").cast("double")))).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "cosine"))
+
+
+def _plane_coeff(i: int, j: int) -> int:
+    return (i * 31 + j * 17) % 13 - 6
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
+                       dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: bit i = sign of the
+    (exact, integer) projection onto deterministic plane i."""
+    base = quantize(embeddings)
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(_plane_coeff(i, j)) for j in range(dim)])
+        proj = F.aggregate(F.zip_with(plane, F.col("q"), lambda a, b: a * b),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return base.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                    n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """ANN top-k restricted to the query's hyperplane bucket (the recall/
+    cost dial is n_planes; multi-probe = drop bits, not implemented here).
+    """
+    bucketed = hyperplane_buckets(embeddings, n_planes, dim) \
+        .select("vec_id", "q", "norm2", "bucket")
+    queries = (bucketed.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                       F.col("norm2").alias("qnorm2"),
+                       F.col("bucket").alias("qbucket")))
+    cand = bucketed.join(F.broadcast(queries),
+                         (F.col("bucket") == F.col("qbucket"))
+                         & (F.col("vec_id") != F.col("qid")))
+    dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = cand.select(
+        "qid", "vec_id", "bucket",
+        (dot / (F.sqrt(F.col("qnorm2").cast("double"))
+                * F.sqrt(F.col("norm2").cast("double")))).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "bucket", "cosine"))

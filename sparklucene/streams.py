@@ -1,0 +1,106 @@
+"""Streaming-expression algebra — Solr's dataflow operators on DataFrames.
+
+The reference exposes a relational dataflow language over sorted tuple
+streams (public knowledge of solr/solrj/.../io/stream/*: SelectStream,
+SortStream, RankStream, UniqueStream, MergeStream, HashJoinStream,
+InnerJoinStream, IntersectStream, ComplementStream, RollupStream,
+StatsStream, FetchStream, ParallelStream — SURVEY.md §2.9). Each maps to a
+Catalyst-native DataFrame transformation; this module pins that mapping as
+a concrete, documented API so a reference user can port expressions 1:1.
+
+Scale notes per operator:
+  * hash_join broadcasts the small side explicitly (Solr's HashJoinStream
+    materializes the hashed stream in memory — broadcast is the cluster
+    equivalent); inner_join leaves Catalyst free to pick sort-merge, which
+    is what InnerJoinStream's sorted-stream merge becomes at scale.
+  * parallel(n, keys) is Solr's explicit hash re-partition; Spark's shuffle
+    is the managed version of the same thing.
+  * rollup/stats become partial+final hash aggregation (Catalyst) — the
+    distributed-merge logic Solr implements by hand in FacetModule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def select_stream(df: DataFrame, mapping: dict[str, Column | str]) -> DataFrame:
+    """SelectStream: projection + rename + per-tuple evaluators."""
+    cols = [(F.col(v) if isinstance(v, str) else v).alias(k)
+            for k, v in mapping.items()]
+    return df.select(*cols)
+
+
+def sort_stream(df: DataFrame, *order: Column | str) -> DataFrame:
+    """SortStream: full re-sort of the stream."""
+    return df.orderBy(*order)
+
+
+def rank_stream(df: DataFrame, k: int, *order: Column | str) -> DataFrame:
+    """RankStream (``top``): top-k by comparator — orderBy + limit lets
+    Spark run per-partition top-k with a tiny final merge (TopDocs.merge
+    shape), never a full sort at scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def unique_stream(df: DataFrame, cols: list[str]) -> DataFrame:
+    """UniqueStream: dedup on key (Solr assumes sorted input; Spark's
+    dropDuplicates is the shuffle-based generalization)."""
+    return df.dropDuplicates(cols)
+
+
+def merge_stream(a: DataFrame, b: DataFrame, *order: Column | str) -> DataFrame:
+    """MergeStream: k-way merge of sorted streams == union + re-sort
+    (the merge-vs-sort distinction is a single-node optimization detail;
+    Catalyst's sort on unioned sorted runs is near-linear)."""
+    return a.unionByName(b).orderBy(*order)
+
+
+def hash_join(left: DataFrame, right: DataFrame, on: list[str],
+              how: str = "inner") -> DataFrame:
+    """HashJoinStream / OuterHashJoinStream: right side is hashed in
+    memory -> broadcast hash join."""
+    return left.join(F.broadcast(right), on=on, how=how)
+
+
+def inner_join(left: DataFrame, right: DataFrame, on: list[str],
+               how: str = "inner") -> DataFrame:
+    """InnerJoinStream / LeftOuterJoinStream: sort-merge join on sorted
+    streams — hint Catalyst to SortMergeJoin (its distributed form)."""
+    return left.hint("merge").join(right, on=on, how=how)
+
+
+def intersect_stream(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """IntersectStream: keep left tuples whose key appears in right
+    (semi-join semantics, non-duplicating)."""
+    return left.join(right.select(*on), on=on, how="left_semi")
+
+
+def complement_stream(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """ComplementStream: keep left tuples whose key does NOT appear in
+    right (anti-join)."""
+    return left.join(right.select(*on), on=on, how="left_anti")
+
+
+def rollup_stream(df: DataFrame, over: list[str], metrics: list[Column]) -> DataFrame:
+    """RollupStream: grouped metrics over the sort key — partial+final agg."""
+    return df.groupBy(*over).agg(*metrics)
+
+
+def stats_stream(df: DataFrame, metrics: list[Column]) -> DataFrame:
+    """StatsStream: global aggregates."""
+    return df.agg(*metrics)
+
+
+def fetch_stream(df: DataFrame, lookup: DataFrame, on: list[str],
+                 fields: list[str]) -> DataFrame:
+    """FetchStream: batched enrichment by key — broadcast left join pulling
+    ``fields`` from the lookup table."""
+    return df.join(F.broadcast(lookup.select(*on, *fields)), on=on, how="left")
+
+
+def parallel_stream(df: DataFrame, n: int, *keys: str) -> DataFrame:
+    """ParallelStream: explicit hash re-partition of the dataflow across n
+    workers — Spark's repartition(n, keys) IS this operator, managed."""
+    return df.repartition(n, *[F.col(k) for k in keys])

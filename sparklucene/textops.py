@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is Catalyst-builtin expressions (JVM codegen, no Python in
+the hot path): token statistics, quality scoring, n-gram language ID, and
+shingle-based document fingerprinting over the ``documents`` corpus shape
+(doc_id, text, lang, source, n_chars).
+
+Determinism/parity: every derived number is integer arithmetic or a single
+double division/expression, so a SQL oracle reproduces values bit-exactly.
+At cluster scale all operators are narrow (per-row) transformations — no
+shuffle — except fingerprint/groupBy variants, which partial-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparklucene.analysis import ENGLISH_STOP_WORDS
+
+TOKEN_EXPR = "regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"
+WS_TOKEN_EXPR = r"regexp_extract_all(text, '\\S+', 0)"
+
+#: tiny per-language stopword marker profiles (public-knowledge function
+#: words); deterministic argmax -> n-gram-free heuristic language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "es", "y"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+
+def _hash60(col: Column) -> Column:
+    """Deterministic 60-bit positive hash of a string, reproducible in
+    DuckDB as ``('0x' || substring(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, analyzer tokens,
+    distinct analyzer terms, and a BPE-ish subword proxy count
+    (4-char pieces, ceil(len/4) per token)."""
+    toks = F.expr(TOKEN_EXPR)
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(WS_TOKEN_EXPR)).cast("long").alias("n_ws_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_terms"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("long")
+                    ).alias("n_subwords"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic doc-quality components + a single combined score:
+    stopword ratio (too low = non-language, too high = boilerplate),
+    mean token length, alpha ratio. Mirrors common pretraining-data
+    quality filters (length/punct/stopword heuristics)."""
+    toks = F.expr(TOKEN_EXPR)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("long")  # distinct-stop
+    n_chars_tok = F.aggregate(toks, F.lit(0).cast("long"),
+                              lambda a, t: a + F.length(t).cast("long"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long")
+    out = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop_terms"),
+        n_chars_tok.alias("n_token_chars"), alpha_chars.alias("n_alpha_chars"),
+        F.length("text").cast("long").alias("n_chars_text"),
+    )
+    return out.select(
+        "*",
+        (F.col("n_stop_terms") / F.col("n_tokens").cast("double")).alias("stop_ratio"),
+        (F.col("n_token_chars") / F.col("n_tokens").cast("double")).alias("mean_token_len"),
+        (F.col("n_alpha_chars") / F.col("n_chars_text").cast("double")).alias("alpha_ratio"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: count hits of each language's function-word
+    profile among the doc's tokens; argmax with (count desc, lang asc)
+    tie-break. Pure conditional aggregation — no UDF, no shuffle beyond
+    the per-doc explode-free array ops."""
+    toks = F.expr(TOKEN_EXPR)
+    scores = [
+        F.size(F.array_intersect(F.array_distinct(toks),
+                                 F.array(*[F.lit(w) for w in ws])))
+        .cast("long").alias(f"score_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *scores)
+    # argmax over the fixed language set: greatest + chained when
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # earlier langs win ties -> build backwards
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select("doc_id", "labeled_lang", *[f"score_{lg}" for lg in langs],
+                         pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, shingle: int = 4) -> DataFrame:
+    """Order-insensitive document fingerprint: sum of 60-bit hashes of
+    distinct token ``shingle``-grams, mod 2^61-1 — a content sketch stable
+    under token reordering-free edits, used for near-dup triage."""
+    toks = F.expr(TOKEN_EXPR)
+    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle - 1), F.lit(0)))
+    shingles = F.array_distinct(F.transform(
+        idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                           for j in range(shingle)])))
+    h = F.aggregate(
+        shingles, F.lit(0).cast("long"),
+        lambda acc, s: (acc + F.pmod(_hash60(s), F.lit(2305843009213693951)))
+        % 2305843009213693951)
+    return docs.select("doc_id", F.size(shingles).cast("long").alias("n_shingles"),
+                       h.alias("fingerprint"))

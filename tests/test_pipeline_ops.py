@@ -1,0 +1,128 @@
+"""Property tests for the training-data pipeline operators
+(dedup / similarity / textops / multimodal) beyond the SQL-oracle parity
+already covered by test_driver_contract.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_lsh_candidates_superset_of_exact_dups(spark, docs):
+    """Identical texts agree on every MinHash band -> any exact-dup pair
+    must appear among LSH candidates."""
+    from sparklucene.dedup import exact_dup_groups, lsh_candidate_pairs
+
+    dup_groups = exact_dup_groups(docs).collect()
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    sha_rows = docs.selectExpr("doc_id", "sha2(text, 256) AS sha").collect()
+    by_sha: dict[str, list[int]] = {}
+    for r in sha_rows:
+        by_sha.setdefault(r["sha"], []).append(r["doc_id"])
+    n_dup_pairs = 0
+    for ids in by_sha.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                n_dup_pairs += 1
+                assert (ids[i], ids[j]) in cands
+    # sanity: the fixture either has dups (then we asserted) or not
+    assert n_dup_pairs >= len(dup_groups)
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    from sparklucene.dedup import simhash
+
+    pdf = [(0, "spark merge join fast table"), (1, "spark merge join fast table"),
+           (2, "completely different words entirely")]
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+
+
+def test_jaccard_bounds_and_symmetric_inputs(spark, docs):
+    from sparklucene.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, min_jaccard=0.2).collect()
+    for r in out:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_inter"] <= r["n_union"]
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    """Spark exact cosine top-k == numpy brute force on quantized grid."""
+    from sparklucene.similarity import QUANT, cosine_topk
+
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                   * QUANT + 0.5).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    out = cosine_topk(embeddings, [0], k=5).orderBy("rank").collect()
+    q = mat[ids == 0][0]
+    dots = mat @ q
+    cos = dots / (np.sqrt((mat * mat).sum(1)) * np.sqrt((q * q).sum()))
+    cos[ids == 0] = -np.inf
+    order = np.lexsort((ids, -cos))[:5]
+    assert [r["vec_id"] for r in out] == [int(ids[i]) for i in order]
+    for r, i in zip(out, order):
+        assert r["cosine"] == pytest.approx(cos[i], rel=0, abs=0)
+
+
+def test_lsh_ann_subset_of_bucket(spark, embeddings):
+    from sparklucene.similarity import hyperplane_buckets, lsh_cosine_topk
+
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in hyperplane_buckets(embeddings).select("vec_id", "bucket").collect()}
+    out = lsh_cosine_topk(embeddings, [0, 1], k=5).collect()
+    for r in out:
+        assert buckets[r["vec_id"]] == buckets[r["qid"]]
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    import hashlib
+
+    from sparklucene.multimodal import attach_payload, extract_features
+
+    out = extract_features(attach_payload(docs)).orderBy("doc_id").limit(5).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.orderBy("doc_id").limit(5).collect()}
+    for r in out:
+        raw = src[r["doc_id"]].encode()
+        assert r["byte_len"] == len(raw)
+        assert r["payload_sha"] == hashlib.sha256(raw).hexdigest()
+
+
+def test_multimodal_decode_stubs_raise(spark, docs):
+    from sparklucene.multimodal import attach_payload, decode_image, sample_frames
+
+    p = attach_payload(docs)
+    with pytest.raises(NotImplementedError):
+        decode_image(p)
+    with pytest.raises(NotImplementedError):
+        sample_frames(p)
+
+
+def test_language_id_marker_determinism(spark):
+    from sparklucene.textops import language_id
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog is here", "en"),
+         (1, "der hund und die katze ist da", "de")],
+        "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "de"
