@@ -67,21 +67,28 @@ def tokenize_series(texts: pd.Series,
 
 def flat_tokens(texts: pd.Series, doc_ids: np.ndarray,
                 stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
-                ) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize a batch and return flat (token, doc_id) parallel arrays.
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch and return flat (token, doc_id, position) arrays.
 
     This is the invert-stage fast path: no per-doc list materialization.
+    Positions are 0-based indexes in the PRE-stop-filter token stream —
+    Lucene's StopFilter position-increment semantics (a removed stopword
+    leaves a gap), so phrase queries see the same adjacency as Lucene.
     """
     lowered = texts.fillna("").str.lower()
     token_lists = lowered.str.findall(TOKEN_RE)
     lengths = token_lists.str.len().to_numpy(dtype=np.int64)
     if lengths.sum() == 0:
-        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
     flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists.to_numpy()])
     docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lengths)
+    # position within each doc's token stream (before stop filtering)
+    ends = np.cumsum(lengths)
+    pos = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - lengths, lengths)
     stop_arr = np.array(sorted(stopwords), dtype=object)
     keep = ~np.isin(flat, stop_arr)
-    return flat[keep], docs[keep]
+    return flat[keep], docs[keep], pos[keep]
 
 
 def make_tokenize_udf(stopwords: frozenset[str] = ENGLISH_STOP_WORDS):

@@ -58,9 +58,21 @@ def score_lucene8(tfs: np.ndarray, norm_bytes: np.ndarray, df: int,
                   doc_count: int, sum_ttf: int, boost: float = 1.0,
                   k1: float = K1, b: float = B, plus1: bool = False) -> np.ndarray:
     """Bit-faithful Lucene 8.x BM25 per-posting scores (float32)."""
+    return score_lucene8_w(idf(df, doc_count), tfs, norm_bytes, doc_count,
+                           sum_ttf, boost, k1, b, plus1)
+
+
+def score_lucene8_w(idf_total: float, tfs: np.ndarray, norm_bytes: np.ndarray,
+                    doc_count: int, sum_ttf: int, boost: float = 1.0,
+                    k1: float = K1, b: float = B, plus1: bool = False
+                    ) -> np.ndarray:
+    """Lucene 8.x scoring with an explicit (double) idf total — PhraseQuery
+    passes the SUM of its slot terms' idfs (BM25Similarity.idfExplain over
+    a TermStatistics[] — public Lucene behavior); tf is then the phrase
+    frequency."""
     avgdl = avgdl_f32(sum_ttf, doc_count)
     cache = norm_cache_f32(avgdl, k1, b)
-    weight = np.float32(np.float32(boost) * np.float32(idf(df, doc_count)))
+    weight = np.float32(np.float32(boost) * np.float32(idf_total))
     if plus1:
         weight = np.float32(weight * np.float32(k1 + 1.0))
     tf64 = np.asarray(tfs, dtype=np.float64)
@@ -78,8 +90,14 @@ def score_f64(tfs: np.ndarray, dlq: np.ndarray, df: int, doc_count: int,
       idf * tf / (tf + k1*(1 - b + b*dlq/avgdl)), avgdl = sum_dl/N.
     Result cast to float32 at the very end.
     """
+    return score_f64_w(boost * idf(df, doc_count), tfs, dlq, doc_count,
+                       sum_dl, k1, b)
+
+
+def score_f64_w(w: float, tfs: np.ndarray, dlq: np.ndarray, doc_count: int,
+                sum_dl: int, k1: float = K1, b: float = B) -> np.ndarray:
+    """float64-parity scoring with explicit weight (phrase: summed idfs)."""
     avgdl = sum_dl / float(doc_count)
-    w = boost * idf(df, doc_count)
     tf64 = np.asarray(tfs, dtype=np.float64)
     d64 = np.asarray(dlq, dtype=np.float64)
     denom = tf64 + k1 * (1.0 - b + b * d64 / avgdl)

@@ -51,12 +51,12 @@ from sparklucene.corpus import with_drange
 from sparklucene.norms import int_to_byte4
 
 #: bump when the on-disk postings layout changes (stale-cache guard)
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 POSTINGS_SCHEMA = (
     "term string, drange int, df_part long, cf_part long, doc_bytes binary, "
-    "tf_bytes binary, norm_bytes binary, block_last array<long>, "
-    "block_max_tf array<int>, block_min_norm binary"
+    "tf_bytes binary, norm_bytes binary, pos_bytes binary, "
+    "block_last array<long>, block_max_tf array<int>, block_min_norm binary"
 )
 DOCMETA_SCHEMA = "drange int, doc_id long, dl long, norm int"
 MANIFEST_SCHEMA = ("drange int, status string, n_docs long, n_terms long, "
@@ -92,20 +92,22 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
-def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
+def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
+                      store_positions: bool = True) -> tuple[
         pa.Table, pa.Table, dict]:
     """Pure function: corpus rows of one doc range -> (postings, docmeta, manifest)."""
     pdf = pdf.sort_values("doc_id")
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    toks, tdocs = flat_tokens(pdf["content"], doc_ids, stopwords)
+    toks, tdocs, tpos = flat_tokens(pdf["content"], doc_ids, stopwords)
     # doc lengths (post-stop), incl. zero-token docs
     pos_of_doc = np.searchsorted(doc_ids, tdocs)
     dl = np.bincount(pos_of_doc, minlength=doc_ids.size).astype(np.int64)
     norm_bytes = int_to_byte4(dl)
     if toks.size:
         term_codes, uniques = pd.factorize(pd.Series(toks), sort=True)
-        order = np.lexsort((tdocs, term_codes))
+        order = np.lexsort((tpos, tdocs, term_codes))
         tc, dc = term_codes[order], tdocs[order]
+        sorted_pos = tpos[order]
         # run-length collapse of (term, doc) -> tf
         change = np.empty(tc.size, dtype=bool)
         change[0] = True
@@ -121,7 +123,8 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
         tchange[0] = True
         tchange[1:] = p_terms[1:] != p_terms[:-1]
         tstarts = np.concatenate((np.flatnonzero(tchange), [p_terms.size]))
-        cells = encode_postings_batch(tstarts, p_docs, tfs, p_norms)
+        cells = encode_postings_batch(tstarts, p_docs, tfs, p_norms,
+                                      sorted_pos if store_positions else None)
         terms_out = np.asarray(uniques, dtype=object)[p_terms[tstarts[:-1]]]
         df_part = np.diff(tstarts)
         cf_part = np.add.reduceat(tfs, tstarts[:-1])
@@ -133,6 +136,7 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
             "doc_bytes": pa.array([c.doc_bytes for c in cells], type=pa.binary()),
             "tf_bytes": pa.array([c.tf_bytes for c in cells], type=pa.binary()),
             "norm_bytes": pa.array([c.norm_bytes for c in cells], type=pa.binary()),
+            "pos_bytes": pa.array([c.pos_bytes for c in cells], type=pa.binary()),
             "block_last": pa.array([c.block_last_doc.tolist() for c in cells],
                                    type=pa.list_(pa.int64())),
             "block_max_tf": pa.array([c.block_max_tf.tolist() for c in cells],
@@ -151,6 +155,7 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords) -> tuple[
             "doc_bytes": pa.array([], type=pa.binary()),
             "tf_bytes": pa.array([], type=pa.binary()),
             "norm_bytes": pa.array([], type=pa.binary()),
+            "pos_bytes": pa.array([], type=pa.binary()),
             "block_last": pa.array([], type=pa.list_(pa.int64())),
             "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
             "block_min_norm": pa.array([], type=pa.binary()),
@@ -186,7 +191,8 @@ def _completed_dranges(paths: IndexPaths) -> set[int]:
 
 
 def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
-           stopwords=ENGLISH_STOP_WORDS, resume: bool = True) -> pd.DataFrame:
+           stopwords=ENGLISH_STOP_WORDS, resume: bool = True,
+           store_positions: bool = True) -> pd.DataFrame:
     """Stage A: per-doc-range invert with per-partition checkpoints.
 
     Returns the manifest (one row per range, status built|skipped).
@@ -200,7 +206,7 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
 
     def build_group(key, pdf):
         dr = int(key[0])
-        postings, docmeta, man = _invert_one_range(pdf, dr, stop)
+        postings, docmeta, man = _invert_one_range(pdf, dr, stop, store_positions)
         _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
         _atomic_write(docmeta, os.path.join(partials_dir, f"docmeta-{dr:06d}.parquet"))
         mpath = os.path.join(manifest_dir, f"part-{dr:06d}.json")
@@ -294,7 +300,8 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
 
 def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 drange_size: int | None = None, resume: bool = True,
-                salt: int = 0, stopwords=ENGLISH_STOP_WORDS) -> dict:
+                salt: int = 0, stopwords=ENGLISH_STOP_WORDS,
+                store_positions: bool = True) -> dict:
     """Full build: invert -> merge -> stats. Returns the stats dict."""
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -302,7 +309,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         n = corpus.count()
         par = spark.sparkContext.defaultParallelism
         drange_size = max(64, 1 << int(np.ceil(np.log2(max(1, n / (4 * par))))))
-    manifest = invert(corpus, paths, drange_size, stopwords, resume)
+    manifest = invert(corpus, paths, drange_size, stopwords, resume,
+                      store_positions)
     stats = merge(spark, paths, drange_size, salt=salt)
     stats["n_ranges"] = int(len(manifest))
     stats["n_ranges_skipped"] = int((manifest["status"] == "skipped").sum())

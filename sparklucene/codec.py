@@ -92,10 +92,12 @@ class PostingCell(NamedTuple):
     block_last_doc: np.ndarray  # int64[nblocks] — last docID per 128-block
     block_max_tf: np.ndarray    # int32[nblocks]
     block_min_norm: np.ndarray  # uint8[nblocks] — smallest norm byte (shortest doc)
+    pos_bytes: bytes = b""  # delta+vbyte positions, reset per doc (.pos file)
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
-                    norms: np.ndarray | None = None) -> PostingCell:
+                    norms: np.ndarray | None = None,
+                    positions: np.ndarray | None = None) -> PostingCell:
     """Pack sorted (doc_ids, tfs[, norm bytes]) into a compressed cell.
 
     ``norms`` are the norm bytes aligned with doc_ids, stored raw (1
@@ -125,6 +127,16 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         maxtf[:] = np.maximum.reduceat(t, starts).astype(np.int32)
         # LENGTH_TABLE is monotone in the byte, so min byte == min length
         minnorm[:] = np.minimum.reduceat(nb, starts)
+    pos_bytes = b""
+    if positions is not None:
+        p = np.asarray(positions, dtype=np.uint64)
+        if int(t.sum()) != p.size:
+            raise ValueError("positions length must equal sum(tfs)")
+        seg_starts = np.concatenate(([0], np.cumsum(t)[:-1])).astype(np.int64)
+        gaps = p.copy()
+        gaps[1:] -= p[:-1]
+        gaps[seg_starts] = p[seg_starts]
+        pos_bytes = vbyte_encode(gaps)
     return PostingCell(
         doc_bytes=vbyte_encode(delta_encode(d)),
         tf_bytes=vbyte_encode(t),
@@ -132,6 +144,7 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
         block_last_doc=last,
         block_max_tf=maxtf,
         block_min_norm=minnorm,
+        pos_bytes=pos_bytes,
     )
 
 
@@ -147,11 +160,14 @@ def _vbyte_lengths(values: np.ndarray) -> np.ndarray:
 
 
 def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
-                          norms: np.ndarray) -> list[PostingCell]:
+                          norms: np.ndarray,
+                          positions: np.ndarray | None = None) -> list[PostingCell]:
     """Encode many posting lists in one vectorized pass (invert hot path).
 
     ``starts`` — int64[nterms+1] offsets delimiting each term's slice of
     the flat, per-term-doc-sorted ``docs``/``tfs``/``norms`` arrays.
+    ``positions`` — optional flat position stream sorted by (term, doc,
+    position); its per-(term,doc) segments have lengths ``tfs``.
     All heavy work (gap computation, VByte packing, block-max reduction)
     happens once over the whole partition; per-term work is just slicing.
     """
@@ -174,6 +190,16 @@ def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     tf_buf = np.frombuffer(vbyte_encode(tfs), dtype=np.uint8)
     doc_off = np.concatenate(([0], np.cumsum(_vbyte_lengths(gaps))))
     tf_off = np.concatenate(([0], np.cumsum(_vbyte_lengths(tfs))))
+    pos_buf = pos_off = ptotal = None
+    if positions is not None:
+        p = np.asarray(positions, dtype=np.uint64)
+        # segment starts (one segment per collapsed (term,doc) run)
+        ptotal = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+        pgaps = p.copy()
+        pgaps[1:] -= p[:-1]
+        pgaps[ptotal[:-1]] = p[ptotal[:-1]]
+        pos_buf = np.frombuffer(vbyte_encode(pgaps), dtype=np.uint8)
+        pos_off = np.concatenate(([0], np.cumsum(_vbyte_lengths(pgaps))))
     # global block grid: blocks never cross term boundaries
     lengths = np.diff(starts)
     nblocks = (lengths + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -191,6 +217,10 @@ def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
     cells: list[PostingCell] = []
     for t in range(nterms):
         b0, b1 = blk_cum[t], blk_cum[t + 1]
+        pb = b""
+        if pos_buf is not None:
+            pb = pos_buf[pos_off[ptotal[starts[t]]]:
+                         pos_off[ptotal[starts[t + 1]]]].tobytes()
         cells.append(PostingCell(
             doc_bytes=doc_buf[doc_off[starts[t]]:doc_off[starts[t + 1]]].tobytes(),
             tf_bytes=tf_buf[tf_off[starts[t]]:tf_off[starts[t + 1]]].tobytes(),
@@ -198,6 +228,7 @@ def encode_postings_batch(starts: np.ndarray, docs: np.ndarray, tfs: np.ndarray,
             block_last_doc=blast[b0:b1],
             block_max_tf=bmaxtf[b0:b1],
             block_min_norm=bminnorm[b0:b1],
+            pos_bytes=pb,
         ))
     return cells
 
@@ -208,6 +239,20 @@ def decode_doc_ids(doc_bytes: bytes) -> np.ndarray:
 
 def decode_tfs(tf_bytes: bytes) -> np.ndarray:
     return vbyte_decode(tf_bytes).astype(np.int64)
+
+
+def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Flat absolute positions; per-posting segments of lengths ``tfs``
+    (deltas reset at each posting's first position). Vectorized segmented
+    cumsum — no per-doc Python loop."""
+    gaps = vbyte_decode(pos_bytes).astype(np.int64)
+    if gaps.size == 0:
+        return gaps
+    t = np.asarray(tfs, dtype=np.int64)
+    seg_starts = np.concatenate(([0], np.cumsum(t)[:-1]))
+    cs = np.cumsum(gaps)
+    base = np.repeat(cs[seg_starts] - gaps[seg_starts], t)
+    return cs - base
 
 
 def decode_block(doc_bytes: bytes, tf_bytes: bytes, block_idx: np.ndarray,

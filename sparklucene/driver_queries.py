@@ -33,7 +33,7 @@ from sparklucene.analysis import TOKEN_RE_SQL, stoplist_sql
 from sparklucene.build import FORMAT_VERSION, build_index, load_stats
 from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
-from sparklucene.query import And, Not, Or, Query, Term
+from sparklucene.query import And, Not, Or, Phrase, Query, Term, analyze_phrase
 from sparklucene.search import Index, search
 
 # ---------------------------------------------------------------------------
@@ -113,6 +113,53 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def phrase_ctes_and_score(slots: list[tuple[int, str]]) -> tuple[str, str]:
+    """(extra CTEs, score expression) for an exact PhraseQuery oracle.
+
+    Positional semantics mirror the engine: positions index the PRE-stop
+    token stream, so stopword gaps survive; tf = phrase frequency; weight
+    = sum of slot-term idfs in slot order (PhraseWeight behavior).
+    """
+    off0 = slots[0][0]
+    conds = [f"t0.term = '{slots[0][1]}'"]
+    joins = []
+    for i, (off, term) in enumerate(slots[1:], start=1):
+        joins.append(f"JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id "
+                     f"AND t{i}.pos = t0.pos + {off - off0}")
+        conds.append(f"t{i}.term = '{term}'")
+    ctes = f"""
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+pf AS (
+  SELECT t0.doc_id, count(*)::BIGINT AS tfp
+  FROM tokp t0
+  {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY t0.doc_id
+)"""
+    idf_sum = " + ".join(
+        f"ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5))"
+        for _, t in slots)
+    avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    denom = f"(pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl}))"
+    score = f"CAST((({idf_sum}) * pf.tfp) / {denom} AS REAL)"
+    return ctes, score
+
+
+def phrase_topk_sql(slots: list[tuple[int, str]], k: int = 10) -> str:
+    ctes, score = phrase_ctes_and_score(slots)
+    return f"""WITH {corpus_ctes()},{ctes}
+SELECT pf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # engine plumbing (Spark side)
 # ---------------------------------------------------------------------------
@@ -187,6 +234,37 @@ def _search_entries() -> dict[str, tuple[Callable, str | None]]:
         # AND with an unindexed term -> empty (Lucene null-scorer semantics)
         _bm25(And((Term("spark"), Term("zzz_not_in_corpus"))), k=10),
         bm25_topk_sql(["spark", "zzz_not_in_corpus"], k=10, mode="and"))
+
+    e["bm25_phrase"] = (
+        _bm25(Phrase(((0, "table"), (1, "hash"))), k=10),
+        phrase_topk_sql([(0, "table"), (1, "hash")], k=10))
+
+    # analyzer drops "the" but keeps its position gap (StopFilter
+    # position increments): matches hash <any stopword slot> query
+    gap = analyze_phrase("hash the query")
+    assert isinstance(gap, Phrase) and gap.slots == ((0, "hash"), (2, "query"))
+    e["bm25_phrase_stopword_gap"] = (
+        _bm25(gap, k=10), phrase_topk_sql([(0, "hash"), (2, "query")], k=10))
+
+    # mixed boolean: phrase clause OR term clause, scores summed per doc
+    mixed = Or((Phrase(((0, "merge"), (1, "group"))), Term("vector")))
+    ph_ctes, ph_score = phrase_ctes_and_score([(0, "merge"), (1, "group")])
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count", "g.sum_dl")
+    e["bm25_phrase_or_term"] = (_bm25(mixed, k=10), f"""WITH {corpus_ctes()},{ph_ctes},
+phrase_scores AS (
+  SELECT pf.doc_id, {ph_score} AS s
+  FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g),
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'vector'),
+allscores AS (
+  SELECT * FROM phrase_scores UNION ALL SELECT * FROM term_scores)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM allscores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
 
     return e
 

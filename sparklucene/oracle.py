@@ -14,9 +14,9 @@ import numpy as np
 import pandas as pd
 
 from sparklucene import bm25
-from sparklucene.analysis import ENGLISH_STOP_WORDS, tokenize_series
-from sparklucene.norms import int_to_byte4, quantize_length
-from sparklucene.query import And, MatchNoDocs, Not, Or, Query, Term
+from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens, tokenize_series
+from sparklucene.norms import LENGTH_TABLE, int_to_byte4, quantize_length
+from sparklucene.query import And, MatchNoDocs, Not, Or, Phrase, Query, Term
 
 
 @dataclass
@@ -26,6 +26,7 @@ class OracleIndex:
     norm_bytes: np.ndarray       # uint8
     dlq: np.ndarray              # int64 quantized lengths
     tf: pd.DataFrame             # columns: term, doc_id, tf
+    tp: pd.DataFrame             # columns: term, doc_id, pos (pre-stop gaps)
     doc_count: int               # docs with dl >= 1
     sum_dl: int
 
@@ -51,9 +52,11 @@ def build_oracle_index(docs: pd.DataFrame, text_col: str = "content",
             rows.append(pd.DataFrame({"term": terms, "doc_id": did, "tf": counts}))
     tf = (pd.concat(rows, ignore_index=True) if rows
           else pd.DataFrame({"term": [], "doc_id": [], "tf": []}))
+    ftoks, fdocs, fpos = flat_tokens(docs[text_col], doc_ids, stopwords)
+    tp = pd.DataFrame({"term": ftoks, "doc_id": fdocs, "pos": fpos})
     return OracleIndex(
         doc_ids=doc_ids, dl=lengths, norm_bytes=norm_bytes,
-        dlq=quantize_length(lengths), tf=tf,
+        dlq=quantize_length(lengths), tf=tf, tp=tp,
         doc_count=int((lengths >= 1).sum()), sum_dl=int(lengths.sum()),
     )
 
@@ -74,17 +77,46 @@ def _term_scores(idx: OracleIndex, term: str, mode: str) -> pd.Series:
     return pd.Series(s, index=d)
 
 
+def _phrase_scores(idx: OracleIndex, q: Phrase, mode: str) -> pd.Series:
+    """Naive exact-phrase: intersect per-slot (doc, pos-offset) sets;
+    tf = phrase frequency, idf = sum of slot-term idfs."""
+    keys: set[tuple[int, int]] | None = None
+    for off, t in q.slots:
+        rows = idx.tp[idx.tp["term"] == t]
+        s = {(int(d), int(p) - off) for d, p in zip(rows["doc_id"], rows["pos"])
+             if int(p) >= off}
+        keys = s if keys is None else keys & s
+        if not keys:
+            return pd.Series(dtype=np.float32)
+    freq: dict[int, int] = {}
+    for d, _base in keys:
+        freq[d] = freq.get(d, 0) + 1
+    docs = np.array(sorted(freq), dtype=np.int64)
+    tfs = np.array([freq[d] for d in docs], dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, docs)
+    idf_total = sum(bm25.idf(idx.df_of(t), idx.doc_count) for _, t in q.slots)
+    if mode == "lucene8":
+        s = bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
+                                 idx.doc_count, idx.sum_dl)
+    else:
+        s = bm25.score_f64_w(idf_total, tfs, LENGTH_TABLE[idx.norm_bytes[pos]],
+                             idx.doc_count, idx.sum_dl)
+    return pd.Series(s, index=docs)
+
+
 def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
     """doc_id -> total score (float64 accumulator, sorted-term order)."""
     if isinstance(q, MatchNoDocs):
         return pd.Series(dtype=np.float64)
+    if isinstance(q, Phrase):
+        return _phrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Term):
         return _term_scores(idx, q.term, mode).astype(np.float64)
     if isinstance(q, Not):
         pos = _eval(idx, q.positive, mode)
-        neg_docs: set = set()
-        for t in q.negative.terms():
-            neg_docs.update(_term_scores(idx, t, mode).index)
+        # excluded set by MATCH semantics (a negative phrase excludes only
+        # phrase-matching docs — ReqExclScorer behavior)
+        neg_docs = set(_eval(idx, q.negative, mode).index)
         return pos[~pos.index.isin(sorted(neg_docs))]
     assert isinstance(q, (And, Or))
     parts = [_eval(idx, c, mode) for c in sorted(q.clauses, key=repr)]

@@ -93,6 +93,24 @@ class Not(Query):
         return sorted(set(self.negative.terms()) | set(self.positive.neg_terms()))
 
 
+@dataclass(frozen=True)
+class Phrase(Query):
+    """Exact PhraseQuery: slots of (position offset, term).
+
+    Offsets carry Lucene's StopFilter position-increment gaps: analyzing
+    "fast the key" yields slots ((0, 'fast'), (2, 'key')) — a doc matches
+    when some base position has term_i at base+offset_i for every slot.
+    Scored with tf = phrase frequency and idf = sum of slot-term idfs
+    (PhraseWeight/BM25Similarity public behavior).
+    """
+
+    slots: tuple[tuple[int, str], ...]
+    slop: int = 0  # 0 = exact; sloppy matching is v2+
+
+    def terms(self) -> list[str]:
+        return sorted({t for _, t in self.slots})
+
+
 @dataclass
 class MatchNoDocs(Query):
     _ignored: int = field(default=0)
@@ -104,6 +122,12 @@ class MatchNoDocs(Query):
 def rewrite(q: Query) -> Query:
     """BooleanQuery.rewrite-style simplification (public Lucene behavior)."""
     if isinstance(q, (Term, MatchNoDocs)):
+        return q
+    if isinstance(q, Phrase):
+        if not q.slots:
+            return MatchNoDocs()
+        if len(q.slots) == 1:  # single-term phrase == TermQuery (Lucene rewrite)
+            return Term(q.slots[0][1])
         return q
     if isinstance(q, Not):
         pos = rewrite(q.positive)
@@ -150,6 +174,8 @@ def prune_missing(q: Query, present: set[str]) -> Query:
     """
     if isinstance(q, Term):
         return q if q.term in present else MatchNoDocs()
+    if isinstance(q, Phrase):
+        return q if all(t in present for _, t in q.slots) else MatchNoDocs()
     if isinstance(q, Not):
         return rewrite(Not(prune_missing(q.positive, present),
                            prune_missing(q.negative, present)))
@@ -160,18 +186,45 @@ def prune_missing(q: Query, present: set[str]) -> Query:
     return q
 
 
+def analyze_phrase(text: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
+    """Analyze quoted text into a Phrase with stopword position gaps
+    (QueryParser-through-analyzer behavior)."""
+    import re as _re
+
+    toks = _re.findall(r"[a-z0-9_]+", text.lower())
+    slots = tuple((i, t) for i, t in enumerate(toks) if t not in stopwords)
+    return rewrite(Phrase(slots))
+
+
+_PART_RE = None
+
+
 def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
     """Parse a (small) classic-syntax query string into the AST.
 
     Terms are passed through the same analysis chain as documents
     (lowercase + stop filter); terms that analyze to nothing vanish,
     exactly like Lucene's analyzer-in-the-query-parser behavior.
+    Quoted segments (``"a b"``, ``+"a b"``, ``-"a b"``) become Phrase
+    queries with stop-gap position offsets.
     """
+    import re as _re
+
+    global _PART_RE
+    if _PART_RE is None:
+        _PART_RE = _re.compile(r'([+-]?)"([^"]*)"|(\S+)')
     raw = query.replace(" AND ", " +").replace(" NOT ", " -").replace(" OR ", " ")
     must: list[Query] = []
     should: list[Query] = []
     neg: list[Query] = []
-    for tok in raw.split():
+    for m in _PART_RE.finditer(raw):
+        prefix, quoted, tok = m.groups()
+        if quoted is not None:
+            bucket = {"+": must, "-": neg}.get(prefix, should)
+            ph = analyze_phrase(quoted, stopwords)
+            if not isinstance(ph, MatchNoDocs):
+                bucket.append(ph)
+            continue
         bucket = should
         if tok.startswith("+"):
             bucket, tok = must, tok[1:]

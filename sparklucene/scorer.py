@@ -37,9 +37,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from sparklucene import bm25
-from sparklucene.codec import BLOCK_SIZE, decode_doc_ids, decode_tfs
+from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
+                               decode_tfs)
 from sparklucene.norms import LENGTH_TABLE
-from sparklucene.query import And, MatchNoDocs, Not, Or, Query, Term
+from sparklucene.query import And, MatchNoDocs, Not, Or, Phrase, Query, Term
 
 
 @dataclass
@@ -56,6 +57,7 @@ class RangeCell:
     block_last: np.ndarray
     block_max_tf: np.ndarray
     block_min_norm: np.ndarray
+    pos_bytes: bytes = b""
     _docs: np.ndarray | None = field(default=None, repr=False)
     _tfs: np.ndarray | None = field(default=None, repr=False)
 
@@ -67,6 +69,10 @@ class RangeCell:
 
     def norms(self) -> np.ndarray:
         return np.frombuffer(self.norm_bytes, dtype=np.uint8)
+
+    def positions(self) -> np.ndarray:
+        """Flat absolute positions (segments of lengths tfs)."""
+        return decode_positions(self.pos_bytes, self.decode()[1])
 
 
 @dataclass
@@ -145,8 +151,12 @@ class RangeScorer:
     def topk(self, q: Query, k: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, float32 scores) — partition-local top-k, score desc,
         doc asc."""
-        q, neg_terms = self._split_neg(q)
-        self._neg_mask_docs = self._neg_docs(neg_terms)
+        q, neg_query = self._split_neg(q)
+        self._neg_mask_docs = np.empty(0, np.int64)
+        if neg_query is not None:
+            # evaluate the excluded doc set generically (phrases excluded
+            # by phrase match, not by their terms — ReqExclScorer semantics)
+            self._neg_mask_docs = np.unique(self._clause_scores(neg_query)[0])
         for t in self._pos_terms(q):
             cell = self.cells.get(t)
             if cell is not None:
@@ -155,6 +165,8 @@ class RangeScorer:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         if isinstance(q, Term):
             docs, scores = self._topk_single(q.term, k)
+        elif isinstance(q, Phrase):
+            docs, scores = self._phrase_scores(q)
         elif isinstance(q, And):
             docs, scores = self._eval_and(q)
         elif isinstance(q, Or):
@@ -163,25 +175,13 @@ class RangeScorer:
             raise TypeError(f"unsupported query node {type(q)}")
         return _take_topk(docs, scores, k)
 
-    def _split_neg(self, q: Query) -> tuple[Query, list[str]]:
+    def _split_neg(self, q: Query) -> tuple[Query, Query | None]:
         if isinstance(q, Not):
-            return q.positive, q.negative.terms()
-        return q, []
+            return q.positive, q.negative
+        return q, None
 
     def _pos_terms(self, q: Query) -> list[str]:
         return q.terms() if not isinstance(q, MatchNoDocs) else []
-
-    def _neg_docs(self, neg_terms: list[str]) -> np.ndarray:
-        if not neg_terms:
-            return np.empty(0, np.int64)
-        parts = []
-        for t in neg_terms:
-            cell = self.cells.get(t)
-            if cell is not None:
-                parts.append(cell.decode()[0])
-        if not parts:
-            return np.empty(0, np.int64)
-        return np.unique(np.concatenate(parts))
 
     # ---- single term with block-max pruning ----------------------------
 
@@ -220,9 +220,83 @@ class RangeScorer:
                 theta = np.partition(allsc, allsc.size - k)[allsc.size - k]
         return np.concatenate(out_docs), np.concatenate(out_scores)
 
+    # ---- phrase: positional intersection -------------------------------
+
+    def _phrase_scores(self, q: Phrase) -> tuple[np.ndarray, np.ndarray]:
+        """ExactPhraseMatcher: docs where some base position carries
+        term_i at base+offset_i for every slot; tf = phrase frequency.
+        Vectorized as successive intersections of (doc, base) key sets."""
+        dterms = {t for _, t in q.slots}
+        if any(t not in self.cells for t in dterms):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in dterms:
+            cell = self.cells[t]
+            docs, tfs = cell.decode()
+            if not cell.pos_bytes:
+                raise ValueError(
+                    "phrase query requires an index built with positions "
+                    "(build_index(..., store_positions=True))")
+            decoded[t] = (docs, tfs, cell.positions())
+        # candidate docs: df-ascending intersection (ConjunctionDISI order)
+        by_df = sorted(dterms, key=lambda t: self.stats.term_stats[t].df)
+        cand = decoded[by_df[0]][0]
+        for t in by_df[1:]:
+            cand = cand[np.isin(cand, decoded[t][0], assume_unique=True)]
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            cand = cand[~np.isin(cand, self._neg_mask_docs, assume_unique=True)]
+        if cand.size == 0:
+            return cand, np.empty(0, np.float32)
+        keys = None
+        for off, t in q.slots:
+            docs, tfs, pos = decoded[t]
+            docs_rep = np.repeat(docs, tfs)
+            ok = np.isin(docs_rep, cand, assume_unique=False) & (pos >= off)
+            k = (docs_rep[ok].astype(np.uint64) << np.uint64(32)) \
+                | (pos[ok] - off).astype(np.uint64)
+            keys = k if keys is None else np.intersect1d(keys, k,
+                                                         assume_unique=True)
+            if keys.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        pdocs, pfreq = np.unique((keys >> np.uint64(32)).astype(np.int64),
+                                 return_counts=True)
+        self.metrics.docs_scored += int(pdocs.size)
+        self.metrics.docs_total += int(pdocs.size)
+        # norms for the matching docs, from any slot term's postings
+        t0 = by_df[0]
+        d0, _, _ = decoded[t0]
+        nb = self.cells[t0].norms()[np.searchsorted(d0, pdocs)]
+        idf_total = sum(bm25.idf(self.stats.term_stats[t].df,
+                                 self.stats.doc_count) for _, t in q.slots)
+        if self.mode == "lucene8":
+            s = bm25.score_lucene8_w(idf_total, pfreq, nb,
+                                     self.stats.doc_count, self.stats.sum_dl)
+        else:
+            s = bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
+                                 self.stats.doc_count, self.stats.sum_dl)
+        return pdocs, s
+
+    # ---- generic clause scoring (phrase-aware booleans) -----------------
+
+    def _clause_scores(self, c: Query) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, float32 scores) for one boolean clause of any type."""
+        if isinstance(c, Term):
+            return self._term_scores(c.term)
+        if isinstance(c, Phrase):
+            return self._phrase_scores(c)
+        if isinstance(c, And):
+            return self._eval_and(c)
+        if isinstance(c, Or):
+            return self._eval_or(c, k=np.iinfo(np.int32).max)
+        if isinstance(c, MatchNoDocs):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        raise TypeError(f"unsupported clause {type(c)}")  # pragma: no cover
+
     # ---- AND: df-ascending intersection --------------------------------
 
     def _eval_and(self, q: And) -> tuple[np.ndarray, np.ndarray]:
+        if not all(isinstance(c, Term) for c in q.clauses):
+            return self._and_generic(q)
         terms = sorted({t for c in q.clauses for t in c.terms()})
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -242,9 +316,28 @@ class RangeScorer:
             total += self._score_arrays(t, ttfs[pos], tnorms[pos]).astype(np.float64)
         return docs, total.astype(np.float32)
 
+    def _and_generic(self, q: And) -> tuple[np.ndarray, np.ndarray]:
+        """AND over mixed clause types (phrases, nested booleans):
+        per-clause scores, intersect doc sets, repr-sorted accumulation
+        (the brute-force oracle's order — bit-identical sums)."""
+        parts = [(repr(c), self._clause_scores(c)) for c in q.clauses]
+        docs = None
+        for _, (d, _s) in parts:
+            docs = d if docs is None else docs[np.isin(docs, d,
+                                                       assume_unique=True)]
+            if docs.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        total = np.zeros(docs.size, dtype=np.float64)
+        for _, (d, s) in sorted(parts, key=lambda x: x[0]):
+            idx = np.searchsorted(d, docs)
+            total += s[idx].astype(np.float64)
+        return docs, total.astype(np.float32)
+
     # ---- OR: MAXSCORE ---------------------------------------------------
 
     def _eval_or(self, q: Or, k: int) -> tuple[np.ndarray, np.ndarray]:
+        if not all(isinstance(c, Term) for c in q.clauses):
+            return self._or_generic(q)
         terms = sorted({t for c in q.clauses for t in c.terms()})
         terms = [t for t in terms if t in self.cells]
         if not terms:
@@ -303,6 +396,26 @@ class RangeScorer:
             idx = np.searchsorted(cand, d2)
             np.add.at(total, idx, s2.astype(np.float64))
         return cand, total.astype(np.float32)
+
+    def _or_generic(self, q: Or) -> tuple[np.ndarray, np.ndarray]:
+        """OR over mixed clause types: union with repr-sorted summing and
+        minimumShouldMatch counting (exhaustive — pruning needs term-only
+        clauses)."""
+        parts = [(repr(c), self._clause_scores(c)) for c in q.clauses]
+        nonempty = [(r, ds) for r, ds in parts if ds[0].size]
+        if not nonempty:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs = np.unique(np.concatenate([d for _, (d, _s) in nonempty]))
+        total = np.zeros(docs.size, dtype=np.float64)
+        count = np.zeros(docs.size, dtype=np.int64)
+        for _, (d, s) in sorted(nonempty, key=lambda x: x[0]):
+            idx = np.searchsorted(docs, d)
+            total[idx] += s.astype(np.float64)
+            count[idx] += 1
+        if q.min_should_match > 1:
+            m = count >= q.min_should_match
+            docs, total = docs[m], total[m]
+        return docs, total.astype(np.float32)
 
     def _or_exhaustive(self, terms: list[str], msm: int) -> tuple[np.ndarray, np.ndarray]:
         per_term = {t: self._term_scores(t) for t in terms}

@@ -129,6 +129,7 @@ def search(index: Index, query: str | Query, k: int = 10,
                 block_last=np.asarray(r.block_last, dtype=np.int64),
                 block_max_tf=np.asarray(r.block_max_tf, dtype=np.int32),
                 block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
+                pos_bytes=bytes(r.pos_bytes) if r.pos_bytes is not None else b"",
             )
         scorer = RangeScorer(cells, gstats, mode=mode, prune=prune)
         docs, scores = scorer.topk(q, k)

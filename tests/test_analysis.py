@@ -33,12 +33,19 @@ def test_series_matches_scalar(corpus_pdf):
 def test_flat_tokens_matches(corpus_pdf):
     texts = corpus_pdf["content"].head(100)
     ids = corpus_pdf["doc_id"].head(100).to_numpy()
-    toks, docs = flat_tokens(texts, ids)
+    toks, docs, pos = flat_tokens(texts, ids)
     per_doc = {}
-    for tk, d in zip(toks, docs):
+    per_doc_pos = {}
+    for tk, d, p in zip(toks, docs, pos):
         per_doc.setdefault(d, []).append(tk)
+        per_doc_pos.setdefault(d, []).append(p)
+    import re
     for t, d in zip(texts, ids):
         assert per_doc.get(d, []) == tokenize_text(t)
+        # positions carry stopword gaps: they index the pre-filter stream
+        pre = re.findall(r"[a-z0-9_]+", t.lower())
+        expect = [i for i, tk in enumerate(pre) if tk not in ENGLISH_STOP_WORDS]
+        assert per_doc_pos.get(d, []) == expect
 
 
 def test_duckdb_oracle_parity(corpus_pdf):

@@ -11,7 +11,7 @@ import pytest
 from sparklucene.codec import encode_postings
 from sparklucene.norms import int_to_byte4
 from sparklucene.oracle import build_oracle_index, search_oracle
-from sparklucene.query import And, Not, Or, Term, parse
+from sparklucene.query import And, Not, Or, Phrase, Term, parse
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 
@@ -22,9 +22,12 @@ def _scorer_from_oracle(oidx, mode="lucene8", prune=True):
         d = g["doc_id"].to_numpy(dtype=np.int64)
         t = g["tf"].to_numpy(dtype=np.int64)
         nb = oidx.norm_bytes[np.searchsorted(oidx.doc_ids, d)]
-        c = encode_postings(d, t, nb)
+        tp = oidx.tp[oidx.tp["term"] == term].sort_values(["doc_id", "pos"])
+        pos = tp["pos"].to_numpy(dtype=np.int64)
+        c = encode_postings(d, t, nb, pos)
         cells[term] = RangeCell(c.doc_bytes, c.tf_bytes, c.norm_bytes,
-                                c.block_last_doc, c.block_max_tf, c.block_min_norm)
+                                c.block_last_doc, c.block_max_tf,
+                                c.block_min_norm, c.pos_bytes)
     stats = GlobalStats(
         doc_count=oidx.doc_count, sum_dl=oidx.sum_dl,
         term_stats={t: TermStats(df=int(g), cf=0)
@@ -47,6 +50,13 @@ QUERIES = [
     Not(Or((Term("merge"), Term("join"))), Term("scan")),
     Not(Term("merge"), Term("join")),
     Term("zzz_absent"),
+    Phrase(((0, "merge"), (1, "join"))),
+    Phrase(((0, "table"), (1, "scan"))),
+    Phrase(((0, "fast"), (2, "key"))),           # stopword gap
+    Or((Phrase(((0, "merge"), (1, "join"))), Term("window"))),
+    And((Phrase(((0, "table"), (1, "scan"))), Term("filter"))),
+    Not(Term("merge"), Phrase(((0, "merge"), (1, "join")))),
+    Phrase(((0, "zzz"), (1, "absent"))),
 ]
 
 
