@@ -1042,6 +1042,47 @@ SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
     return e
 
 
+def _streaming_entries() -> dict[str, tuple[Callable, str | None]]:
+    """NRT incremental indexing (sparklucene.streaming): a two-wave
+    Structured Streaming build must yield exactly the term dictionary the
+    oracle computes from the whole corpus — streaming==batch semantics."""
+    import shutil
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def nrt_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.streaming import index_stream_once
+        key = os.path.realpath(sf_dir)
+        tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+        root = os.path.join("/tmp", "sparklucene-nrt", tag)
+        idx_dir = os.path.join(root, "idx")
+        fresh = (os.path.exists(os.path.join(idx_dir, "stats.json"))
+                 and load_stats(idx_dir).get("format") == FORMAT_VERSION)
+        if not fresh:
+            shutil.rmtree(root, ignore_errors=True)
+            src = os.path.join(root, "incoming")
+            corpus = load_corpus(spark, sf_dir)
+            half = corpus.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+            (corpus.filter(F.col("doc_id") <= half)
+             .write.parquet(os.path.join(src, "wave=0")))
+            (corpus.filter(F.col("doc_id") > half)
+             .write.parquet(os.path.join(src, "wave=1")))
+            schema = ("repo string, path string, commit string, lang string, "
+                      "content string, doc_id long")
+            index_stream_once(spark, src + "/*", schema, idx_dir,
+                              drange_size=256,
+                              checkpoint_dir=os.path.join(root, "ckpt"))
+        idx = Index(spark, idx_dir)
+        return (idx.termstats()
+                .filter(F.col("term").isin(["spark", "merge", "join", "the"]))
+                .select("term", "df", "cf"))
+    e["streaming_nrt_build_termstats"] = (nrt_termstats, f"""WITH {corpus_ctes()}
+SELECT term, df, cf FROM tstats
+WHERE term IN ('join', 'merge', 'spark', 'the')""")
+
+    return e
+
+
 def _multimodal_entries() -> dict[str, tuple[Callable, str | None]]:
     """Multimodal binary-payload plumbing (sparklucene.multimodal):
     Arrow-batched mapInPandas feature extraction over opaque bytes."""
@@ -1077,6 +1118,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_dedup_entries())
     e.update(_similarity_entries())
     e.update(_multimodal_entries())
+    e.update(_streaming_entries())
     return e
 
 

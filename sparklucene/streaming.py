@@ -1,0 +1,78 @@
+"""Near-real-time incremental indexing — Structured Streaming foreachBatch.
+
+The reference's NRT story (public knowledge: Lucene soft commits /
+DirectoryReader.openIfChanged, Solr CommitTracker + UpdateLog replay,
+TopicStream incremental pull — SURVEY.md §2.12) maps onto Structured
+Streaming:
+
+  micro-batch            == one new index "generation": per-doc-range
+                            posting partials + manifest rows (a segment
+                            flush), written through the same checkpointed
+                            invert path as the batch build
+  commit / visibility    == compact() (the merge/compaction job) publishes
+                            a fresh term-range postings table + stats —
+                            Lucene's commit point / TieredMergePolicy merge
+  UpdateLog / replay     == Spark streaming checkpointDir: exactly-once
+                            per-batch file sink semantics; a crashed batch
+                            re-runs and idempotently overwrites its ranges
+  TopicStream versions   == source offsets tracked by the checkpoint
+
+Constraint carried over from the batch build: incoming docs must carry a
+deterministic, dense ``doc_id`` (dense-rank assignment is a batch-time
+concern; streams append strictly increasing ids, e.g. from the upstream
+log offset), and a doc range should be touched by ONE generation — give
+each micro-batch its own id range (append-only corpora do this naturally).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparklucene.build import IndexPaths, invert, merge
+from sparklucene.corpus import CORPUS_COLS
+
+
+def start_incremental_index(stream: DataFrame, index_dir: str,
+                            drange_size: int, checkpoint_dir: str,
+                            compact_every: int = 1,
+                            trigger: dict[str, Any] | None = None):
+    """Start a streaming query that indexes arriving docs incrementally.
+
+    ``stream`` — a streaming DataFrame with the corpus shape (must include
+    doc_id + content). Every micro-batch flushes segment partials; every
+    ``compact_every`` batches, compaction publishes a fresh searchable
+    postings generation.
+    Returns the StreamingQuery (caller owns awaitTermination/stop).
+    """
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [c for c in CORPUS_COLS if c in batch_df.columns]
+        batch = batch_df.select(*cols)
+        if not batch.take(1):
+            return
+        invert(batch, IndexPaths(index_dir), drange_size, resume=True)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            merge(spark, IndexPaths(index_dir), drange_size)
+
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def index_stream_once(spark: SparkSession, source_dir: str, schema: str,
+                      index_dir: str, drange_size: int,
+                      checkpoint_dir: str) -> None:
+    """Drain a file-source stream with availableNow (TopicStream-style
+    catch-up pull), then compact so readers see one fresh generation."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir))
+    q = start_incremental_index(stream, index_dir, drange_size,
+                                checkpoint_dir, compact_every=0,
+                                trigger={"availableNow": True})
+    q.awaitTermination()
+    merge(spark, IndexPaths(index_dir), drange_size)
