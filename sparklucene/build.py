@@ -169,6 +169,7 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
     })
     sha = hashlib.sha256(doc_ids.tobytes() + dl.tobytes()).hexdigest()[:16]
     manifest = {"drange": int(drange), "n_docs": int(doc_ids.size),
+                "n_docs_live": int((dl >= 1).sum()),
                 "n_terms": int(n_terms), "n_postings": int(n_postings),
                 "sum_dl": int(dl.sum()), "sha": sha, "ts": time.time()}
     return postings, docmeta, manifest
@@ -241,17 +242,20 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     makes the plain groupBy safe, so salting is a belt-and-braces knob
     for pathological single-term skew.
     """
-    partial_files = [os.path.join(paths.partials, f)
-                     for f in sorted(os.listdir(paths.partials))
-                     if f.startswith("postings-")]
-    docmeta_files = [os.path.join(paths.partials, f)
-                     for f in sorted(os.listdir(paths.partials))
-                     if f.startswith("docmeta-")]
-    postings = spark.read.parquet(*partial_files)
-    docmeta = spark.read.parquet(*docmeta_files)
+    postings = (spark.read
+                .option("pathGlobFilter", "postings-*.parquet")
+                .parquet(paths.partials))
 
     if n_term_buckets is None:
-        n_term_buckets = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        # size buckets by DATA VOLUME (~128 MB of packed postings each),
+        # not by core count: bucket count then grows with the corpus and
+        # the job shape is identical at any parallelism (scaling fairness;
+        # at 100 TB this yields thousands of buckets automatically)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(paths.partials, f))
+            for f in os.listdir(paths.partials)
+            if f.startswith("postings-") and f.endswith(".parquet"))
+        n_term_buckets = max(1, -(-total_bytes // (128 << 20)))
 
     # one pass over the partials feeds both the term-range layout write and
     # the stats aggregation (avoids re-reading every partial file)
@@ -276,19 +280,20 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
      .write.mode("overwrite").parquet(paths.termstats))
     postings.unpersist()
 
-    # docmeta partials are already disjoint drange shards sorted by doc_id
-    # (norms travel inside the posting cells, so docmeta is off the query
-    # hot path); compact without a range shuffle
-    (docmeta.coalesce(max(1, n_term_buckets // 4))
-     .write.mode("overwrite").parquet(paths.docmeta))
-
-    g = docmeta.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("dl") >= 1, 1).otherwise(0)).alias("doc_count"),
-        F.sum("dl").alias("sum_dl"),
-    ).collect()[0]
-    stats = {"n_docs": g["n_docs"], "doc_count": g["doc_count"],
-             "sum_dl": g["sum_dl"], "drange_size": drange_size,
+    # global stats come from the per-range manifests (segment metadata) —
+    # no extra pass over the data, exactly like Lucene's SegmentInfos;
+    # docmeta partials stay in place as the (disjoint, sorted) docmeta
+    # table — norms travel inside posting cells so it is off the hot path
+    n_docs = doc_count = sum_dl = 0
+    for f in os.listdir(paths.manifest_dir):
+        if f.endswith(".json"):
+            with open(os.path.join(paths.manifest_dir, f)) as fh:
+                m = json.load(fh)
+            n_docs += m["n_docs"]
+            doc_count += m.get("n_docs_live", m["n_docs"])
+            sum_dl += m["sum_dl"]
+    stats = {"n_docs": n_docs, "doc_count": doc_count,
+             "sum_dl": sum_dl, "drange_size": drange_size,
              "n_term_buckets": n_term_buckets, "format": FORMAT_VERSION,
              "ts": time.time()}
     tmp = paths.stats_json + ".tmp"

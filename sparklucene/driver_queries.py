@@ -33,8 +33,9 @@ from sparklucene.analysis import TOKEN_RE_SQL, stoplist_sql
 from sparklucene.build import FORMAT_VERSION, build_index, load_stats
 from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
-from sparklucene.query import And, Not, Or, Phrase, Query, Term, analyze_phrase
-from sparklucene.search import Index, search
+from sparklucene.query import (And, DisMax, Not, Or, Phrase, Query, Term,
+                               analyze_phrase)
+from sparklucene.search import Index, matches, search, search_after, total_hits
 
 # ---------------------------------------------------------------------------
 # shared corpus analysis CTEs (DuckDB side)
@@ -265,6 +266,86 @@ SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM allscores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10""")
+
+    # DisjunctionMaxQuery: max clause score + tiebreak * rest
+    dismax_terms = ["spark", "merge", "join"]
+    tscore2 = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count", "g.sum_dl")
+    e["bm25_dismax"] = (
+        _bm25(DisMax(tuple(Term(t) for t in dismax_terms), tiebreak=0.3), k=10),
+        f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, CAST({tscore2} AS DOUBLE) AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN {_terms_in(dismax_terms)})
+SELECT doc_id,
+       CAST(CAST(max(s) + 0.3 * (sum(s) - max(s)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # BoostQuery: per-clause boost multiplies the weight (w = boost * idf)
+    idf_e = "ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5))"
+    avgdl_e = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    denom_e = f"(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl_e}))"
+    boosted = (f"CAST(((CASE tf.term WHEN 'spark' THEN 2.5 ELSE 1.0 END "
+               f"* {idf_e}) * tf.tf) / {denom_e} AS REAL)")
+    e["bm25_boosted_or"] = (
+        _bm25(Or((Term("spark", boost=2.5), Term("merge"))), k=10),
+        f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {boosted} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # TotalHitCountCollector: exact hit count, no top-k shortcut
+    def hits(spark, sf):
+        return total_hits(index_for(spark, sf),
+                          Or((Term("vector"), Term("window"))), mode="f64")
+    e["search_total_hits"] = (hits, f"""WITH {corpus_ctes()}
+SELECT count(DISTINCT doc_id)::BIGINT AS total_hits
+FROM tf WHERE term IN ('vector', 'window')""")
+
+    # ExportWriter: complete sorted result set of a conjunction
+    def export(spark, sf):
+        out = matches(index_for(spark, sf), And((Term("hash"), Term("vector"))),
+                      mode="f64")
+        return out.orderBy(F.desc("score"), F.asc("doc_id"))
+    e["search_export_sorted"] = (export, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore2} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('hash', 'vector'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id HAVING count(*) = 2
+ORDER BY score DESC, doc_id ASC""")
+
+    # CursorMark deep paging: page 2 via keyset, checked against rank 11-20
+    def page2(spark, sf):
+        idx = index_for(spark, sf)
+        q = Or((Term("query"), Term("scan")))
+        p1 = search(idx, q, k=10, mode="f64").collect()
+        last = p1[-1]
+        return search_after(idx, q, k=10,
+                            after=(last["score"], last["doc_id"]), mode="f64")
+    e["search_cursor_page2"] = (page2, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore2} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('query', 'scan')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM doc_scores)
+SELECT doc_id, score FROM ranked WHERE rn > 10 AND rn <= 20""")
 
     return e
 

@@ -16,7 +16,8 @@ import pandas as pd
 from sparklucene import bm25
 from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens, tokenize_series
 from sparklucene.norms import LENGTH_TABLE, int_to_byte4, quantize_length
-from sparklucene.query import And, MatchNoDocs, Not, Or, Phrase, Query, Term
+from sparklucene.query import (And, DisMax, MatchNoDocs, Not, Or, Phrase,
+                               Query, Term)
 
 
 @dataclass
@@ -61,7 +62,8 @@ def build_oracle_index(docs: pd.DataFrame, text_col: str = "content",
     )
 
 
-def _term_scores(idx: OracleIndex, term: str, mode: str) -> pd.Series:
+def _term_scores(idx: OracleIndex, term: str, mode: str,
+                 boost: float = 1.0) -> pd.Series:
     """Series doc_id -> float32 score for one term."""
     p = idx.postings(term)
     if p.empty:
@@ -71,9 +73,11 @@ def _term_scores(idx: OracleIndex, term: str, mode: str) -> pd.Series:
     pos = np.searchsorted(idx.doc_ids, d)
     df = len(p)
     if mode == "lucene8":
-        s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count, idx.sum_dl)
+        s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count,
+                               idx.sum_dl, boost=boost)
     else:
-        s = bm25.score_f64(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl)
+        s = bm25.score_f64(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl,
+                           boost=boost)
     return pd.Series(s, index=d)
 
 
@@ -111,7 +115,19 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
     if isinstance(q, Phrase):
         return _phrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Term):
-        return _term_scores(idx, q.term, mode).astype(np.float64)
+        return _term_scores(idx, q.term, mode, q.boost).astype(np.float64)
+    if isinstance(q, DisMax):
+        # per-clause f32 scores (engine clause boundary), f64 combination
+        parts = [_eval(idx, c, mode).astype(np.float32).astype(np.float64)
+                 for c in q.clauses]
+        parts = [p for p in parts if not p.empty]
+        if not parts:
+            return pd.Series(dtype=np.float64)
+        df = pd.concat(parts, axis=1)
+        mx = df.max(axis=1)
+        total = df.sum(axis=1)
+        out = (mx + q.tiebreak * (total - mx)).sort_index()
+        return out.astype(np.float32).astype(np.float64)
     if isinstance(q, Not):
         pos = _eval(idx, q.positive, mode)
         # excluded set by MATCH semantics (a negative phrase excludes only
@@ -119,7 +135,10 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
         neg_docs = set(_eval(idx, q.negative, mode).index)
         return pos[~pos.index.isin(sorted(neg_docs))]
     assert isinstance(q, (And, Or))
-    parts = [_eval(idx, c, mode) for c in sorted(q.clauses, key=repr)]
+    # clause results are float32 at the clause boundary (engine behavior),
+    # combined in a float64 accumulator in repr-sorted order
+    parts = [_eval(idx, c, mode).astype(np.float32).astype(np.float64)
+             for c in sorted(q.clauses, key=repr)]
     if not parts:
         return pd.Series(dtype=np.float64)
     total = None

@@ -94,6 +94,28 @@ class Not(Query):
 
 
 @dataclass(frozen=True)
+class DisMax(Query):
+    """DisjunctionMaxQuery: per-doc score = max of clause scores +
+    tiebreak * (sum of the other clause scores) — public Lucene
+    DisjunctionMaxScorer behavior."""
+
+    clauses: tuple[Query, ...]
+    tiebreak: float = 0.0
+
+    def terms(self) -> list[str]:
+        out: set[str] = set()
+        for c in self.clauses:
+            out.update(c.terms())
+        return sorted(out)
+
+    def neg_terms(self) -> list[str]:
+        out: set[str] = set()
+        for c in self.clauses:
+            out.update(c.neg_terms())
+        return sorted(out)
+
+
+@dataclass(frozen=True)
 class Phrase(Query):
     """Exact PhraseQuery: slots of (position offset, term).
 
@@ -129,6 +151,14 @@ def rewrite(q: Query) -> Query:
         if len(q.slots) == 1:  # single-term phrase == TermQuery (Lucene rewrite)
             return Term(q.slots[0][1])
         return q
+    if isinstance(q, DisMax):
+        flat = [rewrite(c) for c in q.clauses]
+        flat = [c for c in flat if not isinstance(c, MatchNoDocs)]
+        if not flat:
+            return MatchNoDocs()
+        if len(flat) == 1:
+            return flat[0]
+        return DisMax(tuple(flat), q.tiebreak)
     if isinstance(q, Not):
         pos = rewrite(q.positive)
         neg = rewrite(q.negative)
@@ -179,6 +209,9 @@ def prune_missing(q: Query, present: set[str]) -> Query:
     if isinstance(q, Not):
         return rewrite(Not(prune_missing(q.positive, present),
                            prune_missing(q.negative, present)))
+    if isinstance(q, DisMax):
+        return rewrite(DisMax(tuple(prune_missing(c, present)
+                                    for c in q.clauses), q.tiebreak))
     if isinstance(q, (And, Or)):
         clauses = tuple(prune_missing(c, present) for c in q.clauses)
         node = And(clauses) if isinstance(q, And) else Or(clauses, q.min_should_match)

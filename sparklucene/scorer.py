@@ -40,7 +40,8 @@ from sparklucene import bm25
 from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
                                decode_tfs)
 from sparklucene.norms import LENGTH_TABLE
-from sparklucene.query import And, MatchNoDocs, Not, Or, Phrase, Query, Term
+from sparklucene.query import (And, DisMax, MatchNoDocs, Not, Or, Phrase,
+                               Query, Term)
 
 
 @dataclass
@@ -107,15 +108,16 @@ class RangeScorer:
 
     # ---- scoring primitives -------------------------------------------
 
-    def _score_arrays(self, term: str, tfs: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    def _score_arrays(self, term: str, tfs: np.ndarray, nb: np.ndarray,
+                      boost: float = 1.0) -> np.ndarray:
         """Scores for postings of ``term`` given aligned (tf, norm byte)."""
         ts = self.stats.term_stats[term]
         self.metrics.docs_scored += int(tfs.size)
         if self.mode == "lucene8":
             return bm25.score_lucene8(tfs, nb, ts.df, self.stats.doc_count,
-                                      self.stats.sum_dl)
+                                      self.stats.sum_dl, boost=boost)
         return bm25.score_f64(tfs, LENGTH_TABLE[nb], ts.df, self.stats.doc_count,
-                              self.stats.sum_dl)
+                              self.stats.sum_dl, boost=boost)
 
     def _block_ubs(self, term: str, cell: RangeCell) -> np.ndarray:
         ts = self.stats.term_stats[term]
@@ -140,11 +142,12 @@ class RangeScorer:
             docs, tfs, norms = docs[keep], tfs[keep], norms[keep]
         return docs, tfs, norms
 
-    def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+    def _term_scores(self, term: str, boost: float = 1.0
+                     ) -> tuple[np.ndarray, np.ndarray]:
         docs, tfs, norms = self._filtered(term)
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
-        return docs, self._score_arrays(term, tfs, norms)
+        return docs, self._score_arrays(term, tfs, norms, boost)
 
     # ---- top-level evaluation ------------------------------------------
 
@@ -163,16 +166,14 @@ class RangeScorer:
                 self.metrics.docs_total += cell.decode()[0].size
         if isinstance(q, MatchNoDocs):
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        if isinstance(q, Term):
+        if isinstance(q, Term) and q.boost == 1.0:
             docs, scores = self._topk_single(q.term, k)
-        elif isinstance(q, Phrase):
-            docs, scores = self._phrase_scores(q)
         elif isinstance(q, And):
             docs, scores = self._eval_and(q)
         elif isinstance(q, Or):
             docs, scores = self._eval_or(q, k)
-        else:  # pragma: no cover
-            raise TypeError(f"unsupported query node {type(q)}")
+        else:
+            docs, scores = self._clause_scores(q)
         return _take_topk(docs, scores, k)
 
     def _split_neg(self, q: Query) -> tuple[Query, Query | None]:
@@ -281,21 +282,40 @@ class RangeScorer:
     def _clause_scores(self, c: Query) -> tuple[np.ndarray, np.ndarray]:
         """(docs, float32 scores) for one boolean clause of any type."""
         if isinstance(c, Term):
-            return self._term_scores(c.term)
+            return self._term_scores(c.term, c.boost)
         if isinstance(c, Phrase):
             return self._phrase_scores(c)
         if isinstance(c, And):
             return self._eval_and(c)
         if isinstance(c, Or):
             return self._eval_or(c, k=np.iinfo(np.int32).max)
+        if isinstance(c, DisMax):
+            return self._eval_dismax(c)
         if isinstance(c, MatchNoDocs):
             return np.empty(0, np.int64), np.empty(0, np.float32)
         raise TypeError(f"unsupported clause {type(c)}")  # pragma: no cover
 
+    def _eval_dismax(self, q: DisMax) -> tuple[np.ndarray, np.ndarray]:
+        """DisjunctionMaxScorer: max clause score + tiebreak * rest."""
+        parts = [self._clause_scores(c) for c in q.clauses]
+        nonempty = [(d, s) for d, s in parts if d.size]
+        if not nonempty:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs = np.unique(np.concatenate([d for d, _ in nonempty]))
+        mx = np.full(docs.size, -np.inf, dtype=np.float64)
+        total = np.zeros(docs.size, dtype=np.float64)
+        for d, s in nonempty:
+            idx = np.searchsorted(docs, d)
+            s64 = s.astype(np.float64)
+            np.maximum.at(mx, idx, s64)
+            total[idx] += s64
+        score = mx + q.tiebreak * (total - mx)
+        return docs, score.astype(np.float32)
+
     # ---- AND: df-ascending intersection --------------------------------
 
     def _eval_and(self, q: And) -> tuple[np.ndarray, np.ndarray]:
-        if not all(isinstance(c, Term) for c in q.clauses):
+        if not all(isinstance(c, Term) and c.boost == 1.0 for c in q.clauses):
             return self._and_generic(q)
         terms = sorted({t for c in q.clauses for t in c.terms()})
         if not terms:
@@ -336,7 +356,7 @@ class RangeScorer:
     # ---- OR: MAXSCORE ---------------------------------------------------
 
     def _eval_or(self, q: Or, k: int) -> tuple[np.ndarray, np.ndarray]:
-        if not all(isinstance(c, Term) for c in q.clauses):
+        if not all(isinstance(c, Term) and c.boost == 1.0 for c in q.clauses):
             return self._or_generic(q)
         terms = sorted({t for c in q.clauses for t in c.terms()})
         terms = [t for t in terms if t in self.cells]

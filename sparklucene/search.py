@@ -60,7 +60,11 @@ class Index:
         return self._postings
 
     def docmeta(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docmeta)
+        # the invert-stage partials ARE the docmeta table (disjoint
+        # drange shards sorted by doc_id); merge never rewrites them
+        return (self.spark.read
+                .option("pathGlobFilter", "docmeta-*.parquet")
+                .parquet(self.paths.partials))
 
     def termstats(self) -> DataFrame:
         if self._termstats is None:
@@ -88,13 +92,15 @@ def _as_query(query: str | Query) -> Query:
     return parse(query) if isinstance(query, str) else rewrite(query)
 
 
-def search(index: Index, query: str | Query, k: int = 10,
+def search(index: Index, query: str | Query, k: int | None = 10,
            mode: str = "lucene8", prune: bool = True,
            hydrate: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
     ``hydrate`` joins winners back to a corpus DataFrame (two-phase plan).
+    ``k=None`` returns the complete (unordered) match set — the
+    ExportWriter / TotalHitCountCollector access path.
     """
     spark = index.spark
     q = _as_query(query)
@@ -132,14 +138,42 @@ def search(index: Index, query: str | Query, k: int = 10,
                 pos_bytes=bytes(r.pos_bytes) if r.pos_bytes is not None else b"",
             )
         scorer = RangeScorer(cells, gstats, mode=mode, prune=prune)
-        docs, scores = scorer.topk(q, k)
+        docs, scores = scorer.topk(q, k if k is not None else (1 << 31))
         return pd.DataFrame({"doc_id": docs.astype(np.int64),
                              "score": scores.astype(np.float64)})
 
     candidates = (postings.groupBy("drange")
                   .applyInPandas(score_group, schema=RESULT_SCHEMA))
+    if k is None:
+        return _hydrate(candidates, hydrate)
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return _hydrate(topk, hydrate)
+
+
+def matches(index: Index, query: str | Query, mode: str = "lucene8"
+            ) -> DataFrame:
+    """Complete scored match set (unordered) — ExportWriter access path."""
+    return search(index, query, k=None, mode=mode, prune=False)
+
+
+def total_hits(index: Index, query: str | Query, mode: str = "lucene8"
+               ) -> DataFrame:
+    """Exact hit count — TotalHitCountCollector (no threshold shortcut)."""
+    return matches(index, query, mode).agg(F.count("*").alias("total_hits"))
+
+
+def search_after(index: Index, query: str | Query, k: int,
+                 after: tuple[float, int], mode: str = "lucene8",
+                 ) -> DataFrame:
+    """CursorMark deep paging: next k results strictly after the
+    (score, doc_id) sort key — stateless keyset predicate, no deep
+    offset scan (searchAfter / CursorMark public behavior)."""
+    a_score, a_doc = float(after[0]), int(after[1])
+    cand = matches(index, query, mode)
+    nxt = cand.filter(
+        (F.col("score") < F.lit(a_score))
+        | ((F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc))))
+    return nxt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:

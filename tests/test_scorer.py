@@ -11,7 +11,7 @@ import pytest
 from sparklucene.codec import encode_postings
 from sparklucene.norms import int_to_byte4
 from sparklucene.oracle import build_oracle_index, search_oracle
-from sparklucene.query import And, Not, Or, Phrase, Term, parse
+from sparklucene.query import And, DisMax, Not, Or, Phrase, Term, parse
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 
@@ -57,6 +57,11 @@ QUERIES = [
     And((Phrase(((0, "table"), (1, "scan"))), Term("filter"))),
     Not(Term("merge"), Phrase(((0, "merge"), (1, "join")))),
     Phrase(((0, "zzz"), (1, "absent"))),
+    DisMax((Term("merge"), Term("join"))),
+    DisMax((Term("merge"), Term("join"), Term("scan")), tiebreak=0.3),
+    Or((Term("merge", boost=2.0), Term("join"))),
+    Term("merge", boost=0.5),
+    And((Term("table", boost=1.5), Term("scan"))),
 ]
 
 
