@@ -1123,6 +1123,33 @@ SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
     return e
 
 
+def _sql_surface_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Parallel-SQL surface (SURVEY.md §2.10): the full BM25 pipeline as
+    one plain spark.sql statement (Catalyst/whole-stage-codegen only — no
+    engine code), checked against the DuckDB twin of the same SQL."""
+    from sparklucene.sqlsurface import bm25_topk_sparksql, register_corpus_view
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    terms = ["table", "hash", "batch"]
+
+    def sql_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_corpus_view(spark, sf_dir)
+        return spark.sql(bm25_topk_sparksql(terms, k=12))
+    e["sql_surface_bm25"] = (sql_bm25, bm25_topk_sql(terms, k=12))
+
+    def sql_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_corpus_view(spark, sf_dir)
+        return spark.sql("""
+            SELECT lang, cast(count(*) as bigint) AS cnt,
+                   cast(sum(n_chars) as bigint) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang""")
+    e["sql_surface_facet"] = (sql_facet, """
+SELECT lang, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang""")
+
+    return e
+
+
 def _streaming_entries() -> dict[str, tuple[Callable, str | None]]:
     """NRT incremental indexing (sparklucene.streaming): a two-wave
     Structured Streaming build must yield exactly the term dictionary the
@@ -1199,6 +1226,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_dedup_entries())
     e.update(_similarity_entries())
     e.update(_multimodal_entries())
+    e.update(_sql_surface_entries())
     e.update(_streaming_entries())
     return e
 
