@@ -91,6 +91,99 @@ def flat_tokens(texts: pd.Series, doc_ids: np.ndarray,
     return flat[keep], docs[keep], pos[keep]
 
 
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Pluggable analysis chain (SURVEY.md §2.2 v2 operators).
+
+    Mirrors the reference's configurable analyzer stack as a small config:
+      tokenizer: 'standard' ([a-z0-9_]+ runs), 'whitespace', 'keyword',
+                 or 'pattern' (custom regex via ``pattern``)
+      split_word_delims: WordDelimiterGraphFilter-style camelCase /
+                 snake_case splitting (key for code corpora)
+      ascii_fold: ASCIIFoldingFilter (NFKD strip diacritics)
+      lowercase / stopwords / min_len: LowerCaseFilter, StopFilter,
+                 LengthFilter equivalents.
+    All steps are vectorized pandas/numpy string ops — no per-token Python.
+    """
+
+    tokenizer: str = "standard"
+    pattern: str | None = None
+    lowercase: bool = True
+    ascii_fold: bool = False
+    split_word_delims: bool = False
+    stopwords: frozenset = field(default=ENGLISH_STOP_WORDS)
+    min_len: int = 1
+
+    def token_regex(self) -> re.Pattern:
+        if self.tokenizer == "standard":
+            return TOKEN_RE if self.lowercase else re.compile(r"[A-Za-z0-9_]+")
+        if self.tokenizer == "whitespace":
+            return re.compile(r"\S+")
+        if self.tokenizer == "pattern":
+            if not self.pattern:
+                raise ValueError("pattern tokenizer needs a pattern")
+            return re.compile(self.pattern)
+        raise ValueError(f"unknown tokenizer {self.tokenizer}")
+
+
+STANDARD_ANALYZER = AnalyzerConfig()
+
+
+def _pretransform(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
+    s = texts.fillna("")
+    if cfg.split_word_delims:
+        # camelCase / digit boundaries become spaces; underscores split
+        s = (s.str.replace(r"([a-z0-9])([A-Z])", r"\1 \2", regex=True)
+             .str.replace(r"([A-Za-z])([0-9])", r"\1 \2", regex=True)
+             .str.replace("_", " ", regex=False))
+    if cfg.ascii_fold:
+        s = (s.str.normalize("NFKD")
+             .str.encode("ascii", "ignore").str.decode("ascii"))
+    if cfg.lowercase:
+        s = s.str.lower()
+    return s
+
+
+def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Configurable-analyzer version of :func:`flat_tokens` (same position
+    semantics: pre-stop-filter indexes, stop/length gaps preserved)."""
+    if cfg.tokenizer == "keyword":
+        s = _pretransform(texts, cfg)
+        toks = s.to_numpy(dtype=object)
+        docs = np.asarray(doc_ids, dtype=np.int64)
+        pos = np.zeros(docs.size, dtype=np.int64)
+        keep = np.array([bool(t) for t in toks])
+        return toks[keep], docs[keep], pos[keep]
+    s = _pretransform(texts, cfg)
+    token_lists = s.str.findall(cfg.token_regex())
+    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
+    if lengths.sum() == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    flat = np.concatenate([np.asarray(t, dtype=object)
+                           for t in token_lists.to_numpy()])
+    docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lengths)
+    ends = np.cumsum(lengths)
+    pos = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - lengths, lengths)
+    keep = np.ones(flat.size, dtype=bool)
+    if cfg.stopwords:
+        stop_arr = np.array(sorted(cfg.stopwords), dtype=object)
+        keep &= ~np.isin(flat, stop_arr)
+    if cfg.min_len > 1:
+        keep &= np.array([len(t) >= cfg.min_len for t in flat])
+    return flat[keep], docs[keep], pos[keep]
+
+
+def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
+    """Single-string convenience (query-side analysis)."""
+    toks, _, _ = analyze_flat(pd.Series([text]), np.array([0]), cfg)
+    return list(toks)
+
+
 def make_tokenize_udf(stopwords: frozenset[str] = ENGLISH_STOP_WORDS):
     """pandas_udf: content string -> array<string> of analyzed tokens."""
     from pyspark.sql.functions import pandas_udf

@@ -45,7 +45,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens
+from sparklucene.analysis import (ENGLISH_STOP_WORDS, AnalyzerConfig,
+                                  analyze_flat, flat_tokens)
 from sparklucene.codec import encode_postings_batch
 from sparklucene.corpus import with_drange
 from sparklucene.norms import int_to_byte4
@@ -93,12 +94,16 @@ class IndexPaths:
 
 
 def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
-                      store_positions: bool = True) -> tuple[
+                      store_positions: bool = True,
+                      analyzer: AnalyzerConfig | None = None) -> tuple[
         pa.Table, pa.Table, dict]:
     """Pure function: corpus rows of one doc range -> (postings, docmeta, manifest)."""
     pdf = pdf.sort_values("doc_id")
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    toks, tdocs, tpos = flat_tokens(pdf["content"], doc_ids, stopwords)
+    if analyzer is None:
+        toks, tdocs, tpos = flat_tokens(pdf["content"], doc_ids, stopwords)
+    else:
+        toks, tdocs, tpos = analyze_flat(pdf["content"], doc_ids, analyzer)
     # doc lengths (post-stop), incl. zero-token docs
     pos_of_doc = np.searchsorted(doc_ids, tdocs)
     dl = np.bincount(pos_of_doc, minlength=doc_ids.size).astype(np.int64)
@@ -193,7 +198,8 @@ def _completed_dranges(paths: IndexPaths) -> set[int]:
 
 def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
            stopwords=ENGLISH_STOP_WORDS, resume: bool = True,
-           store_positions: bool = True) -> pd.DataFrame:
+           store_positions: bool = True,
+           analyzer: AnalyzerConfig | None = None) -> pd.DataFrame:
     """Stage A: per-doc-range invert with per-partition checkpoints.
 
     Returns the manifest (one row per range, status built|skipped).
@@ -207,7 +213,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
 
     def build_group(key, pdf):
         dr = int(key[0])
-        postings, docmeta, man = _invert_one_range(pdf, dr, stop, store_positions)
+        postings, docmeta, man = _invert_one_range(pdf, dr, stop,
+                                                   store_positions, analyzer)
         _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
         _atomic_write(docmeta, os.path.join(partials_dir, f"docmeta-{dr:06d}.parquet"))
         mpath = os.path.join(manifest_dir, f"part-{dr:06d}.json")
@@ -306,7 +313,8 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
 def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 drange_size: int | None = None, resume: bool = True,
                 salt: int = 0, stopwords=ENGLISH_STOP_WORDS,
-                store_positions: bool = True) -> dict:
+                store_positions: bool = True,
+                analyzer: AnalyzerConfig | None = None) -> dict:
     """Full build: invert -> merge -> stats. Returns the stats dict."""
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -315,7 +323,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         par = spark.sparkContext.defaultParallelism
         drange_size = max(64, 1 << int(np.ceil(np.log2(max(1, n / (4 * par))))))
     manifest = invert(corpus, paths, drange_size, stopwords, resume,
-                      store_positions)
+                      store_positions, analyzer)
     stats = merge(spark, paths, drange_size, salt=salt)
     stats["n_ranges"] = int(len(manifest))
     stats["n_ranges_skipped"] = int((manifest["status"] == "skipped").sum())

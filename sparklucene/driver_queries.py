@@ -387,6 +387,27 @@ SELECT term, df FROM tstats ORDER BY df DESC, term ASC LIMIT 20""")
     e["index_doc_norms"] = (doc_norms, f"""WITH {corpus_ctes()}
 SELECT doc_id, dl, dlq FROM meta""")
 
+    def index_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FIXTURES.md §6.2: index-derived aggregates must equal the
+        from-scratch recomputation (sum df == distinct (term,doc) pairs,
+        sum cf == total token count, vocabulary size)."""
+        idx = index_for(spark, sf_dir)
+        return idx.termstats().agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("sum_df"),
+            F.sum("cf").alias("sum_cf"))
+    e["index_invariants"] = (index_invariants, f"""WITH {corpus_ctes()}
+SELECT count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS sum_df,
+       sum(cf)::BIGINT AS sum_cf FROM tstats""")
+
+    def sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BASELINE.json input_hint per-row invariant: sha256(content)
+        preserved through the corpus mapping."""
+        corpus = load_corpus(spark, sf_dir)
+        return corpus.select("doc_id", F.sha2(F.col("content"), 256).alias("sha"))
+    e["corpus_sha256_invariant"] = (sha_invariant, """
+SELECT doc_id, sha256(text) AS sha FROM documents""")
+
     def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = index_for(spark, sf_dir)
         s = idx.stats
@@ -1123,6 +1144,79 @@ SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
     return e
 
 
+def _result_composition_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Search-result post-processing (SURVEY.md §2.5-2.7): grouping,
+    function scoring, constant score, facet-on-results — the Solr
+    components that consume the matching doc set."""
+    from pyspark.sql import Window
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count", "g.sum_dl")
+    _doc_scores = f"""
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id)"""
+    q_ms = Or((Term("merge"), Term("spark")))
+
+    def grouped(spark, sf):
+        idx = index_for(spark, sf)
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        res = matches(idx, q_ms, mode="f64").join(docs, "doc_id")
+        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (res.withColumn("rn", F.row_number().over(w).cast("long"))
+                .filter(F.col("rn") <= 2)
+                .select("lang", "rn", "doc_id", "score"))
+    e["search_grouped_top2_per_lang"] = (grouped, f"""WITH {corpus_ctes()},{_doc_scores}
+SELECT lang, rn, doc_id, score FROM (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM doc_scores s JOIN documents d ON s.doc_id = d.doc_id)
+WHERE rn <= 2""")
+
+    def func_score(spark, sf):
+        idx = index_for(spark, sf)
+        docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        res = matches(idx, q_ms, mode="f64").join(docs, "doc_id")
+        # sqrt is IEEE-correctly-rounded (identical across engines); the
+        # JVM's ln differs from libm by 1 ulp on some inputs
+        boosted = res.withColumn(
+            "boosted", F.col("score") * F.sqrt(F.col("n_chars").cast("double")))
+        return (boosted.select("doc_id", "score", "boosted")
+                .orderBy(F.desc("boosted"), F.asc("doc_id")).limit(10))
+    e["function_score_query"] = (func_score, f"""WITH {corpus_ctes()},{_doc_scores}
+SELECT s.doc_id, s.score, s.score * sqrt(CAST(d.n_chars AS DOUBLE)) AS boosted
+FROM doc_scores s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY boosted DESC, s.doc_id ASC LIMIT 10""")
+
+    def const_score(spark, sf):
+        idx = index_for(spark, sf)
+        res = matches(idx, And((Term("dup"), Term("vector"))), mode="f64")
+        return (res.select("doc_id", F.lit(1.5).alias("score"))
+                .orderBy("doc_id"))
+    e["constant_score_query"] = (const_score, f"""WITH {corpus_ctes()}
+SELECT doc_id, 1.5 AS score FROM tf WHERE term IN ('dup', 'vector')
+GROUP BY doc_id HAVING count(*) = 2 ORDER BY doc_id""")
+
+    def facet_results(spark, sf):
+        idx = index_for(spark, sf)
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        res = matches(idx, q_ms, mode="f64").join(docs, "doc_id")
+        return (res.groupBy("lang").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("lang")))
+    e["facet_on_search_results"] = (facet_results, f"""WITH {corpus_ctes()},{_doc_scores}
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM doc_scores s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY cnt DESC, lang ASC""")
+
+    return e
+
+
 def _sql_surface_entries() -> dict[str, tuple[Callable, str | None]]:
     """Parallel-SQL surface (SURVEY.md §2.10): the full BM25 pipeline as
     one plain spark.sql statement (Catalyst/whole-stage-codegen only — no
@@ -1226,6 +1320,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_dedup_entries())
     e.update(_similarity_entries())
     e.update(_multimodal_entries())
+    e.update(_result_composition_entries())
     e.update(_sql_surface_entries())
     e.update(_streaming_entries())
     return e

@@ -1,0 +1,75 @@
+"""Pluggable analyzer chain (SURVEY.md §2.2 v2 operators)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparklucene.analysis import (ENGLISH_STOP_WORDS, AnalyzerConfig,
+                                  analyze_flat, analyze_text)
+
+
+def toks(text: str, cfg: AnalyzerConfig) -> list[str]:
+    return analyze_text(text, cfg)
+
+
+def test_standard_matches_default_chain():
+    cfg = AnalyzerConfig()
+    assert toks("The quick_brown Fox-2 jumps!", cfg) == \
+        ["quick_brown", "fox", "2", "jumps"]
+
+
+def test_word_delimiter_splits_camel_and_snake():
+    cfg = AnalyzerConfig(split_word_delims=True)
+    assert toks("getUserName snake_case HTTPServer2", cfg) == \
+        ["get", "user", "name", "snake", "case", "httpserver", "2"]
+
+
+def test_ascii_folding():
+    cfg = AnalyzerConfig(ascii_fold=True)
+    assert toks("café naïve Zürich", cfg) == ["cafe", "naive", "zurich"]
+
+
+def test_whitespace_and_keyword_tokenizers():
+    ws = AnalyzerConfig(tokenizer="whitespace", stopwords=frozenset())
+    assert toks("foo-bar baz.qux", ws) == ["foo-bar", "baz.qux"]
+    kw = AnalyzerConfig(tokenizer="keyword", stopwords=frozenset())
+    assert toks("One Whole String", kw) == ["one whole string"]
+
+
+def test_pattern_tokenizer_and_min_len():
+    cfg = AnalyzerConfig(tokenizer="pattern", pattern=r"[a-z]+",
+                         min_len=3, stopwords=frozenset())
+    assert toks("ab abc abcd x12y", cfg) == ["abc", "abcd"]
+
+
+def test_positions_keep_stop_gaps():
+    cfg = AnalyzerConfig()
+    t, d, p = analyze_flat(pd.Series(["fast the key"]), np.array([7]), cfg)
+    assert list(t) == ["fast", "key"]
+    assert list(p) == [0, 2]
+    assert set(d) == {7}
+
+
+def test_engine_with_word_delimiter_analyzer(spark, tmp_path):
+    """End-to-end: camelCase corpus indexed with the word-delimiter
+    analyzer is searchable by subword."""
+    from sparklucene.build import build_index
+    from sparklucene.search import Index, search
+
+    rows = [(i, f"r{i}", f"p{i}", f"c{i}", "py",
+             "getUserName parseJsonFast" if i % 2 == 0 else "plain words only")
+            for i in range(50)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, commit string, "
+              "lang string, content string")
+    cfg = AnalyzerConfig(split_word_delims=True)
+    d = str(tmp_path / "wd-idx")
+    build_index(spark, corpus, d, drange_size=16, analyzer=cfg)
+    idx = Index(spark, d)
+    hits = search(idx, '"user name"', k=50).collect()
+    assert len(hits) == 25
+    assert all(r["doc_id"] % 2 == 0 for r in hits)
+    # standard analyzer would have kept 'getusername' whole: no subword hit
+    assert search(idx, "getusername", k=5).count() == 0
