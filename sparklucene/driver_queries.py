@@ -513,6 +513,52 @@ FROM a ORDER BY lang""")
 SELECT lang, count(DISTINCT source)::BIGINT AS uniq_sources
 FROM documents GROUP BY lang ORDER BY lang""")
 
+    def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # exact percentile with linear interpolation — identical to
+        # DuckDB quantile_cont (t-digest approx is engine-specific, so
+        # the exact variant is the oracle-checkable one)
+        return docs.groupBy("lang").agg(
+            F.expr("percentile(n_chars, 0.25)").alias("q25"),
+            F.expr("percentile(n_chars, 0.5)").alias("q50"),
+            F.expr("percentile(n_chars, 0.9)").alias("q90")).orderBy("lang")
+    e["percentile_agg"] = (percentiles, """
+SELECT lang, quantile_cont(n_chars, 0.25) AS q25,
+       quantile_cont(n_chars, 0.5) AS q50,
+       quantile_cont(n_chars, 0.9) AS q90
+FROM documents GROUP BY lang ORDER BY lang""")
+
+    def rollup_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (docs.rollup("lang", "source")
+                .agg(F.count("*").alias("cnt"))
+                .filter(F.col("cnt") >= 5))
+    e["facet_rollup_hierarchy"] = (rollup_facet, """
+SELECT lang, source, count(*)::BIGINT AS cnt
+FROM documents GROUP BY ROLLUP(lang, source) HAVING count(*) >= 5""")
+
+    def hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Solr's hll facet agg -> Spark's HLL++ sketch. Approx sketches
+        # are engine-specific by construction, so this is a rows-only
+        # check; the exact twin is unique_agg above.
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (docs.groupBy("lang")
+                .agg(F.approx_count_distinct("source").alias("approx_sources"))
+                .orderBy("lang"))
+    e["hll_approx_distinct"] = (hll, None)
+
+    def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                           "event_type")
+                .agg(F.count("*").alias("n"),
+                     _dec_sum("value").alias("sum_value"))
+                .orderBy("hour", "event_type"))
+    e["events_time_window_agg"] = (events_window, """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
+
     return e
 
 
