@@ -87,7 +87,8 @@ def _terms_in(terms: list[str]) -> str:
 
 
 def bm25_topk_sql(pos_terms: list[str], k: int = 10, mode: str = "or",
-                  msm: int = 1, neg_terms: list[str] | None = None) -> str:
+                  msm: int = 1, neg_terms: list[str] | None = None,
+                  exclude_docs: list[int] | None = None) -> str:
     """Brute-force BM25 top-k in DuckDB, float-op-for-float-op identical to
     the engine's f64 scoring mode (bm25.score_f64 / score_sql)."""
     score = bm25.score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count", "g.sum_dl")
@@ -97,6 +98,9 @@ def bm25_topk_sql(pos_terms: list[str], k: int = 10, mode: str = "or",
     if neg_terms:
         neg = (f" AND tf.doc_id NOT IN (SELECT doc_id FROM tf "
                f"WHERE term IN {_terms_in(neg_terms)})")
+    if exclude_docs:
+        ids = ", ".join(str(int(d)) for d in sorted(exclude_docs))
+        neg += f" AND tf.doc_id NOT IN ({ids})"
     return f"""WITH {corpus_ctes()},
 term_scores AS (
   SELECT tf.doc_id, {score} AS s
@@ -235,6 +239,17 @@ def _search_entries() -> dict[str, tuple[Callable, str | None]]:
         # AND with an unindexed term -> empty (Lucene null-scorer semantics)
         _bm25(And((Term("spark"), Term("zzz_not_in_corpus"))), k=10),
         bm25_topk_sql(["spark", "zzz_not_in_corpus"], k=10, mode="and"))
+
+    # live-docs deletions: masked before any top-k heap; term stats stay
+    # index-wide (Lucene keeps docFreq of deleted docs until merge)
+    _DELETED = [1, 7, 42, 99, 123]
+
+    def with_deletes(spark, sf):
+        return search(index_for(spark, sf), Or((Term("spark"), Term("merge"))),
+                      k=10, mode="f64", prune=True, exclude_docs=_DELETED)
+    e["bm25_with_deletes"] = (
+        with_deletes,
+        bm25_topk_sql(["spark", "merge"], k=10, exclude_docs=_DELETED))
 
     e["bm25_phrase"] = (
         _bm25(Phrase(((0, "table"), (1, "hash"))), k=10),

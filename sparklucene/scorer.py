@@ -98,11 +98,14 @@ class ScoreMetrics:
 
 class RangeScorer:
     def __init__(self, cells: dict[str, RangeCell], stats: GlobalStats,
-                 mode: str = "lucene8", prune: bool = True):
+                 mode: str = "lucene8", prune: bool = True,
+                 deleted: np.ndarray | None = None):
         self.cells = cells
         self.stats = stats
         self.mode = mode
         self.prune = prune
+        self.deleted = (np.asarray(deleted, dtype=np.int64)
+                        if deleted is not None else np.empty(0, np.int64))
         self.metrics = ScoreMetrics()
         self._neg_mask_docs: np.ndarray | None = None
 
@@ -155,11 +158,12 @@ class RangeScorer:
         """(doc_ids, float32 scores) — partition-local top-k, score desc,
         doc asc."""
         q, neg_query = self._split_neg(q)
-        self._neg_mask_docs = np.empty(0, np.int64)
+        self._neg_mask_docs = self.deleted  # live-docs mask (deletions)
         if neg_query is not None:
             # evaluate the excluded doc set generically (phrases excluded
             # by phrase match, not by their terms — ReqExclScorer semantics)
-            self._neg_mask_docs = np.unique(self._clause_scores(neg_query)[0])
+            self._neg_mask_docs = np.unique(np.concatenate(
+                (self.deleted, self._clause_scores(neg_query)[0])))
         for t in self._pos_terms(q):
             cell = self.cells.get(t)
             if cell is not None:

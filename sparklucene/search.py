@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from sparklucene.build import IndexPaths, load_stats
 from sparklucene.query import MatchNoDocs, Query, parse, prune_missing, rewrite
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
@@ -72,6 +74,16 @@ class Index:
             self._termstats = df.persist() if self._cache else df
         return self._termstats
 
+    def deleted_ids(self) -> list[int]:
+        """Persisted deletions (live-docs). Small by assumption — Lucene
+        keeps the live-docs bitset in RAM per segment too; bulk deletion
+        should rebuild instead."""
+        path = os.path.join(self.paths.root, "deletes")
+        if not os.path.isdir(path):
+            return []
+        return sorted(r["doc_id"] for r in
+                      self.spark.read.parquet(path).collect())
+
     def term_stats_for(self, terms: list[str]) -> dict[str, TermStats]:
         """df/cf per term (Lucene TermStates.build). Memoized per handle —
         repeated queries on overlapping vocabularies pay no Spark action
@@ -94,16 +106,24 @@ def _as_query(query: str | Query) -> Query:
 
 def search(index: Index, query: str | Query, k: int | None = 10,
            mode: str = "lucene8", prune: bool = True,
-           hydrate: DataFrame | None = None) -> DataFrame:
+           hydrate: DataFrame | None = None,
+           exclude_docs: list[int] | None = None) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
     ``hydrate`` joins winners back to a corpus DataFrame (two-phase plan).
     ``k=None`` returns the complete (unordered) match set — the
     ExportWriter / TotalHitCountCollector access path.
+    ``exclude_docs`` are live-docs deletions (Lucene's per-segment deleted
+    bitset): masked out inside each range scorer BEFORE any top-k heap, so
+    deleted docs can never shadow live results. Deletions persisted via
+    :func:`delete_docs` are applied automatically.
     """
     spark = index.spark
     q = _as_query(query)
+    deleted = index.deleted_ids()
+    if exclude_docs:
+        deleted = sorted(set(deleted) | set(int(d) for d in exclude_docs))
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if isinstance(q, MatchNoDocs):
         return _hydrate(empty, hydrate)
@@ -137,7 +157,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                 block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
                 pos_bytes=bytes(r.pos_bytes) if r.pos_bytes is not None else b"",
             )
-        scorer = RangeScorer(cells, gstats, mode=mode, prune=prune)
+        scorer = RangeScorer(cells, gstats, mode=mode, prune=prune,
+                             deleted=np.asarray(deleted, dtype=np.int64))
         docs, scores = scorer.topk(q, k if k is not None else (1 << 31))
         return pd.DataFrame({"doc_id": docs.astype(np.int64),
                              "score": scores.astype(np.float64)})
@@ -148,6 +169,18 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return _hydrate(candidates, hydrate)
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return _hydrate(topk, hydrate)
+
+
+def delete_docs(index: Index, doc_ids: list[int]) -> int:
+    """Persist deletions (delete = hide-at-search; reinsert = delete +
+    stream the new version via streaming.py — the reference's
+    delete+reinsert update model). Returns total deleted count."""
+    path = os.path.join(index.paths.root, "deletes")
+    existing = set(index.deleted_ids())
+    allids = sorted(existing | {int(d) for d in doc_ids})
+    (index.spark.createDataFrame([(d,) for d in allids], "doc_id long")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    return len(allids)
 
 
 def matches(index: Index, query: str | Query, mode: str = "lucene8"

@@ -73,3 +73,21 @@ def test_streaming_resume_skips_done_ranges(spark, corpus_df, tmp_path_factory):
     assert stats["n_ranges_skipped"] == 0
     stats2 = build_index(spark, corpus_df, idx_dir, drange_size=128)
     assert stats2["n_ranges_skipped"] == stats2["n_ranges"]
+
+
+def test_delete_docs_persist_and_mask(spark, corpus_df, tmp_path_factory):
+    """Live-docs deletions: persisted, unioned, masked before top-k."""
+    from sparklucene.search import delete_docs, matches, search
+
+    tmp = str(tmp_path_factory.mktemp("del"))
+    idx_dir = tmp + "/idx"
+    build_index(spark, corpus_df, idx_dir, drange_size=128)
+    idx = Index(spark, idx_dir)
+    base = {r["doc_id"] for r in matches(idx, "spark").collect()}
+    victims = sorted(base)[:3]
+    assert delete_docs(idx, victims[:2]) == 2
+    assert delete_docs(idx, victims[1:]) == 3  # union, idempotent overlap
+    after = {r["doc_id"] for r in matches(idx, "spark").collect()}
+    assert after == base - set(victims)
+    top = search(idx, "spark", k=10).collect()
+    assert all(r["doc_id"] not in victims for r in top)
