@@ -99,6 +99,11 @@ def build_once(cores: int, tag: str, expand: int | None = None,
 
 def run_queries(spark, index_dir: str) -> tuple[dict, dict]:
     idx = Index(spark, index_dir)
+    # serving config: the query-path shuffle is tiny and its size is known
+    # (cell-count repartition in search()), so AQE's stage-by-stage
+    # materialization only adds latency — real deployments run separate
+    # serving sessions with exactly this tuning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     # searcher warm-up (Solr firstSearcher analog): populate the postings
     # cache + Python workers before the timed reps
     search(idx, Term("data"), k=10).collect()
@@ -114,6 +119,7 @@ def run_queries(spark, index_dir: str) -> tuple[dict, dict]:
         samples.extend(times)
     lat = {"p50_sec": float(np.percentile(samples, 50)),
            "p99_sec": float(np.percentile(samples, 99))}
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     return per_query, lat
 
 

@@ -142,6 +142,19 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                          term_stats=tstats)
 
     postings = index.postings().filter(F.col("term").isin(all_terms))
+    # size the scoring shuffle by the estimated number of matching cells
+    # (terms x ranges), ~64 cells per task: k=10 lookups stay a handful of
+    # tasks (sub-second), while huge corpora fan out to thousands — the
+    # session-wide shuffle.partitions knob (tuned for builds) would give
+    # tiny queries hundreds of empty python-worker tasks. The explicit
+    # hash repartition also satisfies the groupBy distribution, so no
+    # second Exchange appears in the plan.
+    n_ranges = max(1, -(-int(index.stats["n_docs"])
+                        // int(index.stats["drange_size"])))
+    est_cells = n_ranges * max(1, len(all_terms))
+    nparts = max(1, min(spark.sparkContext.defaultParallelism * 4,
+                        -(-est_cells // 64)))
+    postings = postings.repartition(nparts, "drange")
 
     def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
         if len(pdf_postings) == 0:

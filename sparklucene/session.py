@@ -15,7 +15,12 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "sparklucene", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              serving: bool = False) -> SparkSession:
+    """``serving=True`` tunes for query latency: AQE off (the query-path
+    shuffle is tiny and sized explicitly by search(), so adaptive
+    stage-by-stage execution only adds scheduling latency). Builds want
+    the default (AQE on)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -34,4 +39,7 @@ def get_spark(app_name: str = "sparklucene", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if serving:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    return spark
