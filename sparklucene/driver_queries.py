@@ -251,6 +251,32 @@ def _search_entries() -> dict[str, tuple[Callable, str | None]]:
         with_deletes,
         bm25_topk_sql(["spark", "merge"], k=10, exclude_docs=_DELETED))
 
+    # MoreLikeThis: top tf*idf terms of seed doc 42 -> OR, seed excluded
+    def mlt(spark, sf):
+        from sparklucene.mlt import more_like_this
+        return more_like_this(index_for(spark, sf), load_corpus(spark, sf),
+                              doc_id=42, max_terms=5, k=10, mode="f64")
+    mlt_score = bm25.score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count",
+                               "g.sum_dl")
+    e["more_like_this"] = (mlt, f"""WITH {corpus_ctes()},
+doc_tf AS (SELECT term, tf FROM tf WHERE doc_id = 42),
+term_weight AS (
+  SELECT d.term,
+         d.tf * ln(1.0 + (g.doc_count - s.df + 0.5) / (s.df + 0.5)) AS w
+  FROM doc_tf d JOIN tstats s ON d.term = s.term CROSS JOIN gstats g),
+top_terms AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY w DESC, term ASC) AS rn
+    FROM term_weight) WHERE rn <= 5),
+term_scores AS (
+  SELECT tf.doc_id, {mlt_score} AS s
+  FROM tf JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN (SELECT term FROM top_terms) AND tf.doc_id != 42)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     e["bm25_phrase"] = (
         _bm25(Phrase(((0, "table"), (1, "hash"))), k=10),
         phrase_topk_sql([(0, "table"), (1, "hash")], k=10))
@@ -261,6 +287,36 @@ def _search_entries() -> dict[str, tuple[Callable, str | None]]:
     assert isinstance(gap, Phrase) and gap.slots == ((0, "hash"), (2, "query"))
     e["bm25_phrase_stopword_gap"] = (
         _bm25(gap, k=10), phrase_topk_sql([(0, "hash"), (2, "query")], k=10))
+
+    # sloppy phrase (pinned proximity spec: nearest-displacement sum <=
+    # slop per slot-0 anchor, dyadic 2^-D weights -> exact float parity)
+    slop_q = Phrase(((0, "merge"), (1, "join")), slop=2)
+    idf2 = ("(ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = 'merge') + 0.5)"
+            " / ((SELECT df FROM tstats WHERE term = 'merge') + 0.5))"
+            " + ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = 'join') + 0.5)"
+            " / ((SELECT df FROM tstats WHERE term = 'join') + 0.5)))")
+    avgdl_s = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    denom_s = f"(pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl_s}))"
+    e["bm25_phrase_sloppy"] = (_bm25(slop_q, k=10), f"""WITH {corpus_ctes()},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+anchors AS (SELECT doc_id, pos - 0 AS base FROM tokp WHERE term = 'merge'),
+dists AS (
+  SELECT a.doc_id, a.base, min(abs(t.pos - 1 - a.base))::BIGINT AS d
+  FROM anchors a JOIN tokp t ON t.doc_id = a.doc_id AND t.term = 'join'
+  GROUP BY a.doc_id, a.base),
+pf AS (
+  SELECT doc_id, sum(1.0 / (1::BIGINT << d)) AS tfp
+  FROM dists WHERE d <= 2 GROUP BY doc_id)
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST((({idf2}) * pf.tfp) / {denom_s} AS REAL) AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
 
     # mixed boolean: phrase clause OR term clause, scores summed per doc
     mixed = Or((Phrase(((0, "merge"), (1, "group"))), Term("vector")))

@@ -81,9 +81,56 @@ def _term_scores(idx: OracleIndex, term: str, mode: str,
     return pd.Series(s, index=d)
 
 
+def _sloppy_freqs(idx: OracleIndex, q: Phrase) -> dict[int, float]:
+    """Naive proximity matcher implementing the pinned slop spec
+    (scorer._sloppy_scores): per slot-0 anchor, nearest-position
+    displacement per other slot, D <= slop matches with weight 2^-D."""
+    per_term: dict[str, dict[int, list[int]]] = {}
+    for _, t in q.slots:
+        rows = idx.tp[idx.tp["term"] == t]
+        by_doc: dict[int, list[int]] = {}
+        for d, p in zip(rows["doc_id"], rows["pos"]):
+            by_doc.setdefault(int(d), []).append(int(p))
+        per_term[t] = {d: sorted(ps) for d, ps in by_doc.items()}
+    (off0, t0), rest = q.slots[0], q.slots[1:]
+    docs = set(per_term[t0])
+    for _, t in rest:
+        docs &= set(per_term[t])
+    freqs: dict[int, float] = {}
+    for d in sorted(docs):
+        total = 0.0
+        for p0 in per_term[t0][d]:
+            base = p0 - off0
+            dist = 0
+            for off, t in rest:
+                dist += min(abs(p - off - base) for p in per_term[t][d])
+            if dist <= q.slop:
+                total += 2.0 ** (-dist)
+        if total > 0:
+            freqs[d] = total
+    return freqs
+
+
 def _phrase_scores(idx: OracleIndex, q: Phrase, mode: str) -> pd.Series:
     """Naive exact-phrase: intersect per-slot (doc, pos-offset) sets;
     tf = phrase frequency, idf = sum of slot-term idfs."""
+    if q.slop > 0:
+        freqs = _sloppy_freqs(idx, q)
+        if not freqs:
+            return pd.Series(dtype=np.float32)
+        docs = np.array(sorted(freqs), dtype=np.int64)
+        tfs = np.array([freqs[d] for d in docs], dtype=np.float64)
+        pos = np.searchsorted(idx.doc_ids, docs)
+        idf_total = sum(bm25.idf(idx.df_of(t), idx.doc_count)
+                        for _, t in q.slots)
+        if mode == "lucene8":
+            s = bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
+                                     idx.doc_count, idx.sum_dl)
+        else:
+            s = bm25.score_f64_w(idf_total, tfs,
+                                 LENGTH_TABLE[idx.norm_bytes[pos]],
+                                 idx.doc_count, idx.sum_dl)
+        return pd.Series(s, index=docs)
     keys: set[tuple[int, int]] | None = None
     for off, t in q.slots:
         rows = idx.tp[idx.tp["term"] == t]

@@ -127,7 +127,13 @@ class Phrase(Query):
     """
 
     slots: tuple[tuple[int, str], ...]
-    slop: int = 0  # 0 = exact; sloppy matching is v2+
+    #: 0 = exact adjacency. slop > 0 enables proximity matching with this
+    #: engine's pinned spec (documented in scorer._sloppy_scores): for
+    #: each slot-0 anchor, every other slot contributes its nearest
+    #: position's displacement; total displacement D <= slop matches with
+    #: weight 2^-D (dyadic, so cross-engine sums are exact; Lucene uses
+    #: 1/(1+d), whose sums are rounding-order-dependent).
+    slop: int = 0
 
     def terms(self) -> list[str]:
         return sorted({t for _, t in self.slots})
@@ -245,16 +251,18 @@ def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
 
     global _PART_RE
     if _PART_RE is None:
-        _PART_RE = _re.compile(r'([+-]?)"([^"]*)"|(\S+)')
+        _PART_RE = _re.compile(r'([+-]?)"([^"]*)"(~(\d+))?|(\S+)')
     raw = query.replace(" AND ", " +").replace(" NOT ", " -").replace(" OR ", " ")
     must: list[Query] = []
     should: list[Query] = []
     neg: list[Query] = []
     for m in _PART_RE.finditer(raw):
-        prefix, quoted, tok = m.groups()
+        prefix, quoted, _tilde, slop, tok = m.groups()
         if quoted is not None:
             bucket = {"+": must, "-": neg}.get(prefix, should)
             ph = analyze_phrase(quoted, stopwords)
+            if slop and isinstance(ph, Phrase):
+                ph = Phrase(ph.slots, slop=int(slop))
             if not isinstance(ph, MatchNoDocs):
                 bucket.append(ph)
             continue

@@ -230,7 +230,10 @@ class RangeScorer:
     def _phrase_scores(self, q: Phrase) -> tuple[np.ndarray, np.ndarray]:
         """ExactPhraseMatcher: docs where some base position carries
         term_i at base+offset_i for every slot; tf = phrase frequency.
-        Vectorized as successive intersections of (doc, base) key sets."""
+        Vectorized as successive intersections of (doc, base) key sets.
+        slop > 0 dispatches to the proximity matcher."""
+        if q.slop > 0:
+            return self._sloppy_scores(q)
         dterms = {t for _, t in q.slots}
         if any(t not in self.cells for t in dterms):
             return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -271,6 +274,77 @@ class RangeScorer:
         t0 = by_df[0]
         d0, _, _ = decoded[t0]
         nb = self.cells[t0].norms()[np.searchsorted(d0, pdocs)]
+        idf_total = sum(bm25.idf(self.stats.term_stats[t].df,
+                                 self.stats.doc_count) for _, t in q.slots)
+        if self.mode == "lucene8":
+            s = bm25.score_lucene8_w(idf_total, pfreq, nb,
+                                     self.stats.doc_count, self.stats.sum_dl)
+        else:
+            s = bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
+                                 self.stats.doc_count, self.stats.sum_dl)
+        return pdocs, s
+
+    def _sloppy_scores(self, q: Phrase) -> tuple[np.ndarray, np.ndarray]:
+        """Proximity phrase (pinned engine spec, Lucene-inspired):
+
+        For each doc, every slot-0 position defines an anchor
+        ``base = p0 - off0``. Each remaining slot i contributes
+        ``d_i = min over positions p of |p - off_i - base|``; the anchor
+        matches when ``D = sum d_i <= slop``, weighted ``2^-D``.
+        ``tf = sum of weights`` (a float frequency, like Lucene's
+        sloppyFreq), scored with the summed-idf phrase weight. 2^-D is
+        dyadic so the frequency sum is exact in float64 regardless of
+        accumulation order (cross-engine reproducible, unlike 1/(1+d)).
+        """
+        dterms = {t for _, t in q.slots}
+        if any(t not in self.cells for t in dterms):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        decoded = {}
+        for t in dterms:
+            cell = self.cells[t]
+            docs, tfs = cell.decode()
+            if not cell.pos_bytes:
+                raise ValueError("sloppy phrase requires positions")
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            decoded[t] = (docs, cum, cell.positions())
+        cand = None
+        for t in dterms:
+            d = decoded[t][0]
+            cand = d if cand is None else cand[np.isin(cand, d,
+                                                       assume_unique=True)]
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            cand = cand[~np.isin(cand, self._neg_mask_docs, assume_unique=True)]
+        if cand is None or cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        (off0, t0), rest = q.slots[0], q.slots[1:]
+        out_docs, out_freq = [], []
+        for doc in cand:
+            def pos_of(t, doc=doc):
+                docs, cum, pos = decoded[t]
+                i = int(np.searchsorted(docs, doc))
+                return pos[cum[i]:cum[i + 1]]
+            anchors = pos_of(t0) - off0
+            total = np.zeros(anchors.size, dtype=np.int64)
+            for off, t in rest:
+                p = pos_of(t)
+                target = anchors + off
+                j = np.clip(np.searchsorted(p, target), 0, p.size - 1)
+                jl = np.clip(j - 1, 0, p.size - 1)
+                total += np.minimum(np.abs(p[j] - target),
+                                    np.abs(p[jl] - target))
+            m = total <= q.slop
+            if m.any():
+                freq = float(np.sum(np.ldexp(1.0, -total[m])))
+                out_docs.append(int(doc))
+                out_freq.append(freq)
+        if not out_docs:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        pdocs = np.asarray(out_docs, dtype=np.int64)
+        pfreq = np.asarray(out_freq, dtype=np.float64)
+        self.metrics.docs_scored += int(pdocs.size)
+        t_anchor = min(dterms, key=lambda t: self.stats.term_stats[t].df)
+        d0 = decoded[t_anchor][0]
+        nb = self.cells[t_anchor].norms()[np.searchsorted(d0, pdocs)]
         idf_total = sum(bm25.idf(self.stats.term_stats[t].df,
                                  self.stats.doc_count) for _, t in q.slots)
         if self.mode == "lucene8":

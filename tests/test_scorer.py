@@ -57,6 +57,10 @@ QUERIES = [
     And((Phrase(((0, "table"), (1, "scan"))), Term("filter"))),
     Not(Term("merge"), Phrase(((0, "merge"), (1, "join")))),
     Phrase(((0, "zzz"), (1, "absent"))),
+    Phrase(((0, "merge"), (1, "join")), slop=2),
+    Phrase(((0, "table"), (1, "scan")), slop=1),
+    Phrase(((0, "fast"), (2, "key")), slop=3),
+    Phrase(((0, "spark"), (1, "merge"), (2, "join")), slop=2),
     DisMax((Term("merge"), Term("join"))),
     DisMax((Term("merge"), Term("join"), Term("scan")), tiebreak=0.3),
     Or((Term("merge", boost=2.0), Term("join"))),
