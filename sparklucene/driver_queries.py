@@ -807,7 +807,7 @@ ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 20""")
     def page2(spark, sf):
         docs = _t(spark, sf, "documents")
         w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        return (docs.withColumn("rn", F.row_number().over(w))
+        return (docs.withColumn("rn", F.row_number().over(w).cast("long"))
                 .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
                 .select("doc_id", "n_chars", "rn"))
     e["paging_page2"] = (page2, """
@@ -819,7 +819,7 @@ SELECT doc_id, n_chars, rn FROM (
     def top2_per_lang(spark, sf):
         docs = _t(spark, sf, "documents")
         w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        return (docs.withColumn("rn", F.row_number().over(w))
+        return (docs.withColumn("rn", F.row_number().over(w).cast("long"))
                 .filter(F.col("rn") <= 2)
                 .select("lang", "rn", "doc_id", "n_chars"))
     e["grouping_top2_per_group"] = (top2_per_lang, """

@@ -53,6 +53,10 @@ def test_contract(spark, name, pair):
     assert sorted(sdf.columns) == sorted(odf.columns), \
         f"schema mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     assert len(sdf) == len(odf), f"row count: spark={len(sdf)} oracle={len(odf)}"
+    for c in sdf.columns:
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        assert sk == ok or {sk, ok} <= {"i", "u"}, \
+            f"dtype kind mismatch on {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
     s, o = canon(sdf), canon(odf.astype({c: sdf[c].dtype for c in sdf.columns
                                          if c in odf.columns}, errors="ignore"))
     pd.testing.assert_frame_equal(s, o, check_exact=True, check_dtype=False)
