@@ -180,14 +180,34 @@ def index_for(spark: SparkSession, sf_dir: str) -> Index:
         return idx
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
     index_dir = os.path.join("/tmp", "sparklucene-idx", f"{os.path.basename(key)}-{tag}")
-    fresh = False
-    if os.path.exists(os.path.join(index_dir, "stats.json")):
-        fresh = load_stats(index_dir).get("format") == FORMAT_VERSION
-    if not fresh:
+
+    def _fresh() -> bool:
+        return (os.path.exists(os.path.join(index_dir, "stats.json"))
+                and load_stats(index_dir).get("format") == FORMAT_VERSION)
+
+    if not _fresh():
         import shutil
-        shutil.rmtree(index_dir, ignore_errors=True)
-        corpus = load_corpus(spark, sf_dir)
-        build_index(spark, corpus, index_dir)
+        import time as _time
+        # crude cross-process lock: queries may be invoked concurrently
+        lock = index_dir + ".lock"
+        os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+        got = False
+        try:
+            os.mkdir(lock)
+            got = True
+        except FileExistsError:
+            for _ in range(600):  # wait for the other builder (<=10 min)
+                _time.sleep(1)
+                if _fresh():
+                    break
+        if got:
+            try:
+                if not _fresh():
+                    shutil.rmtree(index_dir, ignore_errors=True)
+                    corpus = load_corpus(spark, sf_dir)
+                    build_index(spark, corpus, index_dir)
+            finally:
+                os.rmdir(lock)
     idx = Index(spark, index_dir)
     _INDEX_CACHE[key] = idx
     return idx
