@@ -113,6 +113,41 @@ def score_sql(tf_expr: str, dlq_expr: str, df_expr: str, n_expr: str,
     return f"cast(({idf_e} * {tf_expr}) / {denom} as real)"
 
 
+def idf_classic(df: int, doc_count: int) -> float:
+    """ClassicSimilarity (TF-IDF) idf — public Lucene 8.x
+    TFIDFSimilarity.idfExplain: log((docCount+1)/(docFreq+1)) + 1."""
+    return math.log((doc_count + 1) / (df + 1.0)) + 1.0
+
+
+def score_classic(tfs: np.ndarray, dlq: np.ndarray, df: int, doc_count: int,
+                  boost: float = 1.0) -> np.ndarray:
+    """ClassicSimilarity per-posting scores (Lucene 8.x TFIDFScorer):
+    score = boost * idf * sqrt(tf) * (1/sqrt(dlq)) — 8.x dropped
+    queryNorm/coord; lengthNorm consumes the same SmallFloat-quantized
+    length as BM25. Every op (sqrt, *, /) is IEEE-correctly-rounded, so a
+    SQL oracle reproduces values bit-exactly with the same expression.
+    """
+    w = boost * idf_classic(df, doc_count)
+    tf64 = np.asarray(tfs, dtype=np.float64)
+    d64 = np.asarray(dlq, dtype=np.float64)
+    return ((w * np.sqrt(tf64)) / np.sqrt(d64)).astype(np.float32)
+
+
+def score_classic_w(w: float, tfs: np.ndarray, dlq: np.ndarray) -> np.ndarray:
+    """Classic scoring with explicit weight (phrase: summed classic idfs)."""
+    tf64 = np.asarray(tfs, dtype=np.float64)
+    d64 = np.asarray(dlq, dtype=np.float64)
+    return ((w * np.sqrt(tf64)) / np.sqrt(d64)).astype(np.float32)
+
+
+def classic_score_sql(tf_expr: str, dlq_expr: str, df_expr: str,
+                      n_expr: str) -> str:
+    """DuckDB SQL mirroring ``score_classic`` term-for-term."""
+    idf_e = f"(ln(({n_expr} + 1) / ({df_expr} + 1.0)) + 1.0)"
+    return (f"cast(({idf_e} * sqrt(cast({tf_expr} as double)))"
+            f" / sqrt(cast({dlq_expr} as double)) as real)")
+
+
 def block_upper_bound_lucene8(max_tf: np.ndarray, min_norm: np.ndarray,
                               df: int, doc_count: int, sum_ttf: int,
                               boost: float = 1.0, k1: float = K1, b: float = B,

@@ -271,6 +271,22 @@ def _search_entries() -> dict[str, tuple[Callable, str | None]]:
         with_deletes,
         bm25_topk_sql(["spark", "merge"], k=10, exclude_docs=_DELETED))
 
+    # pluggable similarity: ClassicSimilarity (TF-IDF) over the same index
+    def classic(spark, sf):
+        return search(index_for(spark, sf),
+                      Or((Term("spark"), Term("merge"), Term("join"))),
+                      k=10, mode="classic", prune=True)
+    cscore = bm25.classic_score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count")
+    e["classic_similarity_or"] = (classic, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {cscore} AS s
+  FROM tf JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge', 'spark'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     # MoreLikeThis: top tf*idf terms of seed doc 42 -> OR, seed excluded
     def mlt(spark, sf):
         from sparklucene.mlt import more_like_this

@@ -75,6 +75,8 @@ def _term_scores(idx: OracleIndex, term: str, mode: str,
     if mode == "lucene8":
         s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count,
                                idx.sum_dl, boost=boost)
+    elif mode == "classic":
+        s = bm25.score_classic(t, idx.dlq[pos], df, idx.doc_count, boost=boost)
     else:
         s = bm25.score_f64(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl,
                            boost=boost)
@@ -111,6 +113,20 @@ def _sloppy_freqs(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     return freqs
 
 
+def _phrase_weighted(idx: OracleIndex, q: Phrase, tfs: np.ndarray,
+                     pos: np.ndarray, mode: str) -> np.ndarray:
+    idf_fn = bm25.idf_classic if mode == "classic" else bm25.idf
+    idf_total = sum(idf_fn(idx.df_of(t), idx.doc_count) for _, t in q.slots)
+    if mode == "lucene8":
+        return bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
+                                    idx.doc_count, idx.sum_dl)
+    if mode == "classic":
+        return bm25.score_classic_w(idf_total, tfs,
+                                    LENGTH_TABLE[idx.norm_bytes[pos]])
+    return bm25.score_f64_w(idf_total, tfs, LENGTH_TABLE[idx.norm_bytes[pos]],
+                            idx.doc_count, idx.sum_dl)
+
+
 def _phrase_scores(idx: OracleIndex, q: Phrase, mode: str) -> pd.Series:
     """Naive exact-phrase: intersect per-slot (doc, pos-offset) sets;
     tf = phrase frequency, idf = sum of slot-term idfs."""
@@ -121,16 +137,7 @@ def _phrase_scores(idx: OracleIndex, q: Phrase, mode: str) -> pd.Series:
         docs = np.array(sorted(freqs), dtype=np.int64)
         tfs = np.array([freqs[d] for d in docs], dtype=np.float64)
         pos = np.searchsorted(idx.doc_ids, docs)
-        idf_total = sum(bm25.idf(idx.df_of(t), idx.doc_count)
-                        for _, t in q.slots)
-        if mode == "lucene8":
-            s = bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
-                                     idx.doc_count, idx.sum_dl)
-        else:
-            s = bm25.score_f64_w(idf_total, tfs,
-                                 LENGTH_TABLE[idx.norm_bytes[pos]],
-                                 idx.doc_count, idx.sum_dl)
-        return pd.Series(s, index=docs)
+        return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=docs)
     keys: set[tuple[int, int]] | None = None
     for off, t in q.slots:
         rows = idx.tp[idx.tp["term"] == t]
@@ -145,14 +152,7 @@ def _phrase_scores(idx: OracleIndex, q: Phrase, mode: str) -> pd.Series:
     docs = np.array(sorted(freq), dtype=np.int64)
     tfs = np.array([freq[d] for d in docs], dtype=np.int64)
     pos = np.searchsorted(idx.doc_ids, docs)
-    idf_total = sum(bm25.idf(idx.df_of(t), idx.doc_count) for _, t in q.slots)
-    if mode == "lucene8":
-        s = bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
-                                 idx.doc_count, idx.sum_dl)
-    else:
-        s = bm25.score_f64_w(idf_total, tfs, LENGTH_TABLE[idx.norm_bytes[pos]],
-                             idx.doc_count, idx.sum_dl)
-    return pd.Series(s, index=docs)
+    return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=docs)
 
 
 def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:

@@ -119,6 +119,9 @@ class RangeScorer:
         if self.mode == "lucene8":
             return bm25.score_lucene8(tfs, nb, ts.df, self.stats.doc_count,
                                       self.stats.sum_dl, boost=boost)
+        if self.mode == "classic":
+            return bm25.score_classic(tfs, LENGTH_TABLE[nb], ts.df,
+                                      self.stats.doc_count, boost=boost)
         return bm25.score_f64(tfs, LENGTH_TABLE[nb], ts.df, self.stats.doc_count,
                               self.stats.sum_dl, boost=boost)
 
@@ -128,6 +131,12 @@ class RangeScorer:
             return bm25.block_upper_bound_lucene8(
                 cell.block_max_tf, cell.block_min_norm, ts.df,
                 self.stats.doc_count, self.stats.sum_dl)
+        if self.mode == "classic":
+            # sqrt(tf)/sqrt(dlq) is monotone in (max_tf, min_norm) too
+            return bm25.score_classic(
+                np.asarray(cell.block_max_tf, dtype=np.int64),
+                LENGTH_TABLE[np.asarray(cell.block_min_norm, dtype=np.uint8)],
+                ts.df, self.stats.doc_count)
         return bm25.block_upper_bound_f64(
             cell.block_max_tf, cell.block_min_norm, ts.df,
             self.stats.doc_count, self.stats.sum_dl)
@@ -274,15 +283,21 @@ class RangeScorer:
         t0 = by_df[0]
         d0, _, _ = decoded[t0]
         nb = self.cells[t0].norms()[np.searchsorted(d0, pdocs)]
-        idf_total = sum(bm25.idf(self.stats.term_stats[t].df,
-                                 self.stats.doc_count) for _, t in q.slots)
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
+
+    def _phrase_weighted(self, q: Phrase, pfreq: np.ndarray,
+                         nb: np.ndarray) -> np.ndarray:
+        """Phrase scoring with the mode's summed-idf weight."""
+        idf_fn = bm25.idf_classic if self.mode == "classic" else bm25.idf
+        idf_total = sum(idf_fn(self.stats.term_stats[t].df,
+                               self.stats.doc_count) for _, t in q.slots)
         if self.mode == "lucene8":
-            s = bm25.score_lucene8_w(idf_total, pfreq, nb,
-                                     self.stats.doc_count, self.stats.sum_dl)
-        else:
-            s = bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
-                                 self.stats.doc_count, self.stats.sum_dl)
-        return pdocs, s
+            return bm25.score_lucene8_w(idf_total, pfreq, nb,
+                                        self.stats.doc_count, self.stats.sum_dl)
+        if self.mode == "classic":
+            return bm25.score_classic_w(idf_total, pfreq, LENGTH_TABLE[nb])
+        return bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
+                                self.stats.doc_count, self.stats.sum_dl)
 
     def _sloppy_scores(self, q: Phrase) -> tuple[np.ndarray, np.ndarray]:
         """Proximity phrase (pinned engine spec, Lucene-inspired):
@@ -345,15 +360,7 @@ class RangeScorer:
         t_anchor = min(dterms, key=lambda t: self.stats.term_stats[t].df)
         d0 = decoded[t_anchor][0]
         nb = self.cells[t_anchor].norms()[np.searchsorted(d0, pdocs)]
-        idf_total = sum(bm25.idf(self.stats.term_stats[t].df,
-                                 self.stats.doc_count) for _, t in q.slots)
-        if self.mode == "lucene8":
-            s = bm25.score_lucene8_w(idf_total, pfreq, nb,
-                                     self.stats.doc_count, self.stats.sum_dl)
-        else:
-            s = bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
-                                 self.stats.doc_count, self.stats.sum_dl)
-        return pdocs, s
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
 
     # ---- generic clause scoring (phrase-aware booleans) -----------------
 

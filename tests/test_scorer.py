@@ -69,7 +69,7 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("mode", ["lucene8", "f64"])
+@pytest.mark.parametrize("mode", ["lucene8", "f64", "classic"])
 @pytest.mark.parametrize("k", [1, 5, 10, 100])
 def test_pruned_equals_exhaustive_equals_oracle(oidx, mode, k):
     for q in QUERIES:
