@@ -116,6 +116,11 @@ class AnalyzerConfig:
     split_word_delims: bool = False
     stopwords: frozenset = field(default=ENGLISH_STOP_WORDS)
     min_len: int = 1
+    #: token -> token normalization applied after tokenization (the
+    #: SynonymFilter / dictionary-stemmer slot: e.g. {"joins": "join"}).
+    #: Applied to the DISTINCT vocabulary then broadcast back — never
+    #: per-token Python (SURVEY §2.2's term-dictionary-join design).
+    term_map: tuple[tuple[str, str], ...] = ()
 
     def token_regex(self) -> re.Pattern:
         if self.tokenizer == "standard":
@@ -169,6 +174,13 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
     docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lengths)
     ends = np.cumsum(lengths)
     pos = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - lengths, lengths)
+    if cfg.term_map:
+        # map the distinct vocabulary once, then take[] back — O(V) dict
+        # probes instead of O(tokens)
+        codes, uniques = pd.factorize(pd.Series(flat))
+        tm = dict(cfg.term_map)
+        mapped = np.array([tm.get(u, u) for u in uniques], dtype=object)
+        flat = mapped[codes]
     keep = np.ones(flat.size, dtype=bool)
     if cfg.stopwords:
         stop_arr = np.array(sorted(cfg.stopwords), dtype=object)

@@ -73,3 +73,26 @@ def test_engine_with_word_delimiter_analyzer(spark, tmp_path):
     assert all(r["doc_id"] % 2 == 0 for r in hits)
     # standard analyzer would have kept 'getusername' whole: no subword hit
     assert search(idx, "getusername", k=5).count() == 0
+
+
+def test_term_map_synonym_normalization(spark, tmp_path):
+    """SynonymFilter / dictionary-stemmer slot: tokens normalized at index
+    time; queries analyzed with the same map find both surface forms."""
+    from sparklucene.build import build_index
+    from sparklucene.search import Index, search
+
+    cfg = AnalyzerConfig(term_map=(("joins", "join"), ("joined", "join"),
+                                   ("quick", "fast")))
+    assert toks("joins joined join quick", cfg) == ["join", "join", "join", "fast"]
+
+    rows = [(0, "r", "p0", "c", "py", "spark joins tables"),
+            (1, "r", "p1", "c", "py", "spark joined tables"),
+            (2, "r", "p2", "c", "py", "spark join tables"),
+            (3, "r", "p3", "c", "py", "nothing relevant here")]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, commit string, "
+              "lang string, content string")
+    d = str(tmp_path / "syn-idx")
+    build_index(spark, corpus, d, drange_size=8, analyzer=cfg)
+    hits = {r["doc_id"] for r in search(Index(spark, d), "join", k=10).collect()}
+    assert hits == {0, 1, 2}
