@@ -186,22 +186,32 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def _completed_dranges(paths: IndexPaths) -> set[int]:
-    done: set[int] = set()
+def _manifests(paths: IndexPaths) -> dict[int, dict]:
+    """Completed per-range manifests keyed by drange (lineage records)."""
+    out: dict[int, dict] = {}
     if os.path.isdir(paths.manifest_dir):
         for f in os.listdir(paths.manifest_dir):
             if f.endswith(".json"):
                 with open(os.path.join(paths.manifest_dir, f)) as fh:
-                    done.add(json.load(fh)["drange"])
-    return done
+                    m = json.load(fh)
+                out[m["drange"]] = m
+    return out
+
+
+def _completed_dranges(paths: IndexPaths) -> set[int]:
+    return set(_manifests(paths))
 
 
 def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
            stopwords=ENGLISH_STOP_WORDS, resume: bool = True,
            store_positions: bool = True,
-           analyzer: AnalyzerConfig | None = None) -> pd.DataFrame:
+           analyzer: AnalyzerConfig | None = None,
+           lineage: dict | None = None) -> pd.DataFrame:
     """Stage A: per-doc-range invert with per-partition checkpoints.
 
+    ``lineage`` (e.g. ``{"batch_id": 7}``) is merged into every range
+    manifest this call writes — callers that must detect cross-generation
+    range conflicts (streaming.py) read it back via :func:`_manifests`.
     Returns the manifest (one row per range, status built|skipped).
     """
     os.makedirs(paths.manifest_dir, exist_ok=True)
@@ -215,6 +225,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
         dr = int(key[0])
         postings, docmeta, man = _invert_one_range(pdf, dr, stop,
                                                    store_positions, analyzer)
+        if lineage:
+            man.update(lineage)
         _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
         _atomic_write(docmeta, os.path.join(partials_dir, f"docmeta-{dr:06d}.parquet"))
         mpath = os.path.join(manifest_dir, f"part-{dr:06d}.json")

@@ -188,18 +188,45 @@ def index_for(spark: SparkSession, sf_dir: str) -> Index:
     if not _fresh():
         import shutil
         import time as _time
-        # crude cross-process lock: queries may be invoked concurrently
+
+        def _last_progress(lock: str) -> float:
+            """Most recent mtime under the index dir (builders write
+            partials/manifests continuously) or of the lock itself."""
+            newest = 0.0
+            for p in (lock, index_dir):
+                if os.path.isdir(p):
+                    newest = max(newest, os.path.getmtime(p))
+                    for root, _dirs, files in os.walk(p):
+                        for f in files:
+                            try:
+                                newest = max(newest, os.path.getmtime(
+                                    os.path.join(root, f)))
+                            except OSError:
+                                pass
+            return newest
+
+        # crude cross-process lock: queries may be invoked concurrently.
+        # A lock whose holder died (no index progress for LOCK_TTL) is
+        # taken over instead of spinning forever on a stale dir.
+        LOCK_TTL = 180.0
         lock = index_dir + ".lock"
         os.makedirs(os.path.dirname(index_dir), exist_ok=True)
         got = False
-        try:
-            os.mkdir(lock)
-            got = True
-        except FileExistsError:
-            for _ in range(600):  # wait for the other builder (<=10 min)
-                _time.sleep(1)
-                if _fresh():
+        deadline = _time.time() + 1200
+        while not got and not _fresh():
+            try:
+                os.mkdir(lock)
+                got = True
+            except FileExistsError:
+                if _time.time() - _last_progress(lock) > LOCK_TTL:
+                    try:
+                        os.rmdir(lock)  # stale-holder takeover
+                    except OSError:
+                        pass
+                    continue
+                if _time.time() > deadline:
                     break
+                _time.sleep(1)
         if got:
             try:
                 if not _fresh():
@@ -208,6 +235,11 @@ def index_for(spark: SparkSession, sf_dir: str) -> Index:
                     build_index(spark, corpus, index_dir)
             finally:
                 os.rmdir(lock)
+        if not _fresh():
+            raise RuntimeError(
+                f"index at {index_dir} is not complete after waiting for a "
+                "concurrent builder (stale lock taken over or builder "
+                "failed) — remove the directory and retry")
     idx = Index(spark, index_dir)
     _INDEX_CACHE[key] = idx
     return idx

@@ -236,6 +236,7 @@ def analyze_phrase(text: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
 
 
 _PART_RE = None
+_QUOTED_RE = None
 
 
 def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
@@ -249,10 +250,18 @@ def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
     """
     import re as _re
 
-    global _PART_RE
+    global _PART_RE, _QUOTED_RE
     if _PART_RE is None:
         _PART_RE = _re.compile(r'([+-]?)"([^"]*)"(~(\d+))?|(\S+)')
-    raw = query.replace(" AND ", " +").replace(" NOT ", " -").replace(" OR ", " ")
+        _QUOTED_RE = _re.compile(r'([+-]?"[^"]*"(?:~\d+)?)')
+    # operator rewrites must never touch quoted segments: '"fast AND key"'
+    # must keep its stopword gap ((0,'fast'),(2,'key')), so split out the
+    # quoted spans first and rewrite only the unquoted remainder
+    parts = _QUOTED_RE.split(query)
+    raw = "".join(
+        p if i % 2 else
+        p.replace(" AND ", " +").replace(" NOT ", " -").replace(" OR ", " ")
+        for i, p in enumerate(parts))
     must: list[Query] = []
     should: list[Query] = []
     neg: list[Query] = []

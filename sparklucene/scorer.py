@@ -264,6 +264,18 @@ class RangeScorer:
             cand = cand[~np.isin(cand, self._neg_mask_docs, assume_unique=True)]
         if cand.size == 0:
             return cand, np.empty(0, np.float32)
+        # packed (doc, base) keys split a uint64 at bit 32 — guard the
+        # domain so large ids (e.g. log-offset-derived) fail loudly instead
+        # of silently colliding
+        for t in dterms:
+            d_t, _, p_t = decoded[t]
+            if d_t.size and (int(d_t[-1]) >= 1 << 32
+                             or (p_t.size and int(p_t.max()) >= 1 << 31)):
+                raise ValueError(
+                    "phrase matching requires doc_id < 2^32 and token "
+                    f"positions < 2^31 (term {t!r}: max doc_id "
+                    f"{int(d_t[-1])}, max pos "
+                    f"{int(p_t.max()) if p_t.size else 0})")
         keys = None
         for off, t in q.slots:
             docs, tfs, pos = decoded[t]

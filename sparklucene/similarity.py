@@ -67,10 +67,27 @@ def _plane_coeff(i: int, j: int) -> int:
     return (i * 31 + j * 17) % 13 - 6
 
 
+def _infer_dim(embeddings: DataFrame, col: str = "embedding") -> int:
+    """Embedding dimensionality from the first row (one tiny driver job)."""
+    row = embeddings.select(F.size(col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError("cannot infer embedding dim: table is empty "
+                         "or first embedding is null/empty")
+    return int(row["d"])
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
-                       dim: int = 64) -> DataFrame:
+                       dim: int | None = None) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: bit i = sign of the
-    (exact, integer) projection onto deterministic plane i."""
+    (exact, integer) projection onto deterministic plane i.
+
+    ``dim`` is inferred from the data when omitted. A row whose embedding
+    size differs from ``dim`` raises (assert folded into the bucket
+    expression) — silent NULL-padded projections would collapse vectors
+    into degenerate buckets and destroy recall.
+    """
+    if dim is None:
+        dim = _infer_dim(embeddings)
     base = quantize(embeddings)
     bits = []
     for i in range(n_planes):
@@ -81,14 +98,21 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
-    return base.withColumn("bucket", bucket.cast("long"))
+    dim_ok = F.assert_true(F.size("q") == F.lit(dim),
+                           F.lit(f"embedding dim mismatch: expected {dim}"))
+    # when(dim_ok.isNull(), ...) keeps the assert inside the used column so
+    # Catalyst cannot prune it away
+    return base.withColumn("bucket",
+                           F.when(dim_ok.isNull(), bucket.cast("long")))
 
 
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                    n_planes: int = 8, dim: int = 64) -> DataFrame:
+                    n_planes: int = 8, dim: int | None = None) -> DataFrame:
     """ANN top-k restricted to the query's hyperplane bucket (the recall/
     cost dial is n_planes; multi-probe = drop bits, not implemented here).
     """
+    if dim is None:
+        dim = _infer_dim(embeddings)
     bucketed = hyperplane_buckets(embeddings, n_planes, dim) \
         .select("vec_id", "q", "norm2", "bucket")
     queries = (bucketed.filter(F.col("vec_id").isin(query_ids))

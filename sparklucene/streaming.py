@@ -30,8 +30,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparklucene.build import IndexPaths, invert, merge
-from sparklucene.corpus import CORPUS_COLS
+from sparklucene.build import IndexPaths, _manifests, invert, merge
+from sparklucene.corpus import CORPUS_COLS, with_drange
 
 
 def start_incremental_index(stream: DataFrame, index_dir: str,
@@ -44,6 +44,13 @@ def start_incremental_index(stream: DataFrame, index_dir: str,
     doc_id + content). Every micro-batch flushes segment partials; every
     ``compact_every`` batches, compaction publishes a fresh searchable
     postings generation.
+
+    The one-generation-per-range constraint (module docstring) is ENFORCED,
+    not just documented: each batch's manifests record its ``batch_id``,
+    and a batch that contains docs for a range completed by a *different*
+    batch fails fast (silently re-skipping the range would drop those docs
+    and undercount stats). A crashed batch replaying under the same
+    batch_id still resumes idempotently.
     Returns the StreamingQuery (caller owns awaitTermination/stop).
     """
     spark = stream.sparkSession
@@ -53,7 +60,25 @@ def start_incremental_index(stream: DataFrame, index_dir: str,
         batch = batch_df.select(*cols)
         if not batch.take(1):
             return
-        invert(batch, IndexPaths(index_dir), drange_size, resume=True)
+        paths = IndexPaths(index_dir)
+        done = _manifests(paths)
+        if done:
+            branges = {r["drange"] for r in
+                       with_drange(batch.select("doc_id"), drange_size)
+                       .select("drange").distinct().collect()}
+            conflicts = sorted(
+                dr for dr in branges & set(done)
+                if done[dr].get("batch_id") != int(batch_id))
+            if conflicts:
+                raise ValueError(
+                    f"micro-batch {batch_id} carries docs for doc-ranges "
+                    f"{conflicts[:8]}{'...' if len(conflicts) > 8 else ''} "
+                    "already built by an earlier batch; a doc range must be "
+                    "fully contained in one micro-batch (give each batch "
+                    "its own contiguous id range, or rebuild with a "
+                    "drange_size that divides the batch boundaries)")
+        invert(batch, paths, drange_size, resume=True,
+               lineage={"batch_id": int(batch_id)})
         if compact_every and batch_id % compact_every == compact_every - 1:
             merge(spark, IndexPaths(index_dir), drange_size)
 
