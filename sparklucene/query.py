@@ -147,6 +147,124 @@ class MatchNoDocs(Query):
         return []
 
 
+@dataclass(frozen=True)
+class MatchAllDocs(Query):
+    """MatchAllDocsQuery: every live doc matches with score = boost
+    (public Lucene behavior). Supported standalone, as the positive side
+    of Not/Filtered, and inside And (where it contributes its constant
+    boost); inside Or it would require doc-universe iteration per range
+    and is rejected at rewrite."""
+
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class Filtered(Query):
+    """BooleanQuery FILTER occur (Solr ``fq=``): docs must match
+    ``filter``, but only ``positive`` contributes score — Lucene's
+    non-scoring filter context / FilterScorer."""
+
+    positive: Query
+    filter: Query
+
+    def terms(self) -> list[str]:
+        return sorted(set(self.positive.terms()) | set(self.filter.terms()))
+
+    def neg_terms(self) -> list[str]:
+        return sorted(set(self.positive.neg_terms())
+                      | set(self.filter.neg_terms()))
+
+
+@dataclass(frozen=True)
+class ConstantScore(Query):
+    """ConstantScoreQuery: docs matching ``child`` score exactly
+    ``boost`` (the scoring shape MultiTermQuery rewrites into)."""
+
+    child: Query
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.child.terms()
+
+    def neg_terms(self) -> list[str]:
+        return self.child.neg_terms()
+
+
+class MultiTermQuery(Query):
+    """Base for term-dictionary-expanded queries (PrefixQuery,
+    WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery,
+    TermInSetQuery). ``search()`` expands each node against the termstats
+    dictionary (NOT the postings table) and rewrites it into
+    ``ConstantScore(Or(expanded terms))`` — Lucene's
+    CONSTANT_SCORE_REWRITE — so these compose inside any boolean.
+    ``terms()`` is empty until expansion."""
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
+class Prefix(MultiTermQuery):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard(MultiTermQuery):
+    """``*`` = any run, ``?`` = one char (Lucene WildcardQuery)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regexp(MultiTermQuery):
+    """Full-term-anchored regexp (Lucene RegexpQuery semantics)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy(MultiTermQuery):
+    term: str
+    max_edits: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange(MultiTermQuery):
+    lo: str | None = None
+    hi: str | None = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSet(MultiTermQuery):
+    in_terms: tuple[str, ...] = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiPhrase(Query):
+    """MultiPhraseQuery: each slot holds ALTERNATIVE terms at one
+    position offset — a doc matches when some base position carries any
+    alternative of slot i at base+offset_i for every slot. Scored like
+    Phrase with idf summed over every alternative of every slot
+    (MultiPhraseWeight collects all TermStatistics — public Lucene
+    behavior). Exact matching only (slop unsupported)."""
+
+    slots: tuple[tuple[int, tuple[str, ...]], ...]
+
+    def terms(self) -> list[str]:
+        return sorted({t for _, alts in self.slots for t in alts})
+
+
 def rewrite(q: Query) -> Query:
     """BooleanQuery.rewrite-style simplification (public Lucene behavior)."""
     if isinstance(q, (Term, MatchNoDocs)):

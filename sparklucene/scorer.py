@@ -108,6 +108,7 @@ class RangeScorer:
                         if deleted is not None else np.empty(0, np.int64))
         self.metrics = ScoreMetrics()
         self._neg_mask_docs: np.ndarray | None = None
+        self._after: tuple[float, int] | None = None
 
     # ---- scoring primitives -------------------------------------------
 
@@ -163,9 +164,21 @@ class RangeScorer:
 
     # ---- top-level evaluation ------------------------------------------
 
-    def topk(self, q: Query, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def topk(self, q: Query, k: int,
+             after: tuple[float, int] | None = None
+             ) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, float32 scores) — partition-local top-k, score desc,
-        doc asc."""
+        doc asc.
+
+        ``after`` is a (score, doc_id) cursor (searchAfter / CursorMark):
+        only hits strictly after that sort key are collected, and the
+        local heap stays k-bounded — deep pages never materialize the
+        full match set. Pruning stays safe: θ is maintained over the
+        *qualified* collected hits only (single-term path); OR queries
+        fall back to exhaustive scoring because a seed-term θ is not a
+        valid lower bound once high-scoring docs are cursor-excluded.
+        """
+        self._after = after
         q, neg_query = self._split_neg(q)
         self._neg_mask_docs = self.deleted  # live-docs mask (deletions)
         if neg_query is not None:
@@ -187,7 +200,21 @@ class RangeScorer:
             docs, scores = self._eval_or(q, k)
         else:
             docs, scores = self._clause_scores(q)
+        docs, scores = self._cursor_mask(docs, scores)
         return _take_topk(docs, scores, k)
+
+    def _cursor_mask(self, docs: np.ndarray, scores: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Keep hits strictly after the (score desc, doc asc) cursor.
+        Applied only to TOP-LEVEL results (inner boolean clauses must keep
+        every contribution); idempotent, so paths that mask early for θ
+        safety are unaffected by the final pass."""
+        if self._after is None or docs.size == 0:
+            return docs, scores
+        a_s, a_d = float(self._after[0]), int(self._after[1])
+        s64 = scores.astype(np.float64)
+        m = (s64 < a_s) | ((s64 == a_s) & (docs > a_d))
+        return docs[m], scores[m]
 
     def _split_neg(self, q: Query) -> tuple[Query, Query | None]:
         if isinstance(q, Not):
@@ -207,8 +234,11 @@ class RangeScorer:
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
         if not self.prune or docs.size <= k or self._neg_mask_docs.size:
-            return docs, self._score_arrays(term, tfs, norms)
-        # block-at-a-time with descending-ub order and running θ
+            return self._cursor_mask(docs, self._score_arrays(term, tfs, norms))
+        # block-at-a-time with descending-ub order and running θ; under a
+        # cursor, θ is the kth best among QUALIFIED hits only (collecting
+        # unqualified scores into θ would over-prune lower-scoring blocks
+        # that still hold page-2 docs)
         alldocs, _ = cell.decode()
         ubs = self._block_ubs(term, cell)
         order = np.argsort(-ubs.astype(np.float64), kind="stable")
@@ -225,13 +255,15 @@ class RangeScorer:
                 continue
             sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
             bd, bt, bn = alldocs[sl], tfs[sl], norms[sl]
-            s = self._score_arrays(term, bt, bn)
+            bd, s = self._cursor_mask(bd, self._score_arrays(term, bt, bn))
             out_docs.append(bd)
             out_scores.append(s)
             n_collected += bd.size
             if n_collected >= k:
                 allsc = np.concatenate(out_scores)
                 theta = np.partition(allsc, allsc.size - k)[allsc.size - k]
+        if not out_docs:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
         return np.concatenate(out_docs), np.concatenate(out_scores)
 
     # ---- phrase: positional intersection -------------------------------
@@ -343,31 +375,51 @@ class RangeScorer:
             cand = cand[~np.isin(cand, self._neg_mask_docs, assume_unique=True)]
         if cand is None or cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
+        # fully vectorized across ALL candidate docs (no per-doc Python
+        # loop): nearest-position lookups use packed uint64 (doc, pos+BIAS)
+        # keys so one global searchsorted serves every anchor of every doc;
+        # clipping to the doc's own [lo, hi) slice localizes the answer.
+        BIAS = 1 << 20  # headroom for negative targets (base = p0 - off0)
+        if any(off >= BIAS for off, _ in q.slots):
+            raise ValueError("phrase slot offsets must be < 2^20")
+        for t in dterms:
+            d_t, _, p_t = decoded[t]
+            if d_t.size and (int(d_t[-1]) >= 1 << 32
+                             or (p_t.size and int(p_t.max()) >= 1 << 31)):
+                raise ValueError(
+                    "sloppy phrase matching requires doc_id < 2^32 and "
+                    "token positions < 2^31")
         (off0, t0), rest = q.slots[0], q.slots[1:]
-        out_docs, out_freq = [], []
-        for doc in cand:
-            def pos_of(t, doc=doc):
-                docs, cum, pos = decoded[t]
-                i = int(np.searchsorted(docs, doc))
-                return pos[cum[i]:cum[i + 1]]
-            anchors = pos_of(t0) - off0
-            total = np.zeros(anchors.size, dtype=np.int64)
-            for off, t in rest:
-                p = pos_of(t)
-                target = anchors + off
-                j = np.clip(np.searchsorted(p, target), 0, p.size - 1)
-                jl = np.clip(j - 1, 0, p.size - 1)
-                total += np.minimum(np.abs(p[j] - target),
-                                    np.abs(p[jl] - target))
-            m = total <= q.slop
-            if m.any():
-                freq = float(np.sum(np.ldexp(1.0, -total[m])))
-                out_docs.append(int(doc))
-                out_freq.append(freq)
-        if not out_docs:
+        docs0, cum0, pos0 = decoded[t0]
+        docs0_rep = np.repeat(docs0, np.diff(cum0))
+        m0 = np.isin(docs0_rep, cand, assume_unique=False)
+        anchor_docs = docs0_rep[m0]
+        anchors = pos0[m0] - off0
+        if anchor_docs.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        pdocs = np.asarray(out_docs, dtype=np.int64)
-        pfreq = np.asarray(out_freq, dtype=np.float64)
+        adoc_keys = anchor_docs.astype(np.uint64) << np.uint64(32)
+        total = np.zeros(anchors.size, dtype=np.int64)
+        for off, t in rest:
+            docs_t, cum_t, pos_t = decoded[t]
+            key_t = ((np.repeat(docs_t, np.diff(cum_t)).astype(np.uint64)
+                      << np.uint64(32))
+                     | (pos_t + BIAS).astype(np.uint64))
+            target = anchors + off
+            tkey = adoc_keys | (target + BIAS).astype(np.uint64)
+            seg = np.searchsorted(docs_t, anchor_docs)
+            lo, hi = cum_t[seg], cum_t[seg + 1]
+            j = np.searchsorted(key_t, tkey)
+            jc = np.clip(j, lo, hi - 1)
+            jl = np.clip(j - 1, lo, hi - 1)
+            total += np.minimum(np.abs(pos_t[jc] - target),
+                                np.abs(pos_t[jl] - target))
+        m = total <= q.slop
+        if not m.any():
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        # group anchor weights 2^-D per doc (dyadic -> order-proof sums)
+        pdocs, inv = np.unique(anchor_docs[m], return_inverse=True)
+        pfreq = np.zeros(pdocs.size, dtype=np.float64)
+        np.add.at(pfreq, inv, np.ldexp(1.0, -total[m]))
         self.metrics.docs_scored += int(pdocs.size)
         t_anchor = min(dterms, key=lambda t: self.stats.term_stats[t].df)
         d0 = decoded[t_anchor][0]
@@ -460,7 +512,8 @@ class RangeScorer:
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         msm = q.min_should_match
-        if not self.prune or msm > 1 or len(terms) == 1:
+        if (not self.prune or msm > 1 or len(terms) == 1
+                or self._after is not None):
             return self._or_exhaustive(terms, msm)
 
         term_ub = {t: float(self._block_ubs(t, self.cells[t]).max(initial=0.0))

@@ -54,6 +54,8 @@ class Index:
         self._postings: DataFrame | None = None
         self._termstats: DataFrame | None = None
         self._tstats_memo: dict[str, TermStats | None] = {}
+        self._deleted: list[int] | None = None
+        self._deleted_bc = None
 
     def postings(self) -> DataFrame:
         if self._postings is None:
@@ -75,14 +77,36 @@ class Index:
         return self._termstats
 
     def deleted_ids(self) -> list[int]:
-        """Persisted deletions (live-docs). Small by assumption — Lucene
-        keeps the live-docs bitset in RAM per segment too; bulk deletion
-        should rebuild instead."""
-        path = os.path.join(self.paths.root, "deletes")
-        if not os.path.isdir(path):
-            return []
-        return sorted(r["doc_id"] for r in
-                      self.spark.read.parquet(path).collect())
+        """Persisted deletions (live-docs). Memoized on the handle — one
+        Spark job per cold handle, zero per query (Lucene keeps the
+        live-docs bitset in RAM per segment too). Small by assumption;
+        beyond ~10^6 deletes switch to an anti-join on the candidate side
+        and rebuild periodically."""
+        if self._deleted is None:
+            path = os.path.join(self.paths.root, "deletes")
+            if not os.path.isdir(path):
+                self._deleted = []
+            else:
+                self._deleted = sorted(
+                    r["doc_id"] for r in
+                    self.spark.read.parquet(path).collect())
+        return self._deleted
+
+    def deleted_broadcast(self):
+        """sc.broadcast of the live-docs exclusion array — shipped to
+        executors once per handle generation, never in a per-query UDF
+        closure."""
+        if self._deleted_bc is None:
+            self._deleted_bc = self.spark.sparkContext.broadcast(
+                np.asarray(self.deleted_ids(), dtype=np.int64))
+        return self._deleted_bc
+
+    def invalidate_deletes(self) -> None:
+        """Drop the memoized live-docs state (called by delete_docs)."""
+        if self._deleted_bc is not None:
+            self._deleted_bc.unpersist()
+        self._deleted = None
+        self._deleted_bc = None
 
     def term_stats_for(self, terms: list[str]) -> dict[str, TermStats]:
         """df/cf per term (Lucene TermStates.build). Memoized per handle —
@@ -107,7 +131,8 @@ def _as_query(query: str | Query) -> Query:
 def search(index: Index, query: str | Query, k: int | None = 10,
            mode: str = "lucene8", prune: bool = True,
            hydrate: DataFrame | None = None,
-           exclude_docs: list[int] | None = None) -> DataFrame:
+           exclude_docs: list[int] | None = None,
+           after: tuple[float, int] | None = None) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
@@ -117,13 +142,16 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     ``exclude_docs`` are live-docs deletions (Lucene's per-segment deleted
     bitset): masked out inside each range scorer BEFORE any top-k heap, so
     deleted docs can never shadow live results. Deletions persisted via
-    :func:`delete_docs` are applied automatically.
+    :func:`delete_docs` are applied automatically (broadcast once per
+    handle, not shipped per query).
+    ``after`` is a (score, doc_id) keyset cursor — each range collects
+    only hits strictly after it and stays k-bounded (searchAfter).
     """
     spark = index.spark
     q = _as_query(query)
-    deleted = index.deleted_ids()
-    if exclude_docs:
-        deleted = sorted(set(deleted) | set(int(d) for d in exclude_docs))
+    bdel = index.deleted_broadcast()
+    extra = (np.asarray(sorted({int(d) for d in exclude_docs}), np.int64)
+             if exclude_docs else None)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
     if isinstance(q, MatchNoDocs):
         return _hydrate(empty, hydrate)
@@ -170,9 +198,13 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                 block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
                 pos_bytes=bytes(r.pos_bytes) if r.pos_bytes is not None else b"",
             )
+        deleted = bdel.value
+        if extra is not None:
+            deleted = np.union1d(deleted, extra)
         scorer = RangeScorer(cells, gstats, mode=mode, prune=prune,
-                             deleted=np.asarray(deleted, dtype=np.int64))
-        docs, scores = scorer.topk(q, k if k is not None else (1 << 31))
+                             deleted=deleted)
+        docs, scores = scorer.topk(q, k if k is not None else (1 << 31),
+                                   after=after)
         return pd.DataFrame({"doc_id": docs.astype(np.int64),
                              "score": scores.astype(np.float64)})
 
@@ -193,6 +225,7 @@ def delete_docs(index: Index, doc_ids: list[int]) -> int:
     allids = sorted(existing | {int(d) for d in doc_ids})
     (index.spark.createDataFrame([(d,) for d in allids], "doc_id long")
      .coalesce(1).write.mode("overwrite").parquet(path))
+    index.invalidate_deletes()
     return len(allids)
 
 
@@ -210,16 +243,14 @@ def total_hits(index: Index, query: str | Query, mode: str = "lucene8"
 
 def search_after(index: Index, query: str | Query, k: int,
                  after: tuple[float, int], mode: str = "lucene8",
-                 ) -> DataFrame:
+                 prune: bool = True) -> DataFrame:
     """CursorMark deep paging: next k results strictly after the
-    (score, doc_id) sort key — stateless keyset predicate, no deep
-    offset scan (searchAfter / CursorMark public behavior)."""
-    a_score, a_doc = float(after[0]), int(after[1])
-    cand = matches(index, query, mode)
-    nxt = cand.filter(
-        (F.col("score") < F.lit(a_score))
-        | ((F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc))))
-    return nxt.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    (score, doc_id) sort key — stateless keyset cursor evaluated INSIDE
+    each range scorer (searchAfter / CursorMark public behavior): local
+    heaps stay k-bounded and single-term block-max pruning still applies,
+    so page 2 never materializes or shuffles the full match set."""
+    return search(index, query, k=k, mode=mode, prune=prune,
+                  after=(float(after[0]), int(after[1])))
 
 
 def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:

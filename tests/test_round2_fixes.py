@@ -84,6 +84,52 @@ def test_phrase_ok_below_the_guard():
 
 
 # ---------------------------------------------------------------------------
+# searchAfter: cursor evaluated inside the scorer, k-bounded, still pruned
+# ---------------------------------------------------------------------------
+
+def test_cursor_topk_equals_offset_slice_all_query_shapes(corpus_pdf):
+    from sparklucene.query import And, Or, Phrase, Term
+
+    pdf = corpus_pdf[["doc_id", "content"]]
+    queries = [Term("merge"),
+               Or((Term("query"), Term("scan"))),
+               And((Term("table"), Term("scan"))),
+               Phrase(((0, "merge"), (1, "join"))),
+               Phrase(((0, "table"), (1, "scan")), slop=2)]
+    for q in queries:
+        ex = _scorer_for(pdf)
+        ex.prune = False
+        fd, fs = ex.topk(q, len(pdf))  # full sorted ranking
+        if fd.size < 12:
+            continue
+        after = (float(fs[9]), int(fd[9]))
+        pr = _scorer_for(pdf)
+        d2, s2 = pr.topk(q, 10, after=after)
+        assert d2.tolist() == fd[10:20].tolist(), q
+        assert s2.tolist() == fs[10:20].tolist(), q
+
+
+def test_cursor_single_term_pruning_skips_blocks():
+    from sparklucene.query import Term
+
+    n = 3000
+    content = ["spark " * 5 if i < 1280 else "spark" for i in range(n)]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "content": content})
+    ex = _scorer_for(pdf)
+    ex.prune = False
+    fd, fs = ex.topk(Term("spark"), n)
+    after = (float(fs[9]), int(fd[9]))
+    pr = _scorer_for(pdf)
+    d2, s2 = pr.topk(Term("spark"), 10, after=after)
+    assert d2.tolist() == fd[10:20].tolist()
+    assert s2.tolist() == fs[10:20].tolist()
+    # the low-tf tail blocks fall under the qualified θ and are skipped
+    assert pr.metrics.blocks_skipped > 0
+    assert pr.metrics.docs_scored < ex.metrics.docs_scored
+
+
+# ---------------------------------------------------------------------------
 # streaming: a batch straddling a completed doc-range fails fast
 # ---------------------------------------------------------------------------
 
