@@ -1488,6 +1488,178 @@ FROM documents""")
     return e
 
 
+def _example_similarity(tf, dl, df, doc_count, sum_dl):
+    """Pluggable-Similarity example (SURVEY.md §2.13): tf-saturation
+    ``tf / (tf + dl/avgdl)`` — log-free so every float op is IEEE
+    correctly-rounded and the DuckDB oracle reproduces it bit-for-bit
+    (``dl`` is the SmallFloat-quantized length the index stores)."""
+    avgdl = sum_dl / doc_count
+    return tf / (tf + dl / avgdl)
+
+
+def _query_algebra_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Round-2 query-algebra completeness (SURVEY.md §2.4-2.5):
+    MatchAllDocs, FILTER occur, constant-score multi-term rewrites
+    composable inside scored booleans, MultiPhrase, BooleanSimilarity,
+    user-supplied similarity."""
+    from sparklucene.query import (Filtered, Fuzzy, MatchAllDocs,
+                                   MultiPhrase, Prefix, Wildcard)
+    from sparklucene.search import total_hits as _total_hits
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                            "g.sum_dl")
+
+    # -- MatchAllDocsQuery ------------------------------------------------
+    def match_all(spark, sf):
+        return _total_hits(index_for(spark, sf), MatchAllDocs(), mode="f64")
+    e["match_all_count"] = (match_all, """
+SELECT count(*)::BIGINT AS total_hits FROM documents""")
+
+    def match_all_except(spark, sf):
+        q = Not(MatchAllDocs(), Or((Term("spark"), Term("merge"))))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["match_all_except_topk"] = (match_all_except, f"""WITH {corpus_ctes()}
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ('merge', 'spark'))
+ORDER BY doc_id ASC LIMIT 10""")
+
+    # -- FILTER occur (Solr fq=) -----------------------------------------
+    def filtered(spark, sf):
+        q = Filtered(Or((Term("spark"), Term("merge"))), Term("join"))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["bm25_filtered"] = (filtered, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')
+    AND tf.doc_id IN (SELECT doc_id FROM tf WHERE term = 'join'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def fq_constant(spark, sf):
+        # q=*:* fq=spark — rewrites to ConstantScore(Term) internally
+        q = Filtered(MatchAllDocs(), Term("spark"))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["match_all_filtered_fq"] = (fq_constant, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tf WHERE term = 'spark'
+ORDER BY doc_id ASC LIMIT 10""")
+
+    # -- constant-score multi-term clauses inside scored booleans ---------
+    def prefix_clause(spark, sf):
+        q = And((Prefix("sc"), Term("merge")))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["bm25_with_prefix_clause"] = (prefix_clause, f"""WITH {corpus_ctes()},
+cs AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sc%'),
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'merge' AND tf.doc_id IN (SELECT doc_id FROM cs))
+SELECT doc_id,
+       CAST(CAST(CAST(1.0 AS DOUBLE) + sum(CAST(s AS DOUBLE)) AS REAL)
+            AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def wildcard_clause(spark, sf):
+        q = Or((Wildcard("j*n"), Term("vector")))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["bm25_with_wildcard_clause"] = (wildcard_clause, f"""WITH {corpus_ctes()},
+uni AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tf WHERE term LIKE 'j%n'
+  UNION ALL
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'vector')
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM uni GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def fuzzy_clause(spark, sf):
+        q = Or((Fuzzy("merg", max_edits=1), Term("hash")))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["bm25_with_fuzzy_clause"] = (fuzzy_clause, f"""WITH {corpus_ctes()},
+uni AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tf WHERE levenshtein(term, 'merg') <= 1
+  UNION ALL
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'hash')
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM uni GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- MultiPhraseQuery -------------------------------------------------
+    def multiphrase(spark, sf):
+        q = MultiPhrase(((0, ("fast", "slow")), (1, ("join", "merge"))))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    # idf sums over EVERY alternative of every slot, in slot order with
+    # alternatives sorted (engine pin, mirrored textually here)
+    mp_idf = " + ".join(
+        f"ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = '{t}')"
+        f" + 0.5) / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5))"
+        for t in ("fast", "slow", "join", "merge"))
+    e["bm25_multiphrase"] = (multiphrase, f"""WITH {corpus_ctes()},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+pf AS (
+  SELECT t0.doc_id, count(*)::BIGINT AS tfp
+  FROM tokp t0
+  JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term IN ('fast', 'slow') AND t1.term IN ('join', 'merge')
+  GROUP BY t0.doc_id
+)
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST((({mp_idf}) * pf.tfp)
+            / (pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq
+               / (g.sum_dl / CAST(g.doc_count AS DOUBLE)))) AS REAL)
+            AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- BooleanSimilarity ------------------------------------------------
+    def boolean_sim(spark, sf):
+        q = Or((Term("spark"), Term("merge")))
+        return search(index_for(spark, sf), q, k=15, mode="boolean")
+    e["boolean_similarity_or"] = (boolean_sim, f"""WITH {corpus_ctes()}
+SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+FROM tf WHERE term IN ('merge', 'spark')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 15""")
+
+    # -- user-supplied similarity callable --------------------------------
+    def custom_sim(spark, sf):
+        q = Or((Term("spark"), Term("merge")))
+        return search(index_for(spark, sf), q, k=10,
+                      mode=_example_similarity)
+    e["custom_similarity_or"] = (custom_sim, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(CAST(1.0 AS DOUBLE)
+              * (tf.tf / (tf.tf + m.dlq
+                 / (g.sum_dl / CAST(g.doc_count AS DOUBLE)))) AS REAL) AS s
+  FROM tf JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    return e
+
+
 # ---------------------------------------------------------------------------
 # public registry assembly
 # ---------------------------------------------------------------------------
@@ -1495,6 +1667,7 @@ FROM documents""")
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
+    e.update(_query_algebra_entries())
     e.update(_index_stat_entries())
     e.update(_facet_entries())
     e.update(_stream_entries())

@@ -16,8 +16,9 @@ import pandas as pd
 from sparklucene import bm25
 from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens, tokenize_series
 from sparklucene.norms import LENGTH_TABLE, int_to_byte4, quantize_length
-from sparklucene.query import (And, DisMax, MatchNoDocs, Not, Or, Phrase,
-                               Query, Term)
+from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
+                               MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
+                               Or, Phrase, Query, Term)
 
 
 @dataclass
@@ -72,6 +73,13 @@ def _term_scores(idx: OracleIndex, term: str, mode: str,
     t = p["tf"].to_numpy(dtype=np.int64)
     pos = np.searchsorted(idx.doc_ids, d)
     df = len(p)
+    if mode == "boolean":
+        return pd.Series(np.full(d.size, np.float32(boost),
+                                 dtype=np.float32), index=d)
+    if callable(mode):
+        s = np.asarray(mode(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl),
+                       dtype=np.float64)
+        return pd.Series((np.float64(boost) * s).astype(np.float32), index=d)
     if mode == "lucene8":
         s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count,
                                idx.sum_dl, boost=boost)
@@ -113,10 +121,17 @@ def _sloppy_freqs(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     return freqs
 
 
-def _phrase_weighted(idx: OracleIndex, q: Phrase, tfs: np.ndarray,
-                     pos: np.ndarray, mode: str) -> np.ndarray:
+def _phrase_weighted(idx: OracleIndex, q: Phrase | MultiPhrase,
+                     tfs: np.ndarray, pos: np.ndarray, mode: str
+                     ) -> np.ndarray:
+    if mode == "boolean":
+        return np.full(tfs.size, np.float32(1.0), dtype=np.float32)
+    if isinstance(q, MultiPhrase):
+        slot_terms = [t for _, alts in q.slots for t in alts]
+    else:
+        slot_terms = [t for _, t in q.slots]
     idf_fn = bm25.idf_classic if mode == "classic" else bm25.idf
-    idf_total = sum(idf_fn(idx.df_of(t), idx.doc_count) for _, t in q.slots)
+    idf_total = sum(idf_fn(idx.df_of(t), idx.doc_count) for t in slot_terms)
     if mode == "lucene8":
         return bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
                                     idx.doc_count, idx.sum_dl)
@@ -155,14 +170,52 @@ def _phrase_scores(idx: OracleIndex, q: Phrase, mode: str) -> pd.Series:
     return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=docs)
 
 
+def _multiphrase_scores(idx: OracleIndex, q: MultiPhrase,
+                        mode: str) -> pd.Series:
+    """Naive MultiPhraseQuery: per slot, union the alternatives' (doc,
+    pos - offset) sets; intersect across slots; idf sums over every
+    alternative (mirrors scorer._multiphrase_scores)."""
+    keys: set[tuple[int, int]] | None = None
+    for off, alts in q.slots:
+        s: set[tuple[int, int]] = set()
+        for t in alts:
+            rows = idx.tp[idx.tp["term"] == t]
+            s |= {(int(d), int(p) - off)
+                  for d, p in zip(rows["doc_id"], rows["pos"])
+                  if int(p) >= off}
+        keys = s if keys is None else keys & s
+        if not keys:
+            return pd.Series(dtype=np.float32)
+    freq: dict[int, int] = {}
+    for d, _base in keys:
+        freq[d] = freq.get(d, 0) + 1
+    docs = np.array(sorted(freq), dtype=np.int64)
+    tfs = np.array([freq[d] for d in docs], dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, docs)
+    return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=docs)
+
+
 def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
     """doc_id -> total score (float64 accumulator, sorted-term order)."""
     if isinstance(q, MatchNoDocs):
         return pd.Series(dtype=np.float64)
+    if isinstance(q, MatchAllDocs):
+        return pd.Series(np.full(idx.doc_ids.size, np.float32(q.boost),
+                                 dtype=np.float64), index=idx.doc_ids)
+    if isinstance(q, MultiPhrase):
+        return _multiphrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Phrase):
         return _phrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Term):
         return _term_scores(idx, q.term, mode, q.boost).astype(np.float64)
+    if isinstance(q, ConstantScore):
+        child = _eval(idx, q.child, mode)
+        return pd.Series(np.full(len(child), np.float32(q.boost),
+                                 dtype=np.float64), index=child.index)
+    if isinstance(q, Filtered):
+        pos = _eval(idx, q.positive, mode)
+        flt = set(_eval(idx, q.filter, mode).index)
+        return pos[pos.index.isin(sorted(flt))]
     if isinstance(q, DisMax):
         # per-clause f32 scores (engine clause boundary), f64 combination
         parts = [_eval(idx, c, mode).astype(np.float32).astype(np.float64)
@@ -182,10 +235,19 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
         neg_docs = set(_eval(idx, q.negative, mode).index)
         return pos[~pos.index.isin(sorted(neg_docs))]
     assert isinstance(q, (And, Or))
+    # MatchAllDocs MUST clauses restrict nothing; their constant boost is
+    # added LAST (mirrors scorer._and_generic / SQL `sum(...) + c`)
+    ma_boost = 0.0
+    clauses = q.clauses
+    if isinstance(q, And):
+        ma_boost = sum(float(np.float32(c.boost)) for c in clauses
+                       if isinstance(c, MatchAllDocs))
+        clauses = tuple(c for c in clauses
+                        if not isinstance(c, MatchAllDocs))
     # clause results are float32 at the clause boundary (engine behavior),
     # combined in a float64 accumulator in repr-sorted order
     parts = [_eval(idx, c, mode).astype(np.float32).astype(np.float64)
-             for c in sorted(q.clauses, key=repr)]
+             for c in sorted(clauses, key=repr)]
     if not parts:
         return pd.Series(dtype=np.float64)
     total = None
@@ -197,7 +259,8 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
             total = total.add(p, fill_value=0.0)
             count = count.add(pd.Series(1, index=p.index), fill_value=0)
     if isinstance(q, And):
-        return total[count == len(parts)]
+        out = total[count == len(parts)]
+        return out + ma_boost if ma_boost else out
     return total[count >= q.min_should_match]
 
 

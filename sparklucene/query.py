@@ -267,8 +267,36 @@ class MultiPhrase(Query):
 
 def rewrite(q: Query) -> Query:
     """BooleanQuery.rewrite-style simplification (public Lucene behavior)."""
-    if isinstance(q, (Term, MatchNoDocs)):
+    if isinstance(q, (Term, MatchNoDocs, MatchAllDocs, MultiTermQuery)):
         return q
+    if isinstance(q, ConstantScore):
+        child = rewrite(q.child)
+        if isinstance(child, MatchNoDocs):
+            return MatchNoDocs()
+        if isinstance(child, MatchAllDocs):
+            return MatchAllDocs(q.boost)
+        if isinstance(child, ConstantScore):  # outer boost wins (Lucene)
+            child = child.child
+        return ConstantScore(child, q.boost)
+    if isinstance(q, Filtered):
+        pos = rewrite(q.positive)
+        flt = rewrite(q.filter)
+        if isinstance(pos, MatchNoDocs) or isinstance(flt, MatchNoDocs):
+            return MatchNoDocs()
+        if isinstance(flt, MatchAllDocs):
+            return pos
+        if isinstance(pos, MatchAllDocs):
+            # every filter doc matches with the constant MatchAll score
+            return ConstantScore(flt, pos.boost)
+        return Filtered(pos, flt)
+    if isinstance(q, MultiPhrase):
+        if not q.slots or any(not alts for _, alts in q.slots):
+            return MatchNoDocs()
+        if all(len(alts) == 1 for _, alts in q.slots):
+            return rewrite(Phrase(tuple((off, alts[0])
+                                        for off, alts in q.slots)))
+        return MultiPhrase(tuple((off, tuple(sorted(set(alts))))
+                                 for off, alts in q.slots))
     if isinstance(q, Phrase):
         if not q.slots:
             return MatchNoDocs()
@@ -307,8 +335,15 @@ def rewrite(q: Query) -> Query:
         if isinstance(q, And):
             if any(isinstance(c, MatchNoDocs) for c in flat):
                 return MatchNoDocs()
+            if all(isinstance(c, MatchAllDocs) for c in flat):
+                return MatchAllDocs(sum(c.boost for c in flat))
         else:
             flat = [c for c in flat if not isinstance(c, MatchNoDocs)]
+            if any(isinstance(c, MatchAllDocs) for c in flat):
+                raise ValueError(
+                    "MatchAllDocs inside OR requires doc-universe "
+                    "iteration per range — use it standalone, under Not, "
+                    "or as an And/Filtered clause")
         if not flat:
             return MatchNoDocs()
         if len(flat) == 1 and (not isinstance(q, Or) or q.min_should_match <= 1):
@@ -316,6 +351,7 @@ def rewrite(q: Query) -> Query:
         if isinstance(q, Or):
             return Or(tuple(flat), q.min_should_match)
         return And(tuple(flat))
+    return q
 
 
 def prune_missing(q: Query, present: set[str]) -> Query:
@@ -330,6 +366,17 @@ def prune_missing(q: Query, present: set[str]) -> Query:
         return q if q.term in present else MatchNoDocs()
     if isinstance(q, Phrase):
         return q if all(t in present for _, t in q.slots) else MatchNoDocs()
+    if isinstance(q, MultiPhrase):
+        slots = tuple((off, tuple(t for t in alts if t in present))
+                      for off, alts in q.slots)
+        # a slot with no surviving alternative kills the phrase (rewrite)
+        return rewrite(MultiPhrase(slots))
+    if isinstance(q, ConstantScore):
+        return rewrite(ConstantScore(prune_missing(q.child, present),
+                                     q.boost))
+    if isinstance(q, Filtered):
+        return rewrite(Filtered(prune_missing(q.positive, present),
+                                prune_missing(q.filter, present)))
     if isinstance(q, Not):
         return rewrite(Not(prune_missing(q.positive, present),
                            prune_missing(q.negative, present)))

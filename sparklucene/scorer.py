@@ -40,8 +40,9 @@ from sparklucene import bm25
 from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
                                decode_tfs)
 from sparklucene.norms import LENGTH_TABLE
-from sparklucene.query import (And, DisMax, MatchNoDocs, Not, Or, Phrase,
-                               Query, Term)
+from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
+                               MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
+                               Or, Phrase, Query, Term)
 
 
 @dataclass
@@ -103,7 +104,9 @@ class RangeScorer:
         self.cells = cells
         self.stats = stats
         self.mode = mode
-        self.prune = prune
+        # a user-supplied similarity has no monotone upper-bound contract,
+        # so pruning is disabled (exhaustive — still exact)
+        self.prune = prune and not callable(mode)
         self.deleted = (np.asarray(deleted, dtype=np.int64)
                         if deleted is not None else np.empty(0, np.int64))
         self.metrics = ScoreMetrics()
@@ -117,6 +120,17 @@ class RangeScorer:
         """Scores for postings of ``term`` given aligned (tf, norm byte)."""
         ts = self.stats.term_stats[term]
         self.metrics.docs_scored += int(tfs.size)
+        if callable(self.mode):
+            # pluggable Similarity (SURVEY §2.13): fn(tf, dl, df,
+            # doc_count, sum_dl) -> per-posting scores; dl is the
+            # SmallFloat-quantized length (what the index stores)
+            s = np.asarray(self.mode(tfs, LENGTH_TABLE[nb].astype(np.int64),
+                                     ts.df, self.stats.doc_count,
+                                     self.stats.sum_dl), dtype=np.float64)
+            return (np.float64(boost) * s).astype(np.float32)
+        if self.mode == "boolean":
+            # BooleanSimilarity: score = boost, tf/norm/idf ignored
+            return np.full(tfs.size, np.float32(boost), dtype=np.float32)
         if self.mode == "lucene8":
             return bm25.score_lucene8(tfs, nb, ts.df, self.stats.doc_count,
                                       self.stats.sum_dl, boost=boost)
@@ -128,6 +142,9 @@ class RangeScorer:
 
     def _block_ubs(self, term: str, cell: RangeCell) -> np.ndarray:
         ts = self.stats.term_stats[term]
+        if self.mode == "boolean":
+            return np.full(len(cell.block_last), np.float32(1.0),
+                           dtype=np.float32)
         if self.mode == "lucene8":
             return bm25.block_upper_bound_lucene8(
                 cell.block_max_tf, cell.block_min_norm, ts.df,
@@ -329,12 +346,25 @@ class RangeScorer:
         nb = self.cells[t0].norms()[np.searchsorted(d0, pdocs)]
         return pdocs, self._phrase_weighted(q, pfreq, nb)
 
-    def _phrase_weighted(self, q: Phrase, pfreq: np.ndarray,
+    def _phrase_weighted(self, q: Phrase | MultiPhrase, pfreq: np.ndarray,
                          nb: np.ndarray) -> np.ndarray:
-        """Phrase scoring with the mode's summed-idf weight."""
+        """Phrase scoring with the mode's summed-idf weight. For a
+        MultiPhrase the idf sums over EVERY alternative of every slot
+        (MultiPhraseWeight collects all TermStatistics)."""
+        if callable(self.mode):
+            raise NotImplementedError(
+                "phrase scoring under a user-supplied similarity is not "
+                "supported (the engine cannot derive a phrase weight from "
+                "an opaque callable)")
+        if self.mode == "boolean":
+            return np.full(pfreq.size, np.float32(1.0), dtype=np.float32)
+        if isinstance(q, MultiPhrase):
+            slot_terms = [t for _, alts in q.slots for t in alts]
+        else:
+            slot_terms = [t for _, t in q.slots]
         idf_fn = bm25.idf_classic if self.mode == "classic" else bm25.idf
         idf_total = sum(idf_fn(self.stats.term_stats[t].df,
-                               self.stats.doc_count) for _, t in q.slots)
+                               self.stats.doc_count) for t in slot_terms)
         if self.mode == "lucene8":
             return bm25.score_lucene8_w(idf_total, pfreq, nb,
                                         self.stats.doc_count, self.stats.sum_dl)
@@ -342,6 +372,80 @@ class RangeScorer:
             return bm25.score_classic_w(idf_total, pfreq, LENGTH_TABLE[nb])
         return bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
                                 self.stats.doc_count, self.stats.sum_dl)
+
+    def _multiphrase_scores(self, q: MultiPhrase
+                            ) -> tuple[np.ndarray, np.ndarray]:
+        """MultiPhraseQuery: per slot, the (doc, base) key set is the
+        UNION over that slot's alternative terms; slots then intersect
+        exactly like the single-term phrase matcher. A missing alternative
+        contributes nothing; a slot with no present alternative matches
+        nothing (prune_missing already drops those)."""
+        all_terms = sorted({t for _, alts in q.slots for t in alts})
+        present = [t for t in all_terms if t in self.cells]
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in present:
+            cell = self.cells[t]
+            if not cell.pos_bytes:
+                raise ValueError("multi-phrase query requires an index "
+                                 "built with positions")
+            docs, tfs = cell.decode()
+            decoded[t] = (docs, tfs, cell.positions())
+        # candidate docs: intersection over slots of the union of alts
+        cand = None
+        for _off, alts in q.slots:
+            alt_docs = [decoded[t][0] for t in alts if t in decoded]
+            if not alt_docs:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            u = (alt_docs[0] if len(alt_docs) == 1
+                 else np.unique(np.concatenate(alt_docs)))
+            cand = u if cand is None else cand[np.isin(cand, u,
+                                                       assume_unique=True)]
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            cand = cand[~np.isin(cand, self._neg_mask_docs,
+                                 assume_unique=True)]
+        if cand is None or cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        for t in present:
+            d_t, _, p_t = decoded[t]
+            if d_t.size and (int(d_t[-1]) >= 1 << 32
+                             or (p_t.size and int(p_t.max()) >= 1 << 31)):
+                raise ValueError("multi-phrase matching requires doc_id < "
+                                 "2^32 and token positions < 2^31")
+        keys = None
+        for off, alts in q.slots:
+            slot_keys = []
+            for t in alts:
+                if t not in decoded:
+                    continue
+                docs, tfs, pos = decoded[t]
+                docs_rep = np.repeat(docs, tfs)
+                ok = np.isin(docs_rep, cand, assume_unique=False) & (pos >= off)
+                slot_keys.append((docs_rep[ok].astype(np.uint64)
+                                  << np.uint64(32))
+                                 | (pos[ok] - off).astype(np.uint64))
+            sk = np.unique(np.concatenate(slot_keys))
+            keys = sk if keys is None else np.intersect1d(keys, sk,
+                                                          assume_unique=True)
+            if keys.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+        pdocs, pfreq = np.unique((keys >> np.uint64(32)).astype(np.int64),
+                                 return_counts=True)
+        self.metrics.docs_scored += int(pdocs.size)
+        self.metrics.docs_total += int(pdocs.size)
+        # norms: a matching doc may appear in only SOME alternatives —
+        # fill from the df-ascending present terms until every doc has one
+        nb = np.zeros(pdocs.size, dtype=np.uint8)
+        filled = np.zeros(pdocs.size, dtype=bool)
+        for t in sorted(present, key=lambda t: self.stats.term_stats[t].df):
+            d0 = decoded[t][0]
+            idx = np.searchsorted(d0, pdocs)
+            idx_c = np.clip(idx, 0, max(0, d0.size - 1))
+            hit = (d0.size > 0) & (d0[idx_c] == pdocs) & ~filled
+            nb[hit] = self.cells[t].norms()[idx_c[hit]]
+            filled |= hit
+            if filled.all():
+                break
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
 
     def _sloppy_scores(self, q: Phrase) -> tuple[np.ndarray, np.ndarray]:
         """Proximity phrase (pinned engine spec, Lucene-inspired):
@@ -432,6 +536,8 @@ class RangeScorer:
         """(docs, float32 scores) for one boolean clause of any type."""
         if isinstance(c, Term):
             return self._term_scores(c.term, c.boost)
+        if isinstance(c, MultiPhrase):
+            return self._multiphrase_scores(c)
         if isinstance(c, Phrase):
             return self._phrase_scores(c)
         if isinstance(c, And):
@@ -440,8 +546,29 @@ class RangeScorer:
             return self._eval_or(c, k=np.iinfo(np.int32).max)
         if isinstance(c, DisMax):
             return self._eval_dismax(c)
+        if isinstance(c, ConstantScore):
+            docs, _ = self._clause_scores(c.child)
+            return docs, np.full(docs.size, np.float32(c.boost),
+                                 dtype=np.float32)
+        if isinstance(c, Filtered):
+            d_p, s_p = self._clause_scores(c.positive)
+            d_f, _ = self._clause_scores(c.filter)
+            keep = np.isin(d_p, d_f, assume_unique=True)
+            return d_p[keep], s_p[keep]
+        if isinstance(c, Not):
+            # ReqExclScorer as a nested clause (top-level Not is split off
+            # before scoring; this makes Not composable anywhere)
+            d_p, s_p = self._clause_scores(c.positive)
+            d_n, _ = self._clause_scores(c.negative)
+            keep = ~np.isin(d_p, d_n, assume_unique=True)
+            return d_p[keep], s_p[keep]
         if isinstance(c, MatchNoDocs):
             return np.empty(0, np.int64), np.empty(0, np.float32)
+        if isinstance(c, MatchAllDocs):
+            raise TypeError(
+                "MatchAllDocs requires doc-universe iteration — supported "
+                "standalone / under Not / inside And (search() handles "
+                "these), not as a bare scored clause")
         raise TypeError(f"unsupported clause {type(c)}")  # pragma: no cover
 
     def _eval_dismax(self, q: DisMax) -> tuple[np.ndarray, np.ndarray]:
@@ -488,8 +615,17 @@ class RangeScorer:
     def _and_generic(self, q: And) -> tuple[np.ndarray, np.ndarray]:
         """AND over mixed clause types (phrases, nested booleans):
         per-clause scores, intersect doc sets, repr-sorted accumulation
-        (the brute-force oracle's order — bit-identical sums)."""
-        parts = [(repr(c), self._clause_scores(c)) for c in q.clauses]
+        (the brute-force oracle's order — bit-identical sums).
+        MatchAllDocs MUST clauses restrict nothing and add their constant
+        boost to every surviving doc (MatchAllDocsQuery-in-conjunction)."""
+        ma_boost = sum(float(np.float32(c.boost)) for c in q.clauses
+                       if isinstance(c, MatchAllDocs))
+        clauses = [c for c in q.clauses if not isinstance(c, MatchAllDocs)]
+        if not clauses:
+            raise TypeError("And of only MatchAllDocs needs the doc "
+                            "universe — handled by search(), not the "
+                            "range scorer")
+        parts = [(repr(c), self._clause_scores(c)) for c in clauses]
         docs = None
         for _, (d, _s) in parts:
             docs = d if docs is None else docs[np.isin(docs, d,
@@ -500,6 +636,8 @@ class RangeScorer:
         for _, (d, s) in sorted(parts, key=lambda x: x[0]):
             idx = np.searchsorted(d, docs)
             total += s[idx].astype(np.float64)
+        if ma_boost:
+            total += ma_boost  # added LAST — mirrors oracle sum(...) + c
         return docs, total.astype(np.float32)
 
     # ---- OR: MAXSCORE ---------------------------------------------------

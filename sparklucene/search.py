@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 import os
 
 from sparklucene.build import IndexPaths, load_stats
-from sparklucene.query import MatchNoDocs, Query, parse, prune_missing, rewrite
+from sparklucene.query import (And, ConstantScore, DisMax, Filtered, Fuzzy,
+                               MatchAllDocs, MatchNoDocs, MultiTermQuery,
+                               Not, Or, Prefix, Query, Regexp, Term,
+                               TermInSet, TermRange, Wildcard, parse,
+                               prune_missing, rewrite)
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 RESULT_SCHEMA = "doc_id long, score double"
@@ -108,6 +112,56 @@ class Index:
         self._deleted = None
         self._deleted_bc = None
 
+    def expand_terms(self, q: MultiTermQuery,
+                     max_expansions: int = 1024) -> list[str]:
+        """Expand a multi-term query against the termstats DICTIONARY
+        (never the postings table — the dictionary is ~n_ranges times
+        smaller). Prefix/range predicates push down to the term-sorted
+        Parquet (FST-seek analog); the expansion is capped like Lucene's
+        maxClauseCount."""
+        term = F.col("term")
+        if isinstance(q, Prefix):
+            pred = term.startswith(q.prefix)
+        elif isinstance(q, Wildcard):
+            pat = []
+            for ch in q.pattern:
+                if ch == "*":
+                    pat.append("%")
+                elif ch == "?":
+                    pat.append("_")
+                elif ch in ("%", "_", "\\"):
+                    pat.append("\\" + ch)
+                else:
+                    pat.append(ch)
+            pred = term.like("".join(pat))
+            # literal prefix before the first wildcard narrows the scan
+            lit_prefix = q.pattern.split("*")[0].split("?")[0]
+            if lit_prefix:
+                pred = term.startswith(lit_prefix) & pred
+        elif isinstance(q, Regexp):
+            # RegexpQuery anchors to the FULL term (Lucene semantics)
+            pred = term.rlike(f"^(?:{q.pattern})$")
+        elif isinstance(q, Fuzzy):
+            pred = F.levenshtein(term, F.lit(q.term)) <= q.max_edits
+        elif isinstance(q, TermRange):
+            pred = F.lit(True)
+            if q.lo is not None:
+                pred = pred & (term >= q.lo if q.include_lo else term > q.lo)
+            if q.hi is not None:
+                pred = pred & (term <= q.hi if q.include_hi else term < q.hi)
+        elif isinstance(q, TermInSet):
+            pred = term.isin(list(q.in_terms))
+        else:  # pragma: no cover
+            raise TypeError(f"unknown multi-term query {type(q)}")
+        rows = (self.termstats().select("term").filter(pred)
+                .limit(max_expansions + 1).collect())
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"{type(q).__name__} expands to more than {max_expansions} "
+                "terms (maxClauseCount analog) — narrow the pattern or "
+                "raise max_expansions")
+        return sorted(r["term"] for r in rows)
+
     def term_stats_for(self, terms: list[str]) -> dict[str, TermStats]:
         """df/cf per term (Lucene TermStates.build). Memoized per handle —
         repeated queries on overlapping vocabularies pay no Spark action
@@ -128,11 +182,41 @@ def _as_query(query: str | Query) -> Query:
     return parse(query) if isinstance(query, str) else rewrite(query)
 
 
+def _expand_multiterm(q: Query, index: Index, cap: int) -> Query:
+    """Rewrite every MultiTermQuery node into
+    ``ConstantScore(Or(expanded terms))`` — Lucene's
+    CONSTANT_SCORE_REWRITE — so prefix/wildcard/regexp/fuzzy/range/set
+    clauses compose inside any boolean."""
+    if isinstance(q, MultiTermQuery):
+        terms = index.expand_terms(q, cap)
+        if not terms:
+            return MatchNoDocs()
+        return ConstantScore(Or(tuple(Term(t) for t in terms)), q.boost)
+    if isinstance(q, (And, Or)):
+        clauses = tuple(_expand_multiterm(c, index, cap) for c in q.clauses)
+        return rewrite(And(clauses) if isinstance(q, And)
+                       else Or(clauses, q.min_should_match))
+    if isinstance(q, DisMax):
+        return rewrite(DisMax(tuple(_expand_multiterm(c, index, cap)
+                                    for c in q.clauses), q.tiebreak))
+    if isinstance(q, Not):
+        return rewrite(Not(_expand_multiterm(q.positive, index, cap),
+                           _expand_multiterm(q.negative, index, cap)))
+    if isinstance(q, Filtered):
+        return rewrite(Filtered(_expand_multiterm(q.positive, index, cap),
+                                _expand_multiterm(q.filter, index, cap)))
+    if isinstance(q, ConstantScore):
+        return rewrite(ConstantScore(_expand_multiterm(q.child, index, cap),
+                                     q.boost))
+    return q
+
+
 def search(index: Index, query: str | Query, k: int | None = 10,
            mode: str = "lucene8", prune: bool = True,
            hydrate: DataFrame | None = None,
            exclude_docs: list[int] | None = None,
-           after: tuple[float, int] | None = None) -> DataFrame:
+           after: tuple[float, int] | None = None,
+           max_expansions: int = 1024) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
@@ -149,6 +233,7 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     """
     spark = index.spark
     q = _as_query(query)
+    q = _expand_multiterm(q, index, max_expansions)
     bdel = index.deleted_broadcast()
     extra = (np.asarray(sorted({int(d) for d in exclude_docs}), np.int64)
              if exclude_docs else None)
@@ -163,6 +248,10 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     q = prune_missing(q, set(tstats))
     if isinstance(q, MatchNoDocs):
         return _hydrate(empty, hydrate)
+    if isinstance(q, MatchAllDocs) or (
+            isinstance(q, Not) and isinstance(q.positive, MatchAllDocs)):
+        return _matchall_search(index, q, k, mode, hydrate, exclude_docs,
+                                after)
     all_terms = sorted(set(q.terms()) | set(q.neg_terms()))
 
     gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
@@ -214,6 +303,48 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return _hydrate(candidates, hydrate)
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return _hydrate(topk, hydrate)
+
+
+def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
+                     hydrate: DataFrame | None,
+                     exclude_docs: list[int] | None,
+                     after: tuple[float, int] | None) -> DataFrame:
+    """MatchAllDocsQuery execution: the doc universe comes from the
+    docmeta table (the scorer only ever sees postings for query terms).
+    Handles ``MatchAllDocs`` and ``Not(MatchAllDocs, neg)`` — deletions
+    and the negative set are removed by anti-join, score is the constant
+    float32 boost (similarity is not consulted — public Lucene
+    MatchAllDocsQuery behavior)."""
+    spark = index.spark
+    if isinstance(q, Not):
+        ma, neg = q.positive, q.negative
+    else:
+        ma, neg = q, None
+    score = float(np.float32(ma.boost))
+    base = (index.docmeta().select("doc_id")
+            .withColumn("score", F.lit(score).cast("double")))
+    dele = set(index.deleted_ids())
+    if exclude_docs:
+        dele |= {int(d) for d in exclude_docs}
+    if dele:
+        if len(dele) <= 100_000:
+            base = base.filter(~F.col("doc_id").isin(sorted(dele)))
+        else:
+            dele_df = spark.createDataFrame([(d,) for d in sorted(dele)],
+                                            "doc_id long")
+            base = base.join(dele_df, "doc_id", "left_anti")
+    if neg is not None:
+        base = base.join(matches(index, neg, mode=mode).select("doc_id"),
+                         "doc_id", "left_anti")
+    if after is not None:
+        a_s, a_d = float(after[0]), int(after[1])
+        base = base.filter((F.col("score") < F.lit(a_s))
+                           | ((F.col("score") == F.lit(a_s))
+                              & (F.col("doc_id") > F.lit(a_d))))
+    if k is None:
+        return _hydrate(base, hydrate)
+    return _hydrate(base.orderBy(F.desc("score"), F.asc("doc_id")).limit(k),
+                    hydrate)
 
 
 def delete_docs(index: Index, doc_ids: list[int]) -> int:

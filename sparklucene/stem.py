@@ -1,0 +1,177 @@
+"""Porter stemming — the classic 1980 algorithm, vocabulary-vectorized.
+
+Public knowledge: M.F. Porter, "An algorithm for suffix stripping",
+Program 14(3) 1980 (the algorithm Lucene's PorterStemFilter implements).
+This is an independent from-scratch implementation of the published rules.
+
+Engine integration follows SURVEY.md §2.2's stem-the-dictionary design:
+the per-token path never runs Python per token — ``stem_vocab`` factorizes
+the token stream, stems only the DISTINCT vocabulary (V << tokens), and
+broadcasts the mapping back through the codes array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in [C](VC)^m[V] — the count of vowel->consonant transitions."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(w)):
+        if _is_cons(w, i):
+            if prev_vowel:
+                m += 1
+            prev_vowel = False
+        else:
+            prev_vowel = True
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o: stem ends consonant-vowel-consonant, final not w/x/y."""
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+#: (suffix, replacement) pairs for steps 2-4; within a step the LONGEST
+#: matching suffix wins and its condition decides — no fallback (Porter's
+#: published behavior).
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive",
+          "ize"]
+
+
+def _longest(w: str, pairs) -> tuple[str, str] | None:
+    best = None
+    for suf, rep in pairs:
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, rep)
+    return best
+
+
+def porter_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    fired = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            fired = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            fired = True
+    if fired:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    m2 = _longest(w, _STEP2)
+    if m2 is not None:
+        suf, rep = m2
+        stem = w[: len(w) - len(suf)]
+        if _measure(stem) > 0:
+            w = stem + rep
+
+    # step 3
+    m3 = _longest(w, _STEP3)
+    if m3 is not None:
+        suf, rep = m3
+        stem = w[: len(w) - len(suf)]
+        if _measure(stem) > 0:
+            w = stem + rep
+
+    # step 4
+    m4 = _longest(w, [(s, "") for s in _STEP4])
+    if m4 is not None:
+        suf, _ = m4
+        stem = w[: len(w) - len(suf)]
+        if _measure(stem) > 1:
+            if suf == "ion":
+                if stem and stem[-1] in "st":
+                    w = stem
+            else:
+                w = stem
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+def stem_vocab(tokens: np.ndarray, algorithm: str = "porter") -> np.ndarray:
+    """Stem a flat object-dtype token array via its DISTINCT vocabulary:
+    O(V) Python stem calls, O(n) numpy take — never per-token Python over
+    the stream (SURVEY §2.2 term-dictionary-join design)."""
+    if algorithm != "porter":
+        raise ValueError(f"unknown stemmer {algorithm!r}")
+    if tokens.size == 0:
+        return tokens
+    codes, uniques = pd.factorize(pd.Series(tokens))
+    mapped = np.array([porter_stem(u) for u in uniques], dtype=object)
+    return mapped[codes]

@@ -11,7 +11,9 @@ import pytest
 from sparklucene.codec import encode_postings
 from sparklucene.norms import int_to_byte4
 from sparklucene.oracle import build_oracle_index, search_oracle
-from sparklucene.query import And, DisMax, Not, Or, Phrase, Term, parse
+from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
+                               MatchAllDocs, MultiPhrase, Not, Or, Phrase,
+                               Term, parse)
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 
@@ -66,10 +68,25 @@ QUERIES = [
     Or((Term("merge", boost=2.0), Term("join"))),
     Term("merge", boost=0.5),
     And((Term("table", boost=1.5), Term("scan"))),
+    # round-2 algebra: constant score, FILTER occur, MatchAll-in-And,
+    # nested Not, MultiPhrase
+    ConstantScore(Or((Term("merge"), Term("join"))), boost=2.0),
+    And((ConstantScore(Term("scan")), Term("merge"))),
+    Or((ConstantScore(Term("scan"), boost=0.5), Term("merge"))),
+    Filtered(Or((Term("merge"), Term("join"))), Term("scan")),
+    Filtered(Phrase(((0, "table"), (1, "scan"))), Term("filter")),
+    Filtered(Term("merge"), ConstantScore(Term("join"))),
+    And((MatchAllDocs(), Term("merge"))),
+    And((MatchAllDocs(boost=0.5), Term("table"), Term("scan"))),
+    Or((Not(Term("merge"), Term("join")), Term("scan"))),
+    MultiPhrase(((0, ("fast", "slow")), (1, ("join", "merge")))),
+    MultiPhrase(((0, ("table",)), (1, ("hash", "scan")))),
+    And((MultiPhrase(((0, ("fast", "slow")), (1, ("join", "merge")))),
+         Term("table"))),
 ]
 
 
-@pytest.mark.parametrize("mode", ["lucene8", "f64", "classic"])
+@pytest.mark.parametrize("mode", ["lucene8", "f64", "classic", "boolean"])
 @pytest.mark.parametrize("k", [1, 5, 10, 100])
 def test_pruned_equals_exhaustive_equals_oracle(oidx, mode, k):
     for q in QUERIES:
