@@ -121,6 +121,21 @@ class AnalyzerConfig:
     #: Applied to the DISTINCT vocabulary then broadcast back — never
     #: per-token Python (SURVEY §2.2's term-dictionary-join design).
     term_map: tuple[tuple[str, str], ...] = ()
+    #: algorithmic stemmer applied AFTER the stop filter (Lucene's
+    #: EnglishAnalyzer order: LowerCase -> Stop -> PorterStemFilter);
+    #: 'porter' is the classic 1980 algorithm (sparklucene.stem),
+    #: vocabulary-vectorized.
+    stem: str | None = None
+    #: NGramTokenFilter (min, max): each token is REPLACED by its char
+    #: n-grams, all at the source token's position.
+    ngram: tuple[int, int] | None = None
+    #: EdgeNGramTokenFilter (min, max): each token is replaced by its
+    #: leading-edge grams (search-as-you-type prefixes).
+    edge_ngram: tuple[int, int] | None = None
+    #: ShingleFilter (min, max): emit unigrams PLUS space-joined word
+    #: shingles of consecutive kept tokens (pinned spec: no filler tokens
+    #: for stop-word holes; shingle position = first word's position).
+    shingle: tuple[int, int] | None = None
 
     def token_regex(self) -> re.Pattern:
         if self.tokenizer == "standard":
@@ -187,7 +202,74 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
         keep &= ~np.isin(flat, stop_arr)
     if cfg.min_len > 1:
         keep &= np.array([len(t) >= cfg.min_len for t in flat])
-    return flat[keep], docs[keep], pos[keep]
+    flat, docs, pos = flat[keep], docs[keep], pos[keep]
+    if cfg.stem:
+        from sparklucene.stem import stem_vocab
+        flat = stem_vocab(flat, cfg.stem)
+    if cfg.ngram:
+        flat, docs, pos = _vocab_expand(
+            flat, docs, pos,
+            lambda t: _char_ngrams(t, *cfg.ngram))
+    if cfg.edge_ngram:
+        flat, docs, pos = _vocab_expand(
+            flat, docs, pos,
+            lambda t: _edge_ngrams(t, *cfg.edge_ngram))
+    if cfg.shingle:
+        flat, docs, pos = _with_shingles(flat, docs, pos, *cfg.shingle)
+    return flat, docs, pos
+
+
+def _char_ngrams(t: str, lo: int, hi: int) -> list[str]:
+    return [t[i:i + n] for n in range(lo, hi + 1)
+            for i in range(0, len(t) - n + 1)]
+
+
+def _edge_ngrams(t: str, lo: int, hi: int) -> list[str]:
+    return [t[:n] for n in range(lo, min(hi, len(t)) + 1)]
+
+
+def _vocab_expand(flat: np.ndarray, docs: np.ndarray, pos: np.ndarray,
+                  fn) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Replace each token by fn(token) grams — fn runs only on the
+    DISTINCT vocabulary; the stream expansion is a pure numpy gather."""
+    if flat.size == 0:
+        return flat, docs, pos
+    codes, uniques = pd.factorize(pd.Series(flat))
+    gram_lists = [fn(u) for u in uniques]
+    gram_flat = np.array([g for gl in gram_lists for g in gl], dtype=object)
+    lens = np.array([len(gl) for gl in gram_lists], dtype=np.int64)
+    goff = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    counts = lens[codes]
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, dtype=object), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    run_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+    idx = np.repeat(goff[codes], counts) + within
+    return gram_flat[idx], np.repeat(docs, counts), np.repeat(pos, counts)
+
+
+def _with_shingles(flat: np.ndarray, docs: np.ndarray, pos: np.ndarray,
+                   lo: int, hi: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unigrams + space-joined shingles of lo..hi consecutive kept tokens
+    (same-doc windows; the stream arrives in (doc, pos) order)."""
+    out_t, out_d, out_p = [flat], [docs], [pos]
+    s = flat.astype(str)  # numpy str dtype enables vectorized concat
+    for n in range(max(2, lo), hi + 1):
+        if flat.size < n:
+            break
+        joined = s[: flat.size - n + 1]
+        for j in range(1, n):
+            joined = np.char.add(np.char.add(joined, " "),
+                                 s[j: flat.size - n + 1 + j])
+        same_doc = docs[: flat.size - n + 1] == docs[n - 1:]
+        out_t.append(joined[same_doc].astype(object))
+        out_d.append(docs[: flat.size - n + 1][same_doc])
+        out_p.append(pos[: flat.size - n + 1][same_doc])
+    return (np.concatenate(out_t), np.concatenate(out_d),
+            np.concatenate(out_p))
 
 
 def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:

@@ -172,14 +172,20 @@ LIMIT {k}"""
 _INDEX_CACHE: dict[str, Index] = {}
 
 
-def index_for(spark: SparkSession, sf_dir: str) -> Index:
-    """Build-once-per-corpus index handle (disk-cached across processes)."""
-    key = os.path.realpath(sf_dir)
+def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
+              analyzer=None) -> Index:
+    """Build-once-per-corpus index handle (disk-cached across processes).
+
+    ``variant``/``analyzer`` build alternate-analyzer indexes (stemmed,
+    shingled, ...) cached under their own directories."""
+    key = os.path.realpath(sf_dir) + ("#" + variant if variant else "")
     idx = _INDEX_CACHE.get(key)
     if idx is not None:
         return idx
     tag = hashlib.sha256(key.encode()).hexdigest()[:12]
-    index_dir = os.path.join("/tmp", "sparklucene-idx", f"{os.path.basename(key)}-{tag}")
+    index_dir = os.path.join(
+        "/tmp", "sparklucene-idx",
+        f"{os.path.basename(os.path.realpath(sf_dir))}-{tag}")
 
     def _fresh() -> bool:
         return (os.path.exists(os.path.join(index_dir, "stats.json"))
@@ -232,7 +238,7 @@ def index_for(spark: SparkSession, sf_dir: str) -> Index:
                 if not _fresh():
                     shutil.rmtree(index_dir, ignore_errors=True)
                     corpus = load_corpus(spark, sf_dir)
-                    build_index(spark, corpus, index_dir)
+                    build_index(spark, corpus, index_dir, analyzer=analyzer)
             finally:
                 os.rmdir(lock)
         if not _fresh():
@@ -1488,6 +1494,127 @@ FROM documents""")
     return e
 
 
+#: the driver corpus' fixed generator vocabulary (TESTDATA.md — identical
+#: at every scale factor; verified sf0.001/0.01/0.1). Lets vocab-dependent
+#: oracles (e.g. the Porter stem map) be static SQL.
+VOCAB31 = ["a", "agg", "batch", "big", "column", "customer", "data", "dup",
+           "fast", "filter", "group", "hash", "join", "key", "line",
+           "merge", "order", "part", "query", "row", "scan", "slow",
+           "small", "sort", "spark", "stream", "table", "the", "value",
+           "vector", "window"]
+
+
+def _analyzer_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Round-2 analysis-chain operators (SURVEY.md §2.2): Porter stemmer,
+    ShingleFilter, EdgeNGramFilter — each through a full alternate-analyzer
+    index build, checked against DuckDB recomputing the same chain."""
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, AnalyzerConfig
+    from sparklucene.stem import porter_stem
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+    stop = stoplist_sql()
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                            "g.sum_dl")
+
+    # -- Porter-stemmed BM25 search --------------------------------------
+    stem_vals = ", ".join(f"('{w}', '{porter_stem(w)}')" for w in VOCAB31
+                          if w not in ENGLISH_STOP_WORDS)
+    stems = sorted({porter_stem(w) for w in ("merge", "table", "value")})
+
+    def stemmed(spark, sf):
+        idx = index_for(spark, sf, variant="porter",
+                        analyzer=AnalyzerConfig(stem="porter"))
+        return search(idx, Or(tuple(Term(s) for s in stems)), k=10,
+                      mode="f64")
+    e["bm25_stemmed"] = (stemmed, f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+sm(term, sterm) AS (VALUES {stem_vals}),
+tf AS (
+  SELECT doc_id, coalesce(sm.sterm, tok.term) AS term, count(*)::BIGINT AS tf
+  FROM tok LEFT JOIN sm ON tok.term = sm.term
+  WHERE tok.term NOT IN {stop}
+  GROUP BY doc_id, coalesce(sm.sterm, tok.term)
+),
+doclen AS (
+  SELECT d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id) t
+  USING (doc_id)
+),
+meta AS (
+  SELECT doc_id, dl, {quantize_length_sql('dl')}::BIGINT AS dlq FROM doclen
+),
+gstats AS (
+  SELECT count(*) FILTER (WHERE dl >= 1)::BIGINT AS doc_count,
+         sum(dl)::BIGINT AS sum_dl
+  FROM meta
+),
+tstats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY term
+),
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ({', '.join(repr(s) for s in stems)}))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- ShingleFilter: 2-word shingle term dictionary -------------------
+    def shingle_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="sh2",
+                        analyzer=AnalyzerConfig(shingle=(2, 2)))
+        return (idx.termstats().filter(F.col("term").like("% %"))
+                .orderBy(F.desc("df"), F.asc("term")).limit(10)
+                .select("term", "df", "cf"))
+    e["analyzer_shingle_termstats"] = (shingle_tstats, f"""WITH tl AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'),
+                     t -> t NOT IN {stop}) AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i+1])) AS term
+  FROM tl
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM sh GROUP BY term
+)
+SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 10""")
+
+    # -- EdgeNGramFilter: 2..3-char prefixes as the term dictionary ------
+    def edge_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="edge23",
+                        analyzer=AnalyzerConfig(edge_ngram=(2, 3)))
+        return (idx.termstats()
+                .orderBy(F.desc("df"), F.asc("term")).limit(15)
+                .select("term", "df", "cf"))
+    e["analyzer_edge_ngram_termstats"] = (edge_tstats, f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, least(3, len(term)) + 1),
+                               n -> substring(term, 1, n::INT))) AS term
+  FROM tok WHERE term NOT IN {stop}
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM g GROUP BY term
+)
+SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 15""")
+
+    return e
+
+
 def _example_similarity(tf, dl, df, doc_count, sum_dl):
     """Pluggable-Similarity example (SURVEY.md §2.13): tf-saturation
     ``tf / (tf + dl/avgdl)`` — log-free so every float op is IEEE
@@ -1668,6 +1795,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
     e.update(_query_algebra_entries())
+    e.update(_analyzer_entries())
     e.update(_index_stat_entries())
     e.update(_facet_entries())
     e.update(_stream_entries())

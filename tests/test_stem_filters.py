@@ -1,0 +1,96 @@
+"""Porter stemmer (published test vectors) + shingle/ngram/edge-ngram
+analyzer filters (vocabulary-vectorized expansion paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sparklucene.analysis import AnalyzerConfig, analyze_flat, analyze_text
+from sparklucene.stem import porter_stem, stem_vocab
+
+# classic examples from Porter 1980 / the reference voc.txt behavior
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "sized": "size", "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "valenci": "valenc",
+    "hesitanci": "hesit", "digitizer": "digit", "radicalli": "radic",
+    "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "predication": "predic",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "callousness": "callous", "formaliti": "formal",
+    "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_published_vectors():
+    bad = {w: (porter_stem(w), want) for w, want in PORTER_VECTORS.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_stem_vocab_matches_scalar():
+    toks = np.array(["running", "runs", "running", "jumped"], dtype=object)
+    out = stem_vocab(toks)
+    assert out.tolist() == [porter_stem(t) for t in toks]
+
+
+def test_analyzer_stem_chain_order():
+    # stop filter runs BEFORE the stemmer (EnglishAnalyzer order): 'this'
+    # is removed as a stopword, not stemmed to 'thi'
+    cfg = AnalyzerConfig(stem="porter")
+    assert analyze_text("this merges tables", cfg) == ["merg", "tabl"]
+
+
+def test_shingle_filter_unigrams_plus_bigrams():
+    cfg = AnalyzerConfig(shingle=(2, 2), stopwords=frozenset())
+    toks, docs, pos = analyze_flat(
+        pd.Series(["fast merge join", "solo"]), np.array([7, 9]), cfg)
+    by_doc = {}
+    for t, d, p in zip(toks, docs, pos):
+        by_doc.setdefault(int(d), []).append((int(p), t))
+    assert sorted(by_doc[7]) == [(0, "fast"), (0, "fast merge"),
+                                 (1, "merge"), (1, "merge join"),
+                                 (2, "join")]
+    assert sorted(by_doc[9]) == [(0, "solo")]  # no cross-doc shingle
+
+
+def test_shingle_never_crosses_docs():
+    cfg = AnalyzerConfig(shingle=(2, 3), stopwords=frozenset())
+    toks, docs, pos = analyze_flat(
+        pd.Series(["a b", "c d"]), np.array([1, 2]), cfg)
+    shingles = [t for t in toks if " " in t]
+    assert "b c" not in shingles
+    assert set(shingles) == {"a b", "c d"}
+
+
+def test_edge_ngram_filter():
+    cfg = AnalyzerConfig(edge_ngram=(2, 3), stopwords=frozenset())
+    assert analyze_text("spark io x", cfg) == ["sp", "spa", "io"]
+    # 'x' (len 1 < min gram) emits nothing
+
+
+def test_char_ngram_filter():
+    cfg = AnalyzerConfig(ngram=(2, 2), stopwords=frozenset())
+    assert analyze_text("abc", cfg) == ["ab", "bc"]
+
+
+def test_ngram_positions_inherit_source_token():
+    cfg = AnalyzerConfig(ngram=(2, 2), stopwords=frozenset())
+    toks, docs, pos = analyze_flat(pd.Series(["ab cd"]), np.array([0]), cfg)
+    assert toks.tolist() == ["ab", "cd"]
+    assert pos.tolist() == [0, 1]
