@@ -50,6 +50,7 @@ from sparklucene.analysis import (ENGLISH_STOP_WORDS, AnalyzerConfig,
 from sparklucene.codec import encode_postings_batch
 from sparklucene.corpus import with_drange
 from sparklucene.norms import int_to_byte4
+from sparklucene.query import FIELD_SEP
 
 #: bump when the on-disk postings layout changes (stale-cache guard)
 FORMAT_VERSION = 3
@@ -93,9 +94,95 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
+@dataclass(frozen=True)
+class Field:
+    """An additional indexed field (SURVEY.md §1.2 multi-field schema).
+
+    Postings/dictionary keys are ``name + FIELD_SEP + term``; the field
+    carries its own per-doc lengths/norms and global (doc_count, sum_dl)
+    so BM25 uses per-field avgdl — Lucene's per-field Terms/Norms model.
+    """
+
+    name: str
+    source: str                          # corpus column to analyze
+    analyzer: AnalyzerConfig | None = None  # None = standard chain
+    store_positions: bool = False
+
+
+def _empty_postings() -> pa.Table:
+    return pa.table({
+        "term": pa.array([], type=pa.string()),
+        "drange": pa.array([], type=pa.int32()),
+        "df_part": pa.array([], type=pa.int64()),
+        "cf_part": pa.array([], type=pa.int64()),
+        "doc_bytes": pa.array([], type=pa.binary()),
+        "tf_bytes": pa.array([], type=pa.binary()),
+        "norm_bytes": pa.array([], type=pa.binary()),
+        "pos_bytes": pa.array([], type=pa.binary()),
+        "block_last": pa.array([], type=pa.list_(pa.int64())),
+        "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
+        "block_min_norm": pa.array([], type=pa.binary()),
+    })
+
+
+def _invert_stream(toks: np.ndarray, tdocs: np.ndarray, tpos: np.ndarray,
+                   doc_ids: np.ndarray, norm_bytes: np.ndarray, drange: int,
+                   store_positions: bool, prefix: str = ""
+                   ) -> tuple[pa.Table, int, int]:
+    """One analyzed token stream -> packed posting cells (vectorized
+    factorize/lexsort/reduceat — the DWPT TermsHash analog). ``prefix``
+    is the field qualifier for non-default fields."""
+    if toks.size == 0:
+        return _empty_postings(), 0, 0
+    term_codes, uniques = pd.factorize(pd.Series(toks), sort=True)
+    order = np.lexsort((tpos, tdocs, term_codes))
+    tc, dc = term_codes[order], tdocs[order]
+    sorted_pos = tpos[order]
+    # run-length collapse of (term, doc) -> tf
+    change = np.empty(tc.size, dtype=bool)
+    change[0] = True
+    change[1:] = (tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1])
+    run_starts = np.flatnonzero(change)
+    run_ends = np.concatenate((run_starts[1:], [tc.size]))
+    tfs = (run_ends - run_starts).astype(np.int64)
+    p_terms = tc[run_starts]
+    p_docs = dc[run_starts]
+    p_norms = norm_bytes[np.searchsorted(doc_ids, p_docs)]
+    # term slice boundaries in the collapsed arrays
+    tchange = np.empty(p_terms.size, dtype=bool)
+    tchange[0] = True
+    tchange[1:] = p_terms[1:] != p_terms[:-1]
+    tstarts = np.concatenate((np.flatnonzero(tchange), [p_terms.size]))
+    cells = encode_postings_batch(tstarts, p_docs, tfs, p_norms,
+                                  sorted_pos if store_positions else None)
+    terms_out = np.asarray(uniques, dtype=object)[p_terms[tstarts[:-1]]]
+    if prefix:
+        terms_out = np.array([prefix + t for t in terms_out], dtype=object)
+    df_part = np.diff(tstarts)
+    cf_part = np.add.reduceat(tfs, tstarts[:-1])
+    postings = pa.table({
+        "term": pa.array(terms_out, type=pa.string()),
+        "drange": pa.array(np.full(len(cells), drange, dtype=np.int32)),
+        "df_part": pa.array(df_part.astype(np.int64)),
+        "cf_part": pa.array(cf_part.astype(np.int64)),
+        "doc_bytes": pa.array([c.doc_bytes for c in cells], type=pa.binary()),
+        "tf_bytes": pa.array([c.tf_bytes for c in cells], type=pa.binary()),
+        "norm_bytes": pa.array([c.norm_bytes for c in cells], type=pa.binary()),
+        "pos_bytes": pa.array([c.pos_bytes for c in cells], type=pa.binary()),
+        "block_last": pa.array([c.block_last_doc.tolist() for c in cells],
+                               type=pa.list_(pa.int64())),
+        "block_max_tf": pa.array([c.block_max_tf.tolist() for c in cells],
+                                 type=pa.list_(pa.int32())),
+        "block_min_norm": pa.array([c.block_min_norm.tobytes() for c in cells],
+                                   type=pa.binary()),
+    })
+    return postings, int(df_part.sum()), len(cells)
+
+
 def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
                       store_positions: bool = True,
-                      analyzer: AnalyzerConfig | None = None) -> tuple[
+                      analyzer: AnalyzerConfig | None = None,
+                      extra_fields: tuple[Field, ...] = ()) -> tuple[
         pa.Table, pa.Table, dict]:
     """Pure function: corpus rows of one doc range -> (postings, docmeta, manifest)."""
     pdf = pdf.sort_values("doc_id")
@@ -108,64 +195,31 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
     pos_of_doc = np.searchsorted(doc_ids, tdocs)
     dl = np.bincount(pos_of_doc, minlength=doc_ids.size).astype(np.int64)
     norm_bytes = int_to_byte4(dl)
-    if toks.size:
-        term_codes, uniques = pd.factorize(pd.Series(toks), sort=True)
-        order = np.lexsort((tpos, tdocs, term_codes))
-        tc, dc = term_codes[order], tdocs[order]
-        sorted_pos = tpos[order]
-        # run-length collapse of (term, doc) -> tf
-        change = np.empty(tc.size, dtype=bool)
-        change[0] = True
-        change[1:] = (tc[1:] != tc[:-1]) | (dc[1:] != dc[:-1])
-        run_starts = np.flatnonzero(change)
-        run_ends = np.concatenate((run_starts[1:], [tc.size]))
-        tfs = (run_ends - run_starts).astype(np.int64)
-        p_terms = tc[run_starts]
-        p_docs = dc[run_starts]
-        p_norms = norm_bytes[np.searchsorted(doc_ids, p_docs)]
-        # term slice boundaries in the collapsed arrays
-        tchange = np.empty(p_terms.size, dtype=bool)
-        tchange[0] = True
-        tchange[1:] = p_terms[1:] != p_terms[:-1]
-        tstarts = np.concatenate((np.flatnonzero(tchange), [p_terms.size]))
-        cells = encode_postings_batch(tstarts, p_docs, tfs, p_norms,
-                                      sorted_pos if store_positions else None)
-        terms_out = np.asarray(uniques, dtype=object)[p_terms[tstarts[:-1]]]
-        df_part = np.diff(tstarts)
-        cf_part = np.add.reduceat(tfs, tstarts[:-1])
-        postings = pa.table({
-            "term": pa.array(terms_out, type=pa.string()),
-            "drange": pa.array(np.full(len(cells), drange, dtype=np.int32)),
-            "df_part": pa.array(df_part.astype(np.int64)),
-            "cf_part": pa.array(cf_part.astype(np.int64)),
-            "doc_bytes": pa.array([c.doc_bytes for c in cells], type=pa.binary()),
-            "tf_bytes": pa.array([c.tf_bytes for c in cells], type=pa.binary()),
-            "norm_bytes": pa.array([c.norm_bytes for c in cells], type=pa.binary()),
-            "pos_bytes": pa.array([c.pos_bytes for c in cells], type=pa.binary()),
-            "block_last": pa.array([c.block_last_doc.tolist() for c in cells],
-                                   type=pa.list_(pa.int64())),
-            "block_max_tf": pa.array([c.block_max_tf.tolist() for c in cells],
-                                     type=pa.list_(pa.int32())),
-            "block_min_norm": pa.array([c.block_min_norm.tobytes() for c in cells],
-                                       type=pa.binary()),
-        })
-        n_postings = int(df_part.sum())
-        n_terms = len(cells)
-    else:
-        postings = pa.table({
-            "term": pa.array([], type=pa.string()),
-            "drange": pa.array([], type=pa.int32()),
-            "df_part": pa.array([], type=pa.int64()),
-            "cf_part": pa.array([], type=pa.int64()),
-            "doc_bytes": pa.array([], type=pa.binary()),
-            "tf_bytes": pa.array([], type=pa.binary()),
-            "norm_bytes": pa.array([], type=pa.binary()),
-            "pos_bytes": pa.array([], type=pa.binary()),
-            "block_last": pa.array([], type=pa.list_(pa.int64())),
-            "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
-            "block_min_norm": pa.array([], type=pa.binary()),
-        })
-        n_postings = n_terms = 0
+    postings, n_postings, n_terms = _invert_stream(
+        toks, tdocs, tpos, doc_ids, norm_bytes, drange, store_positions)
+    field_meta: dict[str, dict] = {}
+    if extra_fields:
+        tables = [postings]
+        for f in extra_fields:
+            fan = f.analyzer if f.analyzer is not None else AnalyzerConfig()
+            ftoks, fdocs, fpos = analyze_flat(pdf[f.source], doc_ids, fan)
+            if ftoks.size and any(FIELD_SEP in t
+                                  for t in pd.unique(pd.Series(ftoks))):
+                raise ValueError(
+                    f"field {f.name!r} produced a token containing the "
+                    "reserved \\x1f field separator")
+            fdl = np.bincount(np.searchsorted(doc_ids, fdocs),
+                              minlength=doc_ids.size).astype(np.int64)
+            fnorm = int_to_byte4(fdl)
+            tbl, np_f, nt_f = _invert_stream(
+                ftoks, fdocs, fpos, doc_ids, fnorm, drange,
+                f.store_positions, prefix=f.name + FIELD_SEP)
+            tables.append(tbl)
+            n_postings += np_f
+            n_terms += nt_f
+            field_meta[f.name] = {"n_docs_live": int((fdl >= 1).sum()),
+                                  "sum_dl": int(fdl.sum())}
+        postings = pa.concat_tables(tables)
     docmeta = pa.table({
         "drange": pa.array(np.full(doc_ids.size, drange, dtype=np.int32)),
         "doc_id": pa.array(doc_ids),
@@ -177,6 +231,8 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
                 "n_docs_live": int((dl >= 1).sum()),
                 "n_terms": int(n_terms), "n_postings": int(n_postings),
                 "sum_dl": int(dl.sum()), "sha": sha, "ts": time.time()}
+    if field_meta:
+        manifest["fields"] = field_meta
     return postings, docmeta, manifest
 
 
@@ -206,7 +262,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
            stopwords=ENGLISH_STOP_WORDS, resume: bool = True,
            store_positions: bool = True,
            analyzer: AnalyzerConfig | None = None,
-           lineage: dict | None = None) -> pd.DataFrame:
+           lineage: dict | None = None,
+           extra_fields: tuple[Field, ...] = ()) -> pd.DataFrame:
     """Stage A: per-doc-range invert with per-partition checkpoints.
 
     ``lineage`` (e.g. ``{"batch_id": 7}``) is merged into every range
@@ -216,7 +273,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
     """
     os.makedirs(paths.manifest_dir, exist_ok=True)
     done = _completed_dranges(paths) if resume else set()
-    sharded = with_drange(corpus.select("doc_id", "content"), drange_size)
+    cols = ["doc_id", "content"] + sorted({f.source for f in extra_fields})
+    sharded = with_drange(corpus.select(*cols), drange_size)
     todo = sharded.filter(~F.col("drange").isin(sorted(done))) if done else sharded
     partials_dir, manifest_dir = paths.partials, paths.manifest_dir
     stop = frozenset(stopwords)
@@ -224,7 +282,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
     def build_group(key, pdf):
         dr = int(key[0])
         postings, docmeta, man = _invert_one_range(pdf, dr, stop,
-                                                   store_positions, analyzer)
+                                                   store_positions, analyzer,
+                                                   extra_fields)
         if lineage:
             man.update(lineage)
         _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
@@ -304,6 +363,7 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     # docmeta partials stay in place as the (disjoint, sorted) docmeta
     # table — norms travel inside posting cells so it is off the hot path
     n_docs = doc_count = sum_dl = 0
+    field_acc: dict[str, dict[str, int]] = {}
     for f in os.listdir(paths.manifest_dir):
         if f.endswith(".json"):
             with open(os.path.join(paths.manifest_dir, f)) as fh:
@@ -311,10 +371,17 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
             n_docs += m["n_docs"]
             doc_count += m.get("n_docs_live", m["n_docs"])
             sum_dl += m["sum_dl"]
+            for fname, fm in m.get("fields", {}).items():
+                acc = field_acc.setdefault(fname,
+                                           {"doc_count": 0, "sum_dl": 0})
+                acc["doc_count"] += fm["n_docs_live"]
+                acc["sum_dl"] += fm["sum_dl"]
     stats = {"n_docs": n_docs, "doc_count": doc_count,
              "sum_dl": sum_dl, "drange_size": drange_size,
              "n_term_buckets": n_term_buckets, "format": FORMAT_VERSION,
              "ts": time.time()}
+    if field_acc:
+        stats["fields"] = field_acc
     tmp = paths.stats_json + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(stats, fh, indent=1)
@@ -326,8 +393,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 drange_size: int | None = None, resume: bool = True,
                 salt: int = 0, stopwords=ENGLISH_STOP_WORDS,
                 store_positions: bool = True,
-                analyzer: AnalyzerConfig | None = None) -> dict:
-    """Full build: invert -> merge -> stats. Returns the stats dict."""
+                analyzer: AnalyzerConfig | None = None,
+                extra_fields: tuple[Field, ...] = ()) -> dict:
+    """Full build: invert -> merge -> stats. Returns the stats dict.
+
+    ``extra_fields`` index additional corpus columns alongside ``content``
+    (SURVEY §1.2 multi-field schema) — per-field analyzers, norms, and
+    global stats; queried via ``Term(t, field="name")`` / edismax."""
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     if drange_size is None:
@@ -335,7 +407,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         par = spark.sparkContext.defaultParallelism
         drange_size = max(64, 1 << int(np.ceil(np.log2(max(1, n / (4 * par))))))
     manifest = invert(corpus, paths, drange_size, stopwords, resume,
-                      store_positions, analyzer)
+                      store_positions, analyzer, extra_fields=extra_fields)
     stats = merge(spark, paths, drange_size, salt=salt)
     stats["n_ranges"] = int(len(manifest))
     stats["n_ranges_skipped"] = int((manifest["status"] == "skipped").sum())

@@ -173,7 +173,7 @@ _INDEX_CACHE: dict[str, Index] = {}
 
 
 def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
-              analyzer=None) -> Index:
+              analyzer=None, extra_fields: tuple = ()) -> Index:
     """Build-once-per-corpus index handle (disk-cached across processes).
 
     ``variant``/``analyzer`` build alternate-analyzer indexes (stemmed,
@@ -238,7 +238,8 @@ def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
                 if not _fresh():
                     shutil.rmtree(index_dir, ignore_errors=True)
                     corpus = load_corpus(spark, sf_dir)
-                    build_index(spark, corpus, index_dir, analyzer=analyzer)
+                    build_index(spark, corpus, index_dir, analyzer=analyzer,
+                                extra_fields=extra_fields)
             finally:
                 os.rmdir(lock)
         if not _fresh():
@@ -1615,6 +1616,101 @@ SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 15""")
     return e
 
 
+def _multifield_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Multi-field indexing + edismax-style per-field search (SURVEY
+    §3.2 stage 2, ExtendedDismaxQParser semantics): content plus keyword
+    ``lang``/``repo`` fields, each with its own norms and global stats."""
+    from sparklucene.analysis import AnalyzerConfig
+    from sparklucene.build import Field
+    from sparklucene.query import DisMax
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                            "g.sum_dl")
+    kw = AnalyzerConfig(tokenizer="keyword", stopwords=frozenset())
+    mf_fields = (Field("lang", "lang", kw), Field("repo", "repo", kw))
+
+    def _mf_index(spark, sf):
+        return index_for(spark, sf, variant="mf", extra_fields=mf_fields)
+
+    # keyword-field BM25 score: tf = 1, dlq = 1, avgdl = 1 — same f64
+    # expression tree as the engine's per-field scorer
+    lang_score = bm25.score_sql("1", "1", "s.df", "g.doc_count", "g.sum_dl")
+
+    def mf_dismax(spark, sf):
+        q = DisMax((Term("spark"), Term("en", field="lang")), tiebreak=0.1)
+        return search(_mf_index(spark, sf), q, k=10, mode="f64")
+    e["bm25_multifield_dismax"] = (mf_dismax, f"""WITH {corpus_ctes()},
+lang_tf AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+lang_s AS (SELECT count(*)::BIGINT AS df FROM lang_tf),
+lang_g AS (SELECT count(*)::BIGINT AS doc_count, count(*)::BIGINT AS sum_dl
+           FROM documents),
+ls AS (
+  SELECT lt.doc_id, {bm25.score_sql('1', '1', 's.df', 'g.doc_count', 'g.sum_dl')} AS s
+  FROM lang_tf lt CROSS JOIN lang_s s CROSS JOIN lang_g g),
+cs AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'spark'),
+bothsides AS (
+  SELECT coalesce(c.doc_id, l.doc_id) AS doc_id, c.s AS c_s, l.s AS l_s
+  FROM cs c FULL JOIN ls l ON c.doc_id = l.doc_id)
+SELECT doc_id, CAST(CAST(
+  CASE WHEN c_s IS NULL THEN l_s WHEN l_s IS NULL THEN c_s
+       WHEN c_s >= l_s THEN c_s ELSE l_s END
+  + 0.1 * ((coalesce(CAST(c_s AS DOUBLE), 0) + coalesce(CAST(l_s AS DOUBLE), 0))
+           - CASE WHEN c_s IS NULL THEN l_s WHEN l_s IS NULL THEN c_s
+                  WHEN c_s >= l_s THEN c_s ELSE l_s END)
+  AS REAL) AS DOUBLE) AS score
+FROM bothsides
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def mf_boost(spark, sf):
+        q = Or((Term("vector"), Term("src3", field="repo", boost=2.0)))
+        return search(_mf_index(spark, sf), q, k=10, mode="f64")
+    repo_idf = ("ln(1.0 + (g.doc_count - s.df + 0.5) / (s.df + 0.5))")
+    e["bm25_field_boost"] = (mf_boost, f"""WITH {corpus_ctes()},
+repo_tf AS (SELECT doc_id FROM documents WHERE source = 'src3'),
+repo_s AS (SELECT count(*)::BIGINT AS df FROM repo_tf),
+repo_g AS (SELECT count(*)::BIGINT AS doc_count, count(*)::BIGINT AS sum_dl
+           FROM documents),
+uni AS (
+  SELECT rt.doc_id,
+         cast(((2.0 * {repo_idf}) * 1)
+              / (1 + 1.2 * (1.0 - 0.75 + 0.75 * 1
+                 / (g.sum_dl / cast(g.doc_count as double)))) as real) AS s
+  FROM repo_tf rt CROSS JOIN repo_s s CROSS JOIN repo_g g
+  UNION ALL
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'vector')
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM uni GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def mf_termstats(spark, sf):
+        idx = _mf_index(spark, sf)
+        keys = ["lang\x1fen", "lang\x1fde", "repo\x1fsrc1"]
+        return (idx.termstats().filter(F.col("term").isin(keys))
+                .select("term", "df", "cf").orderBy("term"))
+    e["multifield_termstats"] = (mf_termstats, """WITH kv AS (
+  SELECT 'lang' || chr(31) || lang AS term,
+         count(*)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'repo' || chr(31) || source,
+         count(*)::BIGINT, count(*)::BIGINT
+  FROM documents GROUP BY source)
+SELECT term, df, cf FROM kv
+WHERE term IN ('lang' || chr(31) || 'en', 'lang' || chr(31) || 'de',
+               'repo' || chr(31) || 'src1')
+ORDER BY term""")
+
+    return e
+
+
 def _example_similarity(tf, dl, df, doc_count, sum_dl):
     """Pluggable-Similarity example (SURVEY.md §2.13): tf-saturation
     ``tf / (tf + dl/avgdl)`` — log-free so every float op is IEEE
@@ -1795,6 +1891,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
     e.update(_query_algebra_entries())
+    e.update(_multifield_entries())
     e.update(_analyzer_entries())
     e.update(_index_stat_entries())
     e.update(_facet_entries())

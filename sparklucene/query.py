@@ -27,6 +27,27 @@ from dataclasses import dataclass, field
 
 from sparklucene.analysis import ENGLISH_STOP_WORDS, tokenize_text
 
+#: internal separator for field-qualified term keys ("field\x1fterm" —
+#: Lucene's Term IS a (field, text) pair; the default field's terms are
+#: stored bare so single-field indexes keep their v1 layout). \x1f (unit
+#: separator) cannot appear in standard-analyzer output and is asserted
+#: absent from keyword-field values at index time.
+FIELD_SEP = "\x1f"
+DEFAULT_FIELD = "content"
+
+
+def field_key(field: str | None, term: str) -> str:
+    """Internal posting/dictionary key for a (field, term) pair."""
+    if field is None or field == DEFAULT_FIELD:
+        return term
+    return f"{field}{FIELD_SEP}{term}"
+
+
+def field_of_key(key: str) -> str:
+    """Field name encoded in an internal term key."""
+    f, sep, _ = key.partition(FIELD_SEP)
+    return f if sep else DEFAULT_FIELD
+
 
 class Query:
     def terms(self) -> list[str]:
@@ -39,8 +60,12 @@ class Query:
 
 @dataclass(frozen=True)
 class Term(Query):
+    """TermQuery — ``field`` selects a non-default indexed field
+    (qualified into the internal key by :func:`qualify` at search time)."""
+
     term: str
     boost: float = 1.0
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return [self.term]
@@ -134,6 +159,8 @@ class Phrase(Query):
     #: weight 2^-D (dyadic, so cross-engine sums are exact; Lucene uses
     #: 1/(1+d), whose sums are rounding-order-dependent).
     slop: int = 0
+    #: non-default indexed field (requires store_positions on that field)
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return sorted({t for _, t in self.slots})
@@ -210,6 +237,7 @@ class MultiTermQuery(Query):
 class Prefix(MultiTermQuery):
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -218,6 +246,7 @@ class Wildcard(MultiTermQuery):
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -226,6 +255,7 @@ class Regexp(MultiTermQuery):
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -233,6 +263,7 @@ class Fuzzy(MultiTermQuery):
     term: str
     max_edits: int = 1
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -242,12 +273,14 @@ class TermRange(MultiTermQuery):
     include_lo: bool = True
     include_hi: bool = True
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class TermInSet(MultiTermQuery):
     in_terms: tuple[str, ...] = ()
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -260,9 +293,44 @@ class MultiPhrase(Query):
     behavior). Exact matching only (slop unsupported)."""
 
     slots: tuple[tuple[int, tuple[str, ...]], ...]
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return sorted({t for _, alts in self.slots for t in alts})
+
+
+def qualify(q: Query) -> Query:
+    """Resolve user-facing ``field`` attributes into internal term keys
+    (``field\\x1fterm``); the default field stays bare. Applied once by
+    ``search()`` before stats gathering — the scorer only ever sees keys."""
+    if isinstance(q, Term):
+        if q.field is None:
+            return q
+        return Term(field_key(q.field, q.term), q.boost)
+    if isinstance(q, Phrase):
+        if q.field is None:
+            return q
+        return Phrase(tuple((off, field_key(q.field, t))
+                            for off, t in q.slots), q.slop)
+    if isinstance(q, MultiPhrase):
+        if q.field is None:
+            return q
+        return MultiPhrase(tuple(
+            (off, tuple(field_key(q.field, t) for t in alts))
+            for off, alts in q.slots))
+    if isinstance(q, (And, Or)):
+        clauses = tuple(qualify(c) for c in q.clauses)
+        return (And(clauses) if isinstance(q, And)
+                else Or(clauses, q.min_should_match))
+    if isinstance(q, DisMax):
+        return DisMax(tuple(qualify(c) for c in q.clauses), q.tiebreak)
+    if isinstance(q, Not):
+        return Not(qualify(q.positive), qualify(q.negative))
+    if isinstance(q, Filtered):
+        return Filtered(qualify(q.positive), qualify(q.filter))
+    if isinstance(q, ConstantScore):
+        return ConstantScore(qualify(q.child), q.boost)
+    return q
 
 
 def rewrite(q: Query) -> Query:
@@ -294,14 +362,15 @@ def rewrite(q: Query) -> Query:
             return MatchNoDocs()
         if all(len(alts) == 1 for _, alts in q.slots):
             return rewrite(Phrase(tuple((off, alts[0])
-                                        for off, alts in q.slots)))
+                                        for off, alts in q.slots),
+                                  field=q.field))
         return MultiPhrase(tuple((off, tuple(sorted(set(alts))))
-                                 for off, alts in q.slots))
+                                 for off, alts in q.slots), q.field)
     if isinstance(q, Phrase):
         if not q.slots:
             return MatchNoDocs()
         if len(q.slots) == 1:  # single-term phrase == TermQuery (Lucene rewrite)
-            return Term(q.slots[0][1])
+            return Term(q.slots[0][1], field=q.field)
         return q
     if isinstance(q, DisMax):
         flat = [rewrite(c) for c in q.clauses]

@@ -88,6 +88,22 @@ class GlobalStats:
     doc_count: int
     sum_dl: int
     term_stats: dict[str, TermStats]
+    #: per-field {name: {"doc_count": N, "sum_dl": S}} for multi-field
+    #: indexes; None / missing field falls back to the default field's
+    #: stats (Lucene's per-field CollectionStatistics)
+    field_stats: dict[str, dict] | None = None
+
+    def stats_for(self, term: str) -> tuple[int, int]:
+        """(doc_count, sum_dl) of the field encoded in an internal term
+        key — BM25 then uses that field's avgdl."""
+        if self.field_stats:
+            from sparklucene.query import DEFAULT_FIELD, field_of_key
+            f = field_of_key(term)
+            if f != DEFAULT_FIELD:
+                fs = self.field_stats.get(f)
+                if fs is not None:
+                    return int(fs["doc_count"]), int(fs["sum_dl"])
+        return self.doc_count, self.sum_dl
 
 
 @dataclass
@@ -119,45 +135,43 @@ class RangeScorer:
                       boost: float = 1.0) -> np.ndarray:
         """Scores for postings of ``term`` given aligned (tf, norm byte)."""
         ts = self.stats.term_stats[term]
+        N, S = self.stats.stats_for(term)
         self.metrics.docs_scored += int(tfs.size)
         if callable(self.mode):
             # pluggable Similarity (SURVEY §2.13): fn(tf, dl, df,
             # doc_count, sum_dl) -> per-posting scores; dl is the
             # SmallFloat-quantized length (what the index stores)
             s = np.asarray(self.mode(tfs, LENGTH_TABLE[nb].astype(np.int64),
-                                     ts.df, self.stats.doc_count,
-                                     self.stats.sum_dl), dtype=np.float64)
+                                     ts.df, N, S), dtype=np.float64)
             return (np.float64(boost) * s).astype(np.float32)
         if self.mode == "boolean":
             # BooleanSimilarity: score = boost, tf/norm/idf ignored
             return np.full(tfs.size, np.float32(boost), dtype=np.float32)
         if self.mode == "lucene8":
-            return bm25.score_lucene8(tfs, nb, ts.df, self.stats.doc_count,
-                                      self.stats.sum_dl, boost=boost)
+            return bm25.score_lucene8(tfs, nb, ts.df, N, S, boost=boost)
         if self.mode == "classic":
-            return bm25.score_classic(tfs, LENGTH_TABLE[nb], ts.df,
-                                      self.stats.doc_count, boost=boost)
-        return bm25.score_f64(tfs, LENGTH_TABLE[nb], ts.df, self.stats.doc_count,
-                              self.stats.sum_dl, boost=boost)
+            return bm25.score_classic(tfs, LENGTH_TABLE[nb], ts.df, N,
+                                      boost=boost)
+        return bm25.score_f64(tfs, LENGTH_TABLE[nb], ts.df, N, S,
+                              boost=boost)
 
     def _block_ubs(self, term: str, cell: RangeCell) -> np.ndarray:
         ts = self.stats.term_stats[term]
+        N, S = self.stats.stats_for(term)
         if self.mode == "boolean":
             return np.full(len(cell.block_last), np.float32(1.0),
                            dtype=np.float32)
         if self.mode == "lucene8":
             return bm25.block_upper_bound_lucene8(
-                cell.block_max_tf, cell.block_min_norm, ts.df,
-                self.stats.doc_count, self.stats.sum_dl)
+                cell.block_max_tf, cell.block_min_norm, ts.df, N, S)
         if self.mode == "classic":
             # sqrt(tf)/sqrt(dlq) is monotone in (max_tf, min_norm) too
             return bm25.score_classic(
                 np.asarray(cell.block_max_tf, dtype=np.int64),
                 LENGTH_TABLE[np.asarray(cell.block_min_norm, dtype=np.uint8)],
-                ts.df, self.stats.doc_count)
+                ts.df, N)
         return bm25.block_upper_bound_f64(
-            cell.block_max_tf, cell.block_min_norm, ts.df,
-            self.stats.doc_count, self.stats.sum_dl)
+            cell.block_max_tf, cell.block_min_norm, ts.df, N, S)
 
     def _filtered(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decoded (docs, tfs, norm bytes) with MUST_NOT docs masked out."""
@@ -362,16 +376,16 @@ class RangeScorer:
             slot_terms = [t for _, alts in q.slots for t in alts]
         else:
             slot_terms = [t for _, t in q.slots]
+        # all slot terms share one field by construction (qualify())
+        N, S = self.stats.stats_for(slot_terms[0])
         idf_fn = bm25.idf_classic if self.mode == "classic" else bm25.idf
-        idf_total = sum(idf_fn(self.stats.term_stats[t].df,
-                               self.stats.doc_count) for t in slot_terms)
+        idf_total = sum(idf_fn(self.stats.term_stats[t].df, N)
+                        for t in slot_terms)
         if self.mode == "lucene8":
-            return bm25.score_lucene8_w(idf_total, pfreq, nb,
-                                        self.stats.doc_count, self.stats.sum_dl)
+            return bm25.score_lucene8_w(idf_total, pfreq, nb, N, S)
         if self.mode == "classic":
             return bm25.score_classic_w(idf_total, pfreq, LENGTH_TABLE[nb])
-        return bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb],
-                                self.stats.doc_count, self.stats.sum_dl)
+        return bm25.score_f64_w(idf_total, pfreq, LENGTH_TABLE[nb], N, S)
 
     def _multiphrase_scores(self, q: MultiPhrase
                             ) -> tuple[np.ndarray, np.ndarray]:

@@ -35,8 +35,9 @@ from sparklucene.build import IndexPaths, load_stats
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered, Fuzzy,
                                MatchAllDocs, MatchNoDocs, MultiTermQuery,
                                Not, Or, Prefix, Query, Regexp, Term,
-                               TermInSet, TermRange, Wildcard, parse,
-                               prune_missing, rewrite)
+                               TermInSet, TermRange, Wildcard, FIELD_SEP,
+                               field_key, parse, prune_missing, qualify,
+                               rewrite)
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 RESULT_SCHEMA = "doc_id long, score double"
@@ -119,12 +120,15 @@ class Index:
         smaller). Prefix/range predicates push down to the term-sorted
         Parquet (FST-seek analog); the expansion is capped like Lucene's
         maxClauseCount."""
+        import re as _re
+
         term = F.col("term")
+        fk = field_key(q.field, "")  # "" for default field, "name\x1f" else
         if isinstance(q, Prefix):
-            pred = term.startswith(q.prefix)
+            pred = term.startswith(fk + q.prefix)
         elif isinstance(q, Wildcard):
             pat = []
-            for ch in q.pattern:
+            for ch in fk + q.pattern:
                 if ch == "*":
                     pat.append("%")
                 elif ch == "?":
@@ -135,24 +139,34 @@ class Index:
                     pat.append(ch)
             pred = term.like("".join(pat))
             # literal prefix before the first wildcard narrows the scan
-            lit_prefix = q.pattern.split("*")[0].split("?")[0]
+            lit_prefix = (fk + q.pattern).split("*")[0].split("?")[0]
             if lit_prefix:
                 pred = term.startswith(lit_prefix) & pred
         elif isinstance(q, Regexp):
             # RegexpQuery anchors to the FULL term (Lucene semantics)
-            pred = term.rlike(f"^(?:{q.pattern})$")
+            pred = term.rlike(f"^{_re.escape(fk)}(?:{q.pattern})$")
         elif isinstance(q, Fuzzy):
-            pred = F.levenshtein(term, F.lit(q.term)) <= q.max_edits
+            body = term.substr(F.lit(len(fk) + 1), F.length(term)) if fk \
+                else term
+            pred = F.levenshtein(body, F.lit(q.term)) <= q.max_edits
+            if fk:
+                pred = term.startswith(fk) & pred
         elif isinstance(q, TermRange):
-            pred = F.lit(True)
+            pred = term.startswith(fk) if fk else F.lit(True)
             if q.lo is not None:
-                pred = pred & (term >= q.lo if q.include_lo else term > q.lo)
+                lo = fk + q.lo
+                pred = pred & (term >= lo if q.include_lo else term > lo)
             if q.hi is not None:
-                pred = pred & (term <= q.hi if q.include_hi else term < q.hi)
+                hi = fk + q.hi
+                pred = pred & (term <= hi if q.include_hi else term < hi)
         elif isinstance(q, TermInSet):
-            pred = term.isin(list(q.in_terms))
+            pred = term.isin([fk + t for t in q.in_terms])
         else:  # pragma: no cover
             raise TypeError(f"unknown multi-term query {type(q)}")
+        if not fk:
+            # default-field expansion must not sweep up other fields'
+            # qualified keys (they sort between ASCII letters)
+            pred = pred & ~term.contains(FIELD_SEP)
         rows = (self.termstats().select("term").filter(pred)
                 .limit(max_expansions + 1).collect())
         if len(rows) > max_expansions:
@@ -232,7 +246,7 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     only hits strictly after it and stays k-bounded (searchAfter).
     """
     spark = index.spark
-    q = _as_query(query)
+    q = qualify(_as_query(query))
     q = _expand_multiterm(q, index, max_expansions)
     bdel = index.deleted_broadcast()
     extra = (np.asarray(sorted({int(d) for d in exclude_docs}), np.int64)
@@ -256,7 +270,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
 
     gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
                          sum_dl=int(index.stats["sum_dl"]),
-                         term_stats=tstats)
+                         term_stats=tstats,
+                         field_stats=index.stats.get("fields"))
 
     postings = index.postings().filter(F.col("term").isin(all_terms))
     # size the scoring shuffle by the estimated number of matching cells
@@ -303,6 +318,28 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return _hydrate(candidates, hydrate)
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return _hydrate(topk, hydrate)
+
+
+def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
+                  op: str = "or", msm: int = 1) -> Query:
+    """ExtendedDismaxQParser's core query shape (Solr ``defType=edismax``,
+    public behavior): analyze the user text, turn EACH term into a
+    DisjunctionMax over the ``qf`` fields with boosts
+    (``qf="content^1 path^2"`` -> ``{"content": 1.0, "path": 2.0}``),
+    then combine terms with ``q.op`` (or + minimumShouldMatch / and)."""
+    from sparklucene.analysis import tokenize_text
+
+    toks = tokenize_text(text)
+    clauses: list[Query] = []
+    for t in toks:
+        per_field = tuple(Term(t, boost=b, field=f)
+                          for f, b in sorted(qf.items()))
+        clauses.append(DisMax(per_field, tie) if len(per_field) > 1
+                       else per_field[0])
+    if not clauses:
+        return MatchNoDocs()
+    return rewrite(And(tuple(clauses)) if op == "and"
+                   else Or(tuple(clauses), msm))
 
 
 def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
