@@ -33,7 +33,8 @@ if REPO not in sys.path:
 
 from sparklucene.build import build_index  # noqa: E402
 from sparklucene.corpus import expand_corpus, load_corpus  # noqa: E402
-from sparklucene.query import And, Not, Or, Term  # noqa: E402
+from sparklucene.query import (And, Not, Or, Phrase, Prefix,  # noqa: E402
+                               Term)
 from sparklucene.search import Index, search  # noqa: E402
 from sparklucene.session import get_spark  # noqa: E402
 
@@ -55,6 +56,10 @@ QUERIES = {
     # rare OR common: the MAXSCORE sweet spot (high-idf term seeds θ, the
     # common term becomes non-essential and is only probed)
     "q8_or_rare_common": Or((Term("dup"), Term("slow"))),
+    # round 2: positional intersection + dictionary-expanded constant-score
+    # clause inside a scored conjunction
+    "q9_phrase": Phrase(((0, "fast"), (1, "merge"))),
+    "q10_prefix_clause": And((Prefix("sc"), Term("merge"))),
 }
 
 

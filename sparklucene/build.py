@@ -242,9 +242,26 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+#: single-file manifest log written by compaction (the "_" prefix keeps it
+#: off the per-range "*.json" namespace)
+_COMPACTED_MANIFESTS = "_compacted.jsonl"
+
+
 def _manifests(paths: IndexPaths) -> dict[int, dict]:
-    """Completed per-range manifests keyed by drange (lineage records)."""
+    """Completed per-range manifests keyed by drange (lineage records).
+
+    Reads the compacted log first, then individual ``part-*.json`` files
+    (newer, they override) — at 10^6 ranges resume costs one sequential
+    file read plus however many ranges arrived since the last merge,
+    instead of 10^6 tiny json loads."""
     out: dict[int, dict] = {}
+    comp = os.path.join(paths.manifest_dir, _COMPACTED_MANIFESTS)
+    if os.path.isfile(comp):
+        with open(comp) as fh:
+            for line in fh:
+                if line.strip():
+                    m = json.loads(line)
+                    out[m["drange"]] = m
     if os.path.isdir(paths.manifest_dir):
         for f in os.listdir(paths.manifest_dir):
             if f.endswith(".json"):
@@ -252,6 +269,29 @@ def _manifests(paths: IndexPaths) -> dict[int, dict]:
                     m = json.load(fh)
                 out[m["drange"]] = m
     return out
+
+
+def compact_manifests(paths: IndexPaths) -> int:
+    """Fold individual range manifests into the single compacted log
+    (atomic replace, then unlink the folded files — a crash mid-unlink
+    leaves duplicates that override with identical content, so the
+    operation is idempotent). Returns the number of ranges in the log."""
+    all_m = _manifests(paths)
+    if not all_m:
+        return 0
+    comp = os.path.join(paths.manifest_dir, _COMPACTED_MANIFESTS)
+    tmp = f"{comp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        for dr in sorted(all_m):
+            fh.write(json.dumps(all_m[dr]) + "\n")
+    os.replace(tmp, comp)
+    for f in os.listdir(paths.manifest_dir):
+        if f.endswith(".json"):
+            try:
+                os.unlink(os.path.join(paths.manifest_dir, f))
+            except OSError:
+                pass
+    return len(all_m)
 
 
 def _completed_dranges(paths: IndexPaths) -> set[int]:
@@ -364,18 +404,16 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     # table — norms travel inside posting cells so it is off the hot path
     n_docs = doc_count = sum_dl = 0
     field_acc: dict[str, dict[str, int]] = {}
-    for f in os.listdir(paths.manifest_dir):
-        if f.endswith(".json"):
-            with open(os.path.join(paths.manifest_dir, f)) as fh:
-                m = json.load(fh)
-            n_docs += m["n_docs"]
-            doc_count += m.get("n_docs_live", m["n_docs"])
-            sum_dl += m["sum_dl"]
-            for fname, fm in m.get("fields", {}).items():
-                acc = field_acc.setdefault(fname,
-                                           {"doc_count": 0, "sum_dl": 0})
-                acc["doc_count"] += fm["n_docs_live"]
-                acc["sum_dl"] += fm["sum_dl"]
+    for m in _manifests(paths).values():
+        n_docs += m["n_docs"]
+        doc_count += m.get("n_docs_live", m["n_docs"])
+        sum_dl += m["sum_dl"]
+        for fname, fm in m.get("fields", {}).items():
+            acc = field_acc.setdefault(fname,
+                                       {"doc_count": 0, "sum_dl": 0})
+            acc["doc_count"] += fm["n_docs_live"]
+            acc["sum_dl"] += fm["sum_dl"]
+    compact_manifests(paths)
     stats = {"n_docs": n_docs, "doc_count": doc_count,
              "sum_dl": sum_dl, "drange_size": drange_size,
              "n_term_buckets": n_term_buckets, "format": FORMAT_VERSION,
@@ -400,6 +438,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     ``extra_fields`` index additional corpus columns alongside ``content``
     (SURVEY §1.2 multi-field schema) — per-field analyzers, norms, and
     global stats; queried via ``Term(t, field="name")`` / edismax."""
+    from sparklucene.plugins import resolve_analyzer
+
+    analyzer = resolve_analyzer(analyzer)  # accepts registered names too
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     if drange_size is None:

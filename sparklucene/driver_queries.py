@@ -863,6 +863,31 @@ SELECT n_nationkey, n_name, r_name
 FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
 ORDER BY n_nationkey""")
 
+    def reduce_(spark, sf):
+        import pandas as pd
+
+        def per_type(pdf: pd.DataFrame) -> pd.DataFrame:
+            # cents-integer accumulation == DECIMAL(18,2) sum (exact,
+            # order-proof) — the oracle-parity rule for money sums
+            cents = (pdf["value"] * 100).round().astype("int64").sum()
+            return pd.DataFrame({
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "n_users": [pdf["user_id"].nunique()],
+                "first_event": [pdf["event_id"].min()],
+                "last_event": [pdf["event_id"].max()],
+                "sum_value": [cents / 100.0]})
+        return st.reduce_stream(
+            _t(spark, sf, "events"), ["event_type"], per_type,
+            "event_type string, n long, n_users long, first_event long, "
+            "last_event long, sum_value double").orderBy("event_type")
+    e["stream_reduce"] = (reduce_, """
+SELECT event_type, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type""")
+
     return e
 
 
@@ -928,50 +953,38 @@ FROM best b JOIN sizes s ON b.source = s.source WHERE b.rn = 1""")
 
 def _termdict_entries() -> dict[str, tuple[Callable, str | None]]:
     """Multi-term query rewrites (SURVEY.md §2.4): prefix / wildcard /
-    regexp / fuzzy expand against the index's term dictionary, then the
-    matched term set resolves to a constant-score doc set from the
-    postings (MultiTermQuery CONSTANT_SCORE_REWRITE)."""
+    regexp / fuzzy expand against the TERM DICTIONARY (termstats — never
+    the ~n_ranges-times-larger postings table), rewrite to
+    ConstantScore(Or(...)) and run through the ordinary search path
+    (MultiTermQuery CONSTANT_SCORE_REWRITE)."""
     import numpy as np
     import pandas as pd
 
     from sparklucene.codec import decode_doc_ids, decode_tfs
+    from sparklucene.query import Fuzzy, Prefix, Regexp, Wildcard
     e: dict[str, tuple[Callable, str | None]] = {}
 
-    def _docs_for_terms(idx: Index, term_pred) -> DataFrame:
-        """Expand term predicate on the dictionary -> distinct doc ids."""
-        matched = idx.postings().filter(term_pred)
-
-        def decode(batches):
-            for pdf in batches:
-                for cell in pdf["doc_bytes"]:
-                    yield pd.DataFrame({"doc_id": decode_doc_ids(bytes(cell))})
-
-        out = matched.select("doc_bytes").mapInPandas(decode, "doc_id long")
-        return out.distinct().orderBy("doc_id")
+    def _doc_set(idx: Index, q) -> DataFrame:
+        return matches(idx, q).select("doc_id").orderBy("doc_id")
 
     def prefix(spark, sf):
-        idx = index_for(spark, sf)
-        return _docs_for_terms(idx, F.col("term").startswith("sc"))
+        return _doc_set(index_for(spark, sf), Prefix("sc"))
     e["prefix_query"] = (prefix, f"""WITH {corpus_ctes()}
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sc%' ORDER BY doc_id""")
 
     def wildcard(spark, sf):
-        idx = index_for(spark, sf)
-        return _docs_for_terms(idx, F.col("term").like("%ow"))
+        return _doc_set(index_for(spark, sf), Wildcard("*ow"))
     e["wildcard_query"] = (wildcard, f"""WITH {corpus_ctes()}
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%ow' ORDER BY doc_id""")
 
     def regexp(spark, sf):
-        idx = index_for(spark, sf)
-        return _docs_for_terms(idx, F.col("term").rlike("^f.*t$"))
+        return _doc_set(index_for(spark, sf), Regexp("f.*t"))
     e["regexp_query"] = (regexp, f"""WITH {corpus_ctes()}
 SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '^f.*t$')
 ORDER BY doc_id""")
 
     def fuzzy(spark, sf):
-        idx = index_for(spark, sf)
-        return _docs_for_terms(idx, F.levenshtein(F.col("term"),
-                                                  F.lit("mergee")) <= 1)
+        return _doc_set(index_for(spark, sf), Fuzzy("mergee", max_edits=1))
     e["fuzzy_query"] = (fuzzy, f"""WITH {corpus_ctes()}
 SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'mergee') <= 1
 ORDER BY doc_id""")
@@ -1887,6 +1900,31 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""")
 # public registry assembly
 # ---------------------------------------------------------------------------
 
+#: entries the driver's round-1 CORRECTNESS window already verified
+#: (CORRECTNESS_r01.json). The driver checks a bounded prefix of the
+#: registry each round, so entries WITHOUT a driver-green row yet are
+#: ordered first — across rounds every entry gets driver coverage.
+_R01_COVERED = frozenset({
+    "bm25_term", "bm25_or_flagship", "bm25_or_wide", "bm25_and",
+    "bm25_not", "bm25_msm2", "bm25_and_missing_term", "bm25_with_deletes",
+    "classic_similarity_or", "more_like_this", "bm25_phrase",
+    "bm25_phrase_stopword_gap", "bm25_phrase_sloppy", "bm25_phrase_or_term",
+    "bm25_dismax", "bm25_boosted_or", "search_total_hits",
+    "search_export_sorted", "search_cursor_page2", "index_term_stats",
+    "index_top_terms_by_df", "index_doc_norms", "index_invariants",
+    "corpus_sha256_invariant", "index_global_stats", "facet_field_lang",
+    "facet_field_source_topn", "facet_range_nchars", "facet_query_counts",
+    "facet_pivot_lang_source", "stats_component_numeric", "unique_agg",
+    "percentile_agg", "facet_rollup_hierarchy", "hll_approx_distinct",
+    "events_time_window_agg", "stream_select_eval", "stream_top_k",
+    "stream_unique", "stream_merge_sorted", "stream_hash_join",
+    "stream_outer_hash_join", "stream_sortmerge_join_rollup",
+    "stream_intersect", "stream_complement", "stream_rollup_metrics",
+    "stream_stats", "stream_fetch_enrich", "sort_multi_field",
+    "paging_page2",
+})
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -1898,7 +1936,6 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_stream_entries())
     e.update(_window_entries())
     e.update(_termdict_entries())
-    e.update(_scalar_fn_entries())
     e.update(_textops_entries())
     e.update(_dedup_entries())
     e.update(_similarity_entries())
@@ -1906,7 +1943,13 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_result_composition_entries())
     e.update(_sql_surface_entries())
     e.update(_streaming_entries())
-    return e
+    e.update(_scalar_fn_entries())
+    # not-yet-driver-covered entries lead the registry (the driver checks
+    # a prefix window); relative assembly order is preserved within each
+    # half, so every entry keeps a deterministic position
+    head = {k: v for k, v in e.items() if k not in _R01_COVERED}
+    tail = {k: v for k, v in e.items() if k in _R01_COVERED}
+    return {**head, **tail}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

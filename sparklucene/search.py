@@ -245,7 +245,10 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     ``after`` is a (score, doc_id) keyset cursor — each range collects
     only hits strictly after it and stays k-bounded (searchAfter).
     """
+    from sparklucene.plugins import resolve_mode
+
     spark = index.spark
+    mode = resolve_mode(mode)
     q = qualify(_as_query(query))
     q = _expand_multiterm(q, index, max_expansions)
     bdel = index.deleted_broadcast()

@@ -100,6 +100,17 @@ def fetch_stream(df: DataFrame, lookup: DataFrame, on: list[str],
     return df.join(F.broadcast(lookup.select(*on, *fields)), on=on, how="left")
 
 
+def reduce_stream(df: DataFrame, by: list[str], fn, schema: str) -> DataFrame:
+    """ReducerStream: the grouped-map UDAF surface — Solr groups the
+    sorted tuple stream by the ``by`` fields and hands each group to a
+    user Reduce operation. The Spark form is ``groupBy().applyInPandas``:
+    ``fn(pdf) -> pdf`` receives one group as an Arrow-batched pandas
+    frame and returns its reduction rows (distributed partial groups are
+    impossible here — Spark shuffles the whole group to one task, which
+    is exactly ReducerStream's contract)."""
+    return df.groupBy(*by).applyInPandas(fn, schema=schema)
+
+
 def parallel_stream(df: DataFrame, n: int, *keys: str) -> DataFrame:
     """ParallelStream: explicit hash re-partition of the dataflow across n
     workers — Spark's repartition(n, keys) IS this operator, managed."""

@@ -125,11 +125,24 @@ def test_resume_skips_completed_partitions(spark, built):
     # re-run invert: everything checkpointed -> all skipped
     manifest = invert(corpus, paths, drange_size=128, resume=True)
     assert (manifest["status"] == "skipped").all()
-    # kill one partition's checkpoint -> only that one rebuilds
+    # kill one partition's checkpoint -> only that one rebuilds. Fresh
+    # manifests live as part-*.json until merge() folds them into the
+    # compacted log, so the victim may be in either place.
+    from sparklucene.build import _manifests, compact_manifests
+
     victims = sorted(glob.glob(os.path.join(paths.manifest_dir, "part-*.json")))
-    with open(victims[0]) as fh:
-        victim_range = json.load(fh)["drange"]
-    os.remove(victims[0])
+    if victims:
+        with open(victims[0]) as fh:
+            victim_range = json.load(fh)["drange"]
+        os.remove(victims[0])
+    else:
+        recs = _manifests(paths)
+        victim_range = sorted(recs)[0]
+        del recs[victim_range]
+        comp = os.path.join(paths.manifest_dir, "_compacted.jsonl")
+        with open(comp, "w") as fh:
+            for dr in sorted(recs):
+                fh.write(json.dumps(recs[dr]) + "\n")
     manifest2 = invert(corpus, paths, drange_size=128, resume=True)
     rebuilt = manifest2[manifest2["status"] == "built"]
     assert rebuilt["drange"].tolist() == [victim_range]
