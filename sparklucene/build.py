@@ -368,12 +368,17 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
         # size buckets by DATA VOLUME (~128 MB of packed postings each),
         # not by core count: bucket count then grows with the corpus and
         # the job shape is identical at any parallelism (scaling fairness;
-        # at 100 TB this yields thousands of buckets automatically)
+        # at 100 TB this yields thousands of buckets automatically).
+        # The constant floor of 16 (same at EVERY cluster size, so it
+        # never skews an N-vs-4N comparison) keeps the final term-range
+        # write parallel for small indexes — with 1 bucket the merge is a
+        # single serial task, a fixed cost that poisons scaling numbers
+        # and wastes an idle cluster.
         total_bytes = sum(
             os.path.getsize(os.path.join(paths.partials, f))
             for f in os.listdir(paths.partials)
             if f.startswith("postings-") and f.endswith(".parquet"))
-        n_term_buckets = max(1, -(-total_bytes // (128 << 20)))
+        n_term_buckets = max(16, -(-total_bytes // (128 << 20)))
 
     # one pass over the partials feeds both the term-range layout write and
     # the stats aggregation (avoids re-reading every partial file)

@@ -1346,6 +1346,29 @@ ranked AS (
   FROM scored)
 SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
 
+    e["ann_lsh_multiprobe_topk"] = (
+        lambda spark, sf: sim.lsh_cosine_topk(_t(spark, sf, "embeddings"),
+                                              QIDS, k=5, probes=1),
+        f"""WITH {quant_ctes},
+bk AS (SELECT vec_id, q, norm2, {bucket_sql} AS bucket FROM nv),
+cand AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id, b.bucket AS bucket,
+         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         a.norm2 AS qn, b.norm2 AS bn
+  FROM bk a JOIN bk b
+    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND b.vec_id != a.vec_id
+  WHERE a.vec_id IN ({qids_sql})),
+scored AS (
+  SELECT qid, vec_id, bucket,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT qid, vec_id, bucket, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
+
     return e
 
 
@@ -1724,6 +1747,58 @@ ORDER BY term""")
     return e
 
 
+def _join_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Join operators (SURVEY §2.4 join rows): ToParentBlockJoinQuery
+    (child hits rolled up to a parent key, ScoreMode.Max) and
+    JoinUtil / Solr ``{!join from= to=}`` (query-time cross-collection
+    semi-join) — both as Catalyst joins over engine match sets."""
+    e: dict[str, tuple[Callable, str | None]] = {}
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                            "g.sum_dl")
+
+    def block_join(spark, sf):
+        idx = index_for(spark, sf)
+        hits = matches(idx, Or((Term("spark"), Term("merge"))), mode="f64")
+        parents = load_corpus(spark, sf).select("doc_id", "repo")
+        return (hits.join(parents, "doc_id")
+                .groupBy("repo")
+                .agg(F.max("score").alias("score"),
+                     F.count("*").alias("n_children"))
+                .orderBy(F.desc("score"), F.asc("repo")).limit(10))
+    e["block_join_parent_rollup"] = (block_join, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id)
+SELECT d.source AS repo, max(ds.score) AS score,
+       count(*)::BIGINT AS n_children
+FROM doc_scores ds JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY score DESC, repo ASC LIMIT 10""")
+
+    def join_util(spark, sf):
+        idx = index_for(spark, sf)
+        inner = matches(idx, Term("dup"), mode="f64").select("doc_id")
+        corpus = load_corpus(spark, sf)
+        langs = (inner.join(corpus.select("doc_id", "lang"), "doc_id")
+                 .select("lang").distinct())
+        outer = corpus.join(F.broadcast(langs), "lang", "left_semi")
+        return outer.agg(F.count("*").alias("n_docs"),
+                         F.countDistinct("lang").alias("n_langs"))
+    e["join_cross_collection"] = (join_util, f"""WITH {corpus_ctes()}
+SELECT count(*)::BIGINT AS n_docs, count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents
+WHERE lang IN (SELECT DISTINCT d2.lang
+               FROM tf JOIN documents d2 USING (doc_id)
+               WHERE tf.term = 'dup')""")
+
+    return e
+
+
 def _example_similarity(tf, dl, df, doc_count, sum_dl):
     """Pluggable-Similarity example (SURVEY.md §2.13): tf-saturation
     ``tf / (tf + dl/avgdl)`` — log-free so every float op is IEEE
@@ -1931,6 +2006,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_query_algebra_entries())
     e.update(_multifield_entries())
     e.update(_analyzer_entries())
+    e.update(_join_entries())
     e.update(_index_stat_entries())
     e.update(_facet_entries())
     e.update(_stream_entries())

@@ -106,10 +106,29 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8,
                            F.when(dim_ok.isNull(), bucket.cast("long")))
 
 
+def _probe_masks(n_planes: int, probes: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance <= probes."""
+    import itertools
+
+    masks = [0]
+    for d in range(1, probes + 1):
+        for bits in itertools.combinations(range(n_planes), d):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                    n_planes: int = 8, dim: int | None = None) -> DataFrame:
-    """ANN top-k restricted to the query's hyperplane bucket (the recall/
-    cost dial is n_planes; multi-probe = drop bits, not implemented here).
+                    n_planes: int = 8, dim: int | None = None,
+                    probes: int = 0) -> DataFrame:
+    """ANN top-k restricted to the query's hyperplane bucket(s).
+
+    ``probes`` is the recall dial (multi-probe LSH — Lv et al., VLDB'07):
+    additionally search every bucket within Hamming distance <= probes of
+    the query's bucket by exploding the query against that XOR-mask set —
+    the join stays a pure equi-join on bucket (scale-safe; a candidate's
+    single bucket matches at most one probe value, so no dedup needed).
+    probes=0 is classic single-bucket LSH; probes=1 searches n_planes+1
+    buckets.
     """
     if dim is None:
         dim = _infer_dim(embeddings)
@@ -119,6 +138,11 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
                        F.col("norm2").alias("qnorm2"),
                        F.col("bucket").alias("qbucket")))
+    if probes > 0:
+        masks = F.array(*[F.lit(m) for m in _probe_masks(n_planes, probes)])
+        queries = queries.withColumn(
+            "qbucket", F.explode(F.transform(
+                masks, lambda m: F.col("qbucket").bitwiseXOR(m))))
     cand = bucketed.join(F.broadcast(queries),
                          (F.col("bucket") == F.col("qbucket"))
                          & (F.col("vec_id") != F.col("qid")))
