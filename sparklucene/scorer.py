@@ -264,13 +264,18 @@ class RangeScorer:
         docs, tfs, norms = self._filtered(term)
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
-        if not self.prune or docs.size <= k or self._neg_mask_docs.size:
+        if not self.prune or docs.size <= k:
             return self._cursor_mask(docs, self._score_arrays(term, tfs, norms))
         # block-at-a-time with descending-ub order and running θ; under a
         # cursor, θ is the kth best among QUALIFIED hits only (collecting
         # unqualified scores into θ would over-prune lower-scoring blocks
-        # that still hold page-2 docs)
-        alldocs, _ = cell.decode()
+        # that still hold page-2 docs). Deletions mask per block BEFORE
+        # collection — removing candidates never invalidates a block's
+        # upper bound, so pruning stays exact under deletes (Lucene's
+        # live-docs-during-collection behavior).
+        alldocs, alltfs = cell.decode()
+        allnorms = cell.norms()
+        neg = self._neg_mask_docs
         ubs = self._block_ubs(term, cell)
         order = np.argsort(-ubs.astype(np.float64), kind="stable")
         out_docs: list[np.ndarray] = []
@@ -285,7 +290,10 @@ class RangeScorer:
                 self.metrics.blocks_skipped += 1
                 continue
             sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
-            bd, bt, bn = alldocs[sl], tfs[sl], norms[sl]
+            bd, bt, bn = alldocs[sl], alltfs[sl], allnorms[sl]
+            if neg is not None and neg.size:
+                keep = ~np.isin(bd, neg, assume_unique=True)
+                bd, bt, bn = bd[keep], bt[keep], bn[keep]
             bd, s = self._cursor_mask(bd, self._score_arrays(term, bt, bn))
             out_docs.append(bd)
             out_scores.append(s)

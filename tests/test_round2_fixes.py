@@ -45,7 +45,7 @@ def test_parse_sloppy_quoted_not_rewritten():
 # scorer: packed (doc, pos) uint64 keys guard their 32-bit domains
 # ---------------------------------------------------------------------------
 
-def _scorer_for(pdf: pd.DataFrame):
+def _scorer_for(pdf: pd.DataFrame, deleted=None):
     from sparklucene.build import _invert_one_range
     from sparklucene.scorer import (GlobalStats, RangeCell, RangeScorer,
                                     TermStats)
@@ -64,7 +64,7 @@ def _scorer_for(pdf: pd.DataFrame):
         tstats[row["term"]] = TermStats(df=row["df_part"], cf=row["cf_part"])
     gs = GlobalStats(doc_count=len(pdf), sum_dl=int(man["sum_dl"]),
                      term_stats=tstats)
-    return RangeScorer(cells, gs)
+    return RangeScorer(cells, gs, deleted=deleted)
 
 
 def test_phrase_packed_key_guard_rejects_huge_doc_ids():
@@ -107,6 +107,28 @@ def test_cursor_topk_equals_offset_slice_all_query_shapes(corpus_pdf):
         d2, s2 = pr.topk(q, 10, after=after)
         assert d2.tolist() == fd[10:20].tolist(), q
         assert s2.tolist() == fs[10:20].tolist(), q
+
+
+def test_pruned_single_term_with_deletes_matches_exhaustive():
+    from sparklucene.query import Term
+
+    n = 3000
+    # tiered tf so block upper bounds differ (low-tf tail blocks are
+    # skippable once θ is established)
+    content = ["spark " * 5 if i < 1280 else "spark" for i in range(n)]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "content": content})
+    deleted = np.arange(0, n, 13, dtype=np.int64)  # every 13th doc
+    ex = _scorer_for(pdf, deleted=deleted)
+    ex.prune = False
+    fd, fs = ex.topk(Term("spark"), 20)
+    pr = _scorer_for(pdf, deleted=deleted)
+    d2, s2 = pr.topk(Term("spark"), 20)
+    assert d2.tolist() == fd.tolist()
+    assert s2.tolist() == fs.tolist()
+    assert np.intersect1d(d2, deleted).size == 0
+    # deletions no longer force the exhaustive path
+    assert pr.metrics.blocks_skipped > 0
 
 
 def test_cursor_single_term_pruning_skips_blocks():
