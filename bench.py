@@ -8,9 +8,11 @@ Default mode (driver contract): runs at $SPARK_GRAFT_SF_DIR (default
    "latency": {p50_sec, p99_sec}}
 
 Scaling mode (BASELINE.md two-cluster-size criterion): SCALING=1 python
-bench.py additionally re-runs the same build at local[8] and local[32] on
-identical input and reports throughput at both plus efficiency
-(T8/T32)/4 — the sandbox stand-in for N vs 4N executors (BASELINE.json:14).
+bench.py re-runs the same build at two parallelism levels (default
+local[2] vs local[8]) on identical input with INTERLEAVED reps and
+reports throughput at both plus efficiency (T_lo/T_hi)/4 — the sandbox
+stand-in for N vs 4N executors (BASELINE.json:14). See BENCH/BASELINE.md
+§3 for the host's measured ALU/memory-bandwidth scaling ceilings.
 
 The corpus is the driver's documents.parquet expanded K-fold via the
 deterministic ``expand_corpus`` (seeded replication — no external data),
