@@ -61,6 +61,7 @@ class Index:
         self._tstats_memo: dict[str, TermStats | None] = {}
         self._deleted: list[int] | None = None
         self._deleted_bc = None
+        self._expand_memo: dict[tuple, list[str]] = {}
 
     def postings(self) -> DataFrame:
         if self._postings is None:
@@ -119,8 +120,14 @@ class Index:
         (never the postings table — the dictionary is ~n_ranges times
         smaller). Prefix/range predicates push down to the term-sorted
         Parquet (FST-seek analog); the expansion is capped like Lucene's
-        maxClauseCount."""
+        maxClauseCount and memoized per handle (repeated
+        prefix/wildcard/fuzzy queries pay no Spark action)."""
         import re as _re
+
+        memo_key = (repr(q), max_expansions)
+        hit = self._expand_memo.get(memo_key)
+        if hit is not None:
+            return hit
 
         term = F.col("term")
         fk = field_key(q.field, "")  # "" for default field, "name\x1f" else
@@ -174,7 +181,9 @@ class Index:
                 f"{type(q).__name__} expands to more than {max_expansions} "
                 "terms (maxClauseCount analog) — narrow the pattern or "
                 "raise max_expansions")
-        return sorted(r["term"] for r in rows)
+        out = sorted(r["term"] for r in rows)
+        self._expand_memo[memo_key] = out
+        return out
 
     def term_stats_for(self, terms: list[str]) -> dict[str, TermStats]:
         """df/cf per term (Lucene TermStates.build). Memoized per handle —

@@ -93,6 +93,30 @@ def test_lsh_ann_subset_of_bucket(spark, embeddings):
         assert buckets[r["vec_id"]] == buckets[r["qid"]]
 
 
+def test_lsh_multiprobe_recall_dominates_single_bucket(spark, embeddings):
+    """probes=1 searches the bucket plus all Hamming-1 neighbors, so its
+    candidate set strictly contains the single-bucket set and recall vs
+    the exact top-k can only improve."""
+    from sparklucene.similarity import (hyperplane_buckets, cosine_topk,
+                                        lsh_cosine_topk)
+
+    qids = [0, 1, 2]
+    exact = {(r["qid"], r["vec_id"])
+             for r in cosine_topk(embeddings, qids, k=5).collect()}
+    single = {(r["qid"], r["vec_id"])
+              for r in lsh_cosine_topk(embeddings, qids, k=5).collect()}
+    multi = {(r["qid"], r["vec_id"])
+             for r in lsh_cosine_topk(embeddings, qids, k=5,
+                                      probes=1).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    # every multiprobe candidate is within Hamming distance 1
+    buckets = {r["vec_id"]: r["bucket"]
+               for r in hyperplane_buckets(embeddings)
+               .select("vec_id", "bucket").collect()}
+    for qid, vid in multi:
+        assert bin(buckets[qid] ^ buckets[vid]).count("1") <= 1
+
+
 def test_multimodal_features_deterministic(spark, docs):
     import hashlib
 
