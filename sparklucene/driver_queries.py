@@ -1799,13 +1799,30 @@ WHERE lang IN (SELECT DISTINCT d2.lang
     return e
 
 
-def _example_similarity(tf, dl, df, doc_count, sum_dl):
+def _example_similarity(tf, dl, df, cf, doc_count, sum_dl):
     """Pluggable-Similarity example (SURVEY.md §2.13): tf-saturation
     ``tf / (tf + dl/avgdl)`` — log-free so every float op is IEEE
     correctly-rounded and the DuckDB oracle reproduces it bit-for-bit
     (``dl`` is the SmallFloat-quantized length the index stores)."""
     avgdl = sum_dl / doc_count
     return tf / (tf + dl / avgdl)
+
+
+def _lm_dirichlet_similarity(tf, dl, df, cf, doc_count, sum_dl):
+    """LM with Dirichlet smoothing (Zhai & Lafferty, SIGIR 2001 — the
+    model behind Lucene's LMDirichletSimilarity). Pinned engine spec:
+
+        score = max(0, ln(1 + tf / (mu * cf / T)) + ln(mu / (dl + mu)))
+
+    with mu = 2000, T = sum_dl (total tokens in the field), dl the
+    SmallFloat-quantized length. np.log is glibc ln == DuckDB ln, so the
+    oracle mirrors the expression tree exactly."""
+    import numpy as np
+
+    mu = 2000.0
+    score = (np.log(1.0 + tf / (mu * (cf / sum_dl)))
+             + np.log(mu / (dl + mu)))
+    return np.maximum(score, 0.0)
 
 
 def _query_algebra_entries() -> dict[str, tuple[Callable, str | None]]:
@@ -1964,6 +1981,24 @@ term_scores AS (
                  / (g.sum_dl / CAST(g.doc_count AS DOUBLE)))) AS REAL) AS s
   FROM tf JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
   WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- LM Dirichlet (Zhai-Lafferty) through the callable slot ----------
+    def lm_dirichlet(spark, sf):
+        q = Or((Term("vector"), Term("merge")))
+        return search(index_for(spark, sf), q, k=10,
+                      mode=_lm_dirichlet_similarity)
+    e["lm_dirichlet_or"] = (lm_dirichlet, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) * greatest(
+           ln(1.0 + tf.tf / (2000.0 * (ts.cf / CAST(g.sum_dl AS DOUBLE))))
+           + ln(2000.0 / (m.dlq + 2000.0)), 0.0) AS REAL) AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'vector'))
 SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM term_scores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""")

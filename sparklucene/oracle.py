@@ -77,8 +77,9 @@ def _term_scores(idx: OracleIndex, term: str, mode: str,
         return pd.Series(np.full(d.size, np.float32(boost),
                                  dtype=np.float32), index=d)
     if callable(mode):
-        s = np.asarray(mode(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl),
-                       dtype=np.float64)
+        cf = int(p["tf"].sum())
+        s = np.asarray(mode(t, idx.dlq[pos], df, cf, idx.doc_count,
+                            idx.sum_dl), dtype=np.float64)
         return pd.Series((np.float64(boost) * s).astype(np.float32), index=d)
     if mode == "lucene8":
         s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count,

@@ -6,7 +6,7 @@ Spark-native equivalent is a process-local name -> implementation map that
 the engine consults wherever a mode/analyzer string appears:
 
   * ``register_similarity("mysim", fn)`` then ``search(..., mode="mysim")``
-    — fn(tf, dl, df, doc_count, sum_dl) -> scores (see
+    — fn(tf, dl, df, cf, doc_count, sum_dl) -> scores (see
     scorer.RangeScorer._score_arrays; pruning is auto-disabled since an
     opaque callable carries no monotone upper bound).
   * ``register_analyzer("code", AnalyzerConfig(...))`` then
@@ -34,7 +34,7 @@ def register_similarity(name: str, fn: Callable) -> None:
     if name in BUILTIN_MODES:
         raise ValueError(f"{name!r} is a built-in similarity mode")
     if not callable(fn):
-        raise TypeError("similarity must be callable(tf, dl, df, "
+        raise TypeError("similarity must be callable(tf, dl, df, cf, "
                         "doc_count, sum_dl)")
     _SIMILARITIES[name] = fn
 

@@ -138,11 +138,12 @@ class RangeScorer:
         N, S = self.stats.stats_for(term)
         self.metrics.docs_scored += int(tfs.size)
         if callable(self.mode):
-            # pluggable Similarity (SURVEY §2.13): fn(tf, dl, df,
+            # pluggable Similarity (SURVEY §2.13): fn(tf, dl, df, cf,
             # doc_count, sum_dl) -> per-posting scores; dl is the
-            # SmallFloat-quantized length (what the index stores)
+            # SmallFloat-quantized length (what the index stores), cf the
+            # term's collection frequency (enables LM/DFR-family models)
             s = np.asarray(self.mode(tfs, LENGTH_TABLE[nb].astype(np.int64),
-                                     ts.df, N, S), dtype=np.float64)
+                                     ts.df, ts.cf, N, S), dtype=np.float64)
             return (np.float64(boost) * s).astype(np.float32)
         if self.mode == "boolean":
             # BooleanSimilarity: score = boost, tf/norm/idf ignored

@@ -15,7 +15,7 @@ from sparklucene.query import Or, Term, parse
 
 
 def test_register_and_resolve_similarity():
-    def sim(tf, dl, df, doc_count, sum_dl):
+    def sim(tf, dl, df, cf, doc_count, sum_dl):
         return tf / (tf + 1.0)
 
     plugins.register_similarity("saturate", sim)
@@ -32,7 +32,7 @@ def test_registered_similarity_through_search(spark, corpus_pdf,
     from sparklucene.build import build_index
     from sparklucene.search import Index, search
 
-    def sim(tf, dl, df, doc_count, sum_dl):
+    def sim(tf, dl, df, cf, doc_count, sum_dl):
         return tf / (tf + dl / (sum_dl / doc_count))
 
     plugins.register_similarity("tf_saturation", sim)

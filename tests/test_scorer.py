@@ -30,9 +30,10 @@ def _scorer_from_oracle(oidx, mode="lucene8", prune=True):
         cells[term] = RangeCell(c.doc_bytes, c.tf_bytes, c.norm_bytes,
                                 c.block_last_doc, c.block_max_tf,
                                 c.block_min_norm, c.pos_bytes)
+    cf_by_term = oidx.tf.groupby("term")["tf"].sum()
     stats = GlobalStats(
         doc_count=oidx.doc_count, sum_dl=oidx.sum_dl,
-        term_stats={t: TermStats(df=int(g), cf=0)
+        term_stats={t: TermStats(df=int(g), cf=int(cf_by_term[t]))
                     for t, g in oidx.tf.groupby("term").size().items()})
     return RangeScorer(cells, stats, mode=mode, prune=prune)
 
