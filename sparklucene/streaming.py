@@ -37,7 +37,8 @@ from sparklucene.corpus import CORPUS_COLS, with_drange
 def start_incremental_index(stream: DataFrame, index_dir: str,
                             drange_size: int, checkpoint_dir: str,
                             compact_every: int = 1,
-                            trigger: dict[str, Any] | None = None):
+                            trigger: dict[str, Any] | None = None,
+                            analyzer=None, extra_fields: tuple = ()):
     """Start a streaming query that indexes arriving docs incrementally.
 
     ``stream`` — a streaming DataFrame with the corpus shape (must include
@@ -78,7 +79,8 @@ def start_incremental_index(stream: DataFrame, index_dir: str,
                     "its own contiguous id range, or rebuild with a "
                     "drange_size that divides the batch boundaries)")
         invert(batch, paths, drange_size, resume=True,
-               lineage={"batch_id": int(batch_id)})
+               lineage={"batch_id": int(batch_id)}, analyzer=analyzer,
+               extra_fields=extra_fields)
         if compact_every and batch_id % compact_every == compact_every - 1:
             merge(spark, IndexPaths(index_dir), drange_size)
 
@@ -92,12 +94,15 @@ def start_incremental_index(stream: DataFrame, index_dir: str,
 
 def index_stream_once(spark: SparkSession, source_dir: str, schema: str,
                       index_dir: str, drange_size: int,
-                      checkpoint_dir: str) -> None:
+                      checkpoint_dir: str, analyzer=None,
+                      extra_fields: tuple = ()) -> None:
     """Drain a file-source stream with availableNow (TopicStream-style
     catch-up pull), then compact so readers see one fresh generation."""
     stream = (spark.readStream.schema(schema).parquet(source_dir))
     q = start_incremental_index(stream, index_dir, drange_size,
                                 checkpoint_dir, compact_every=0,
-                                trigger={"availableNow": True})
+                                trigger={"availableNow": True},
+                                analyzer=analyzer,
+                                extra_fields=extra_fields)
     q.awaitTermination()
     merge(spark, IndexPaths(index_dir), drange_size)

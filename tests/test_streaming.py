@@ -64,6 +64,34 @@ def test_streaming_build_equals_batch_build(spark, corpus_df, tmp_path_factory):
         assert s == b, q
 
 
+def test_streaming_multifield_equals_batch(spark, corpus_df,
+                                           tmp_path_factory):
+    """Streaming build with extra fields must equal the batch multifield
+    build (termstats incl. field-qualified keys + per-field stats)."""
+    from sparklucene.analysis import AnalyzerConfig
+    from sparklucene.build import Field
+    from sparklucene.query import Term
+    from sparklucene.search import total_hits
+
+    kw = AnalyzerConfig(tokenizer="keyword", stopwords=frozenset())
+    fields = (Field("lang", "lang", kw),)
+    tmp = str(tmp_path_factory.mktemp("nrtmf"))
+    flat = os.path.join(tmp, "flat")
+    corpus_df.coalesce(2).write.parquet(flat)
+    s_dir, b_dir = os.path.join(tmp, "s"), os.path.join(tmp, "b")
+    index_stream_once(spark, flat, CORPUS_SCHEMA, s_dir, drange_size=128,
+                      checkpoint_dir=os.path.join(tmp, "ckpt"),
+                      extra_fields=fields)
+    build_index(spark, corpus_df, b_dir, drange_size=128,
+                extra_fields=fields)
+    si, bi = Index(spark, s_dir), Index(spark, b_dir)
+    assert si.stats["fields"] == bi.stats["fields"]
+    assert (si.termstats().orderBy("term").collect()
+            == bi.termstats().orderBy("term").collect())
+    q = Term("en", field="lang")
+    assert (total_hits(si, q).collect() == total_hits(bi, q).collect())
+
+
 def test_streaming_resume_skips_done_ranges(spark, corpus_df, tmp_path_factory):
     """Re-running the same data over an existing index recomputes nothing
     (per-partition manifest checkpoints — BASELINE.json resumability)."""
