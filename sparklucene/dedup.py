@@ -177,3 +177,37 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle: int = 3,
                        F.col("n_inter") / F.col("n_union").cast("double")))
     return out.filter(F.col("jaccard") >= min_jaccard) \
         .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, min_cosine: float = 0.9,
+                            n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup pass of
+    a pretraining pipeline: candidate pairs come from a hyperplane-LSH
+    bucket EQUI-join (never an all-pairs product; vectors whose cosine is
+    high share sign buckets with high probability), then the exact
+    integer-grid cosine verifies each candidate against ``min_cosine``.
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b. Recall dial =
+    n_planes (fewer planes -> bigger buckets -> higher recall, more
+    verify work); the verify step is exact, so precision is always 1.
+    Scale: bucket join fan-out is bounded by bucket occupancy; at 10^12
+    rows use more planes (+ multi-probe on the query side) to keep
+    buckets O(corpus / 2^n_planes).
+    """
+    from sparklucene.similarity import hyperplane_buckets
+
+    bucketed = hyperplane_buckets(embeddings, n_planes) \
+        .select("vec_id", "q", "norm2", "bucket")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (dot / (F.sqrt(F.col("a.norm2").cast("double"))
+                * F.sqrt(F.col("b.norm2").cast("double")))).alias("cosine"))
+    return scored.filter(F.col("cosine") >= min_cosine)

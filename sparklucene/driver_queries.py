@@ -1369,6 +1369,25 @@ ranked AS (
   FROM scored)
 SELECT qid, rank, vec_id, bucket, cosine FROM ranked WHERE rank <= 5""")
 
+    # embedding-cosine near-dup: LSH-bucket candidates + exact verify
+    # (threshold 0.3 chosen so the driver fixture yields a non-trivial
+    # pair set; production semantic dedup runs 0.9+)
+    e["dedup_embedding_neardup"] = (
+        lambda spark, sf: __import__("sparklucene.dedup", fromlist=["d"])
+        .embedding_neardup_pairs(_t(spark, sf, "embeddings"),
+                                 min_cosine=0.3),
+        f"""WITH {quant_ctes},
+bk AS (SELECT vec_id, q, norm2, {bucket_sql} AS bucket FROM nv),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         a.norm2 AS na, b.norm2 AS nb
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM pairs
+WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.3""")
+
     return e
 
 
