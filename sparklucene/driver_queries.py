@@ -1388,6 +1388,16 @@ SELECT vec_a, vec_b,
 FROM pairs
 WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.3""")
 
+    # IVF coarse-quantizer ANN: iterative Lloyd k-means — not
+    # SQL-expressible, so the driver records a rows-only check; the
+    # EXACT check lives in tests/test_pipeline_ops.py (independent numpy
+    # mirror of the same pinned algorithm, bit-equal scores).
+    e["ann_ivf_topk"] = (
+        lambda spark, sf: sim.ivf_cosine_topk(_t(spark, sf, "embeddings"),
+                                              QIDS, k=5, n_centroids=4,
+                                              iters=2, nprobe=1),
+        None)
+
     return e
 
 

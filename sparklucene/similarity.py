@@ -156,3 +156,126 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "vec_id", "bucket", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + cluster probe
+# ---------------------------------------------------------------------------
+
+def _centroid_scores(q_col, cents: list[tuple[int, list[int], int]]):
+    """Column: (best cosine-vs-centroid, centroid id) struct for a
+    quantized vector column.
+
+    Centroids are kept as INTEGER sum vectors (S, snorm2): with
+    c_j = S_j / n_j, cosine(v, c_j) = dot_int(v, S_j) / (|v|·|S_j|) —
+    n_j cancels and every input to the float expression is an exact
+    int64, so assignment is deterministic and SQL-mirrorable (the same
+    integer-grid trick as the cosine oracle). |v| is constant across j
+    and dropped. Ties break to the smallest centroid id.
+    """
+    entries = []
+    for cid, s_vec, snorm2 in cents:
+        s_lit = F.array(*[F.lit(int(x)) for x in s_vec])
+        dot = F.aggregate(F.zip_with(q_col, s_lit, lambda a, b: a * b),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        score = dot / F.sqrt(F.lit(float(snorm2)))
+        entries.append(F.struct(score.alias("score"),
+                                F.lit(-cid).cast("long").alias("negid")))
+    best = F.array_max(F.array(*entries))
+    return (-best["negid"]).alias("centroid"), best["score"]
+
+
+def ivf_index(embeddings: DataFrame, n_centroids: int = 8,
+              iters: int = 2) -> tuple[DataFrame, list[tuple[int, list[int], int]]]:
+    """IVF coarse quantizer: deterministic spherical k-means (Lloyd) on
+    the 1/4096 integer grid.
+
+    Init = stride-sample over sorted vec_ids (no RNG). Each iteration:
+    assign every vector to its best centroid (see _centroid_scores),
+    then rebuild centroids as per-dimension INTEGER sums (posexplode →
+    partial+final sum — exact, order-free); an emptied cluster keeps its
+    previous sum. Returns (assignment DataFrame(vec_id, centroid),
+    centroid state [(id, S, snorm2)]).
+
+    Scale: assignment is a narrow map over the corpus (centroids are
+    literals in the plan — broadcast by construction); the update is one
+    groupBy(centroid, dim) partial aggregate. Driver holds only
+    n_centroids × dim integers.
+    """
+    from pyspark.sql import Window
+
+    base = quantize(embeddings).select("vec_id", "q", "norm2")
+    w = Window.orderBy("vec_id")
+    ranked = base.withColumn("rn", F.row_number().over(w) - 1)
+    total = base.count()
+    stride = max(1, total // n_centroids)
+    init = (ranked.filter((F.col("rn") % stride == 0)
+                          & (F.col("rn") < stride * n_centroids))
+            .select((F.col("rn") / stride).cast("long").alias("centroid"),
+                    "q").collect())
+    cents = [(int(r["centroid"]), [int(x) for x in r["q"]],
+              sum(int(x) * int(x) for x in r["q"]))
+             for r in sorted(init, key=lambda r: r["centroid"])]
+    assigned = None
+    for _ in range(iters):
+        cent_col, _score = _centroid_scores(F.col("q"), cents)
+        assigned = base.withColumn("centroid", cent_col)
+        sums = (assigned.select("centroid", F.posexplode("q")
+                                .alias("dim", "val"))
+                .groupBy("centroid", "dim")
+                .agg(F.sum("val").alias("s"))
+                .collect())
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["centroid"]), {})[int(r["dim"])] = int(r["s"])
+        new_cents = []
+        for cid, s_vec, snorm2 in cents:
+            dims = by_cid.get(cid)
+            if dims is None:  # emptied cluster keeps its previous state
+                new_cents.append((cid, s_vec, snorm2))
+                continue
+            s = [dims[d] for d in range(len(s_vec))]
+            new_cents.append((cid, s, sum(x * x for x in s)))
+        cents = new_cents
+    cent_col, _ = _centroid_scores(F.col("q"), cents)
+    assigned = base.withColumn("centroid", cent_col)
+    return assigned, cents
+
+
+def ivf_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                    n_centroids: int = 8, iters: int = 2,
+                    nprobe: int = 1) -> DataFrame:
+    """IVF ANN top-k: probe the query's ``nprobe`` best clusters and rank
+    their members by exact integer-grid cosine — the coarse-quantizer
+    scale path next to LSH (`lsh_cosine_topk`). Returns
+    (qid, rank, vec_id, centroid, cosine)."""
+    assigned, cents = ivf_index(embeddings, n_centroids, iters)
+    # per-query probe list: top-nprobe centroids by the same score
+    entries = []
+    for cid, s_vec, snorm2 in cents:
+        s_lit = F.array(*[F.lit(int(x)) for x in s_vec])
+        dot = F.aggregate(F.zip_with("qq", s_lit, lambda a, b: a * b),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        entries.append(F.struct((dot / F.sqrt(F.lit(float(snorm2))))
+                                .alias("score"),
+                                F.lit(-cid).cast("long").alias("negid")))
+    probe_arr = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, nprobe)
+    queries = (assigned.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                       F.col("norm2").alias("qnorm2"))
+               .withColumn("probe", F.explode(probe_arr))
+               .select("qid", "qq", "qnorm2",
+                       (-F.col("probe.negid")).alias("pcentroid")))
+    cand = assigned.join(F.broadcast(queries),
+                         (F.col("centroid") == F.col("pcentroid"))
+                         & (F.col("vec_id") != F.col("qid")))
+    dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = cand.select(
+        "qid", "vec_id", "centroid",
+        (dot / (F.sqrt(F.col("qnorm2").cast("double"))
+                * F.sqrt(F.col("norm2").cast("double")))).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "centroid", "cosine"))

@@ -117,6 +117,69 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark, embeddings):
         assert bin(buckets[qid] ^ buckets[vid]).count("1") <= 1
 
 
+def test_ivf_matches_numpy_mirror(spark, embeddings):
+    """ivf_cosine_topk == an independent numpy implementation of the same
+    pinned algorithm (stride init, integer-sum centroids, cosine
+    assignment with smallest-id ties, 2 Lloyd iterations, nprobe=1)."""
+    import math
+
+    from sparklucene.similarity import QUANT, ivf_cosine_topk
+
+    C, ITERS, K = 4, 2, 5
+    qids = [0, 1]
+    out = ivf_cosine_topk(embeddings, qids, k=K, n_centroids=C,
+                          iters=ITERS, nprobe=1).collect()
+
+    pdf = embeddings.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                   * QUANT + 0.5).astype(np.int64)
+    n = len(ids)
+    stride = max(1, n // C)
+    cents = [mat[j * stride].copy() for j in range(C)]
+
+    def scores_vs(S):
+        return [mat @ S[j] / math.sqrt(float(S[j] @ S[j])) for j in range(C)]
+
+    def assign(S):
+        sc = np.stack(scores_vs(S), axis=1)  # n x C
+        best = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            row = sc[i]
+            m = row.max()
+            best[i] = int(np.flatnonzero(row == m).min())  # smallest id tie
+        return best
+
+    S = cents
+    for _ in range(ITERS):
+        a = assign(S)
+        newS = []
+        for j in range(C):
+            members = mat[a == j]
+            newS.append(members.sum(axis=0) if len(members) else S[j])
+        S = newS
+    final = assign(S)
+
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    for qid in qids:
+        qi = int(np.flatnonzero(ids == qid)[0])
+        qsc = [mat[qi] @ S[j] / math.sqrt(float(S[j] @ S[j]))
+               for j in range(C)]
+        m = max(qsc)
+        probe = min(j for j in range(C) if qsc[j] == m)
+        cand = [i for i in range(n) if final[i] == probe and ids[i] != qid]
+        qv = mat[qi]
+        cos = [(int(mat[i] @ qv)
+                / (math.sqrt(float(qv @ qv)) * math.sqrt(float(mat[i] @ mat[i]))),
+                int(ids[i])) for i in cand]
+        cos.sort(key=lambda t: (-t[0], t[1]))
+        want = [(rk + 1, vid, c) for rk, (c, vid) in enumerate(cos[:K])]
+        assert sorted(got.get(qid, [])) == want, qid
+
+
 def test_multimodal_features_deterministic(spark, docs):
     import hashlib
 
