@@ -385,7 +385,11 @@ class RangeScorer:
             slot_terms = [t for _, alts in q.slots for t in alts]
         else:
             slot_terms = [t for _, t in q.slots]
-        # all slot terms share one field by construction (qualify())
+        # all slot terms share one field by construction (qualify());
+        # terms absent from the index contribute no idf — identical to
+        # prune_missing dropping them first (the search() path), but safe
+        # for direct scorer use too
+        slot_terms = [t for t in slot_terms if t in self.stats.term_stats]
         N, S = self.stats.stats_for(slot_terms[0])
         idf_fn = bm25.idf_classic if self.mode == "classic" else bm25.idf
         idf_total = sum(idf_fn(self.stats.term_stats[t].df, N)

@@ -1,0 +1,99 @@
+"""Seeded random query-tree fuzzing: pruned == exhaustive == oracle for
+randomly composed boolean trees over the corpus vocabulary (the
+generative analog of test_scorer's hand-written QUERIES list)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from sparklucene.oracle import build_oracle_index, search_oracle
+from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
+                               MatchNoDocs, MultiPhrase, Not, Or, Phrase,
+                               Term, prune_missing, rewrite)
+
+VOCAB = ["spark", "merge", "join", "scan", "filter", "window", "table",
+         "hash", "batch", "vector", "stream", "agg", "query", "fast",
+         "slow", "dup", "key", "row", "value", "zzz_absent"]
+
+
+def _rand_term(rng: random.Random) -> Term:
+    boost = rng.choice([1.0, 1.0, 1.0, 0.5, 2.0])
+    return Term(rng.choice(VOCAB), boost=boost)
+
+
+def _rand_phrase(rng: random.Random):
+    n = rng.randint(2, 3)
+    toks = [rng.choice(VOCAB[:12]) for _ in range(n)]
+    slots = tuple((i + (1 if rng.random() < 0.2 and i > 0 else 0), t)
+                  for i, t in enumerate(toks))
+    if rng.random() < 0.3:
+        return Phrase(slots, slop=rng.randint(1, 3))
+    if rng.random() < 0.3:
+        alts = tuple((off, tuple(sorted({t, rng.choice(VOCAB[:12])})))
+                     for off, t in slots)
+        return MultiPhrase(alts)
+    return Phrase(slots)
+
+
+def _rand_query(rng: random.Random, depth: int = 0):
+    r = rng.random()
+    if depth >= 3 or r < 0.35:
+        return _rand_term(rng)
+    if r < 0.45:
+        return _rand_phrase(rng)
+    kids = tuple(_rand_query(rng, depth + 1)
+                 for _ in range(rng.randint(2, 4)))
+    kind = rng.randint(0, 5)
+    if kind == 0:
+        return And(kids)
+    if kind == 1:
+        msm = rng.randint(1, min(2, len(kids)))
+        return Or(kids, min_should_match=msm)
+    if kind == 2:
+        return DisMax(kids, tiebreak=rng.choice([0.0, 0.1, 0.3]))
+    if kind == 3:
+        return Not(kids[0], kids[1])
+    if kind == 4:
+        return ConstantScore(kids[0], boost=rng.choice([1.0, 0.5, 2.0]))
+    return Filtered(kids[0], kids[1])
+
+
+@pytest.fixture(scope="module")
+def oidx(corpus_pdf):
+    return build_oracle_index(corpus_pdf)
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("mode", ["lucene8", "f64"])
+def test_fuzzed_trees_pruned_exhaustive_oracle(oidx, seed, mode):
+    from tests.test_scorer import _scorer_from_oracle
+
+    present = set(oidx.tf["term"].unique())
+    rng = random.Random(1000 + seed)
+    n_checked = 0
+    for _ in range(25):
+        try:
+            q = rewrite(_rand_query(rng))
+        except ValueError:
+            continue  # e.g. MatchAll-in-OR rejection — not generated here
+        # the scorer's contract: unindexed terms are pruned by search()
+        # (Lucene null-scorer planning) before any scorer runs — mirror it
+        q = prune_missing(q, present)
+        if isinstance(q, MatchNoDocs):
+            continue
+        for k in (3, 10):
+            sp = _scorer_from_oracle(oidx, mode, prune=True)
+            se = _scorer_from_oracle(oidx, mode, prune=False)
+            dp, vp = sp.topk(q, k)
+            de, ve = se.topk(q, k)
+            assert dp.tolist() == de.tolist(), f"prune ids {q}"
+            assert (vp == ve).all(), f"prune scores {q}"
+            want = search_oracle(oidx, q, k, mode=mode)
+            assert dp.tolist() == want["doc_id"].tolist(), f"oracle ids {q}"
+            assert (vp == want["score"].to_numpy()).all(), \
+                f"oracle scores {q}"
+            n_checked += 1
+    assert n_checked >= 30  # the generator must produce real queries
