@@ -2086,10 +2086,19 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_scalar_fn_entries())
     # not-yet-driver-covered entries lead the registry (the driver checks
     # a prefix window); relative assembly order is preserved within each
-    # half, so every entry keeps a deterministic position
-    head = {k: v for k, v in e.items() if k not in _R01_COVERED}
+    # tier, so every entry keeps a deterministic position. Entries whose
+    # OPERATOR is already driver-covered elsewhere (the old multi-term
+    # doc-set probes, superseded by the scored bm25_with_*_clause
+    # entries) and pure-Catalyst-builtin function entries are deferred to
+    # the end of the uncovered block so novel operators fit the window.
+    defer = ("prefix_query", "wildcard_query", "regexp_query",
+             "fuzzy_query", "function_math", "function_date_math",
+             "function_string")
+    head = {k: v for k, v in e.items()
+            if k not in _R01_COVERED and k not in defer}
+    deferred = {k: e[k] for k in defer if k in e}
     tail = {k: v for k, v in e.items() if k in _R01_COVERED}
-    return {**head, **tail}
+    return {**head, **deferred, **tail}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
