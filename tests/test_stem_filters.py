@@ -94,3 +94,24 @@ def test_ngram_positions_inherit_source_token():
     toks, docs, pos = analyze_flat(pd.Series(["ab cd"]), np.array([0]), cfg)
     assert toks.tolist() == ["ab", "cd"]
     assert pos.tolist() == [0, 1]
+
+
+def test_chain_stem_then_shingle():
+    # pipeline order: stop -> stem -> shingle (shingles are built from
+    # STEMMED unigrams)
+    cfg = AnalyzerConfig(stem="porter", shingle=(2, 2))
+    out = analyze_text("the merges tables", cfg)
+    assert sorted(out) == ["merg", "merg tabl", "tabl"]
+
+
+def test_chain_worddelims_stem():
+    cfg = AnalyzerConfig(split_word_delims=True, stem="porter")
+    # camelCase splits first, then each part stems
+    assert analyze_text("mergeTables runningJobs", cfg) == \
+        ["merg", "tabl", "run", "job"]
+
+
+def test_chain_edge_ngram_after_stop():
+    cfg = AnalyzerConfig(edge_ngram=(2, 3))
+    # 'the' is stop-filtered before gram expansion
+    assert analyze_text("the spark", cfg) == ["sp", "spa"]
