@@ -2014,6 +2014,44 @@ SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM term_scores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""")
 
+    # -- batched query-set execution (one Spark job for N queries) -------
+    def batch_queryset(spark, sf):
+        from sparklucene.search import search_batch
+        qs = {"bq_and": And((Term("hash"), Term("join"))),
+              "bq_or": Or((Term("spark"), Term("merge"))),
+              "bq_term": Term("vector")}
+        return search_batch(index_for(spark, sf), qs, k=10, mode="f64")
+    e["search_batch_queryset"] = (batch_queryset, f"""WITH {corpus_ctes()},
+scored AS (
+  SELECT 'bq_or' AS query, tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')
+  UNION ALL
+  SELECT 'bq_and', tf.doc_id, {tscore}
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('hash', 'join')
+  UNION ALL
+  SELECT 'bq_term', tf.doc_id, {tscore}
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'vector'),
+agg AS (
+  SELECT query, doc_id,
+         CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+         count(*) AS nt
+  FROM scored GROUP BY query, doc_id),
+filt AS (
+  SELECT query, doc_id, score FROM agg
+  WHERE query != 'bq_and' OR nt = 2),
+ranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM filt)
+SELECT query, doc_id, score FROM ranked WHERE rn <= 10""")
+
     # -- LM Dirichlet (Zhai-Lafferty) through the callable slot ----------
     def lm_dirichlet(spark, sf):
         q = Or((Term("vector"), Term("merge")))

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import os
@@ -394,6 +394,107 @@ def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
         return _hydrate(base, hydrate)
     return _hydrate(base.orderBy(F.desc("score"), F.asc("doc_id")).limit(k),
                     hydrate)
+
+
+BATCH_SCHEMA = "query string, doc_id long, score double"
+
+
+def search_batch(index: Index, queries, k: int = 10,
+                 mode: str = "lucene8", prune: bool = True,
+                 max_expansions: int = 1024) -> DataFrame:
+    """Execute MANY queries in ONE Spark job — the reference-query-set /
+    high-QPS serving path (Solr handles query sets as concurrent
+    requests; the Spark-native form is batch execution).
+
+    ``queries`` is a dict name -> (str | Query) or a list (named by
+    index). One postings scan covers the UNION of all query terms, one
+    shuffle groups cells by doc-range, and every query is scored inside
+    the same Arrow batch against SHARED decoded cells (RangeCell decode
+    memoizes, so a posting list used by five queries is decoded once).
+    Returns DataFrame(query, doc_id, score): per-query top-k, ordered by
+    (score desc, doc_id asc) within each query.
+
+    Not supported here: MatchAllDocs (needs the docmeta universe — use
+    ``search()``) and per-query cursors. Amortization: per-query latency
+    becomes (one job) / N instead of N jobs.
+    """
+    from sparklucene.plugins import resolve_mode
+
+    spark = index.spark
+    mode = resolve_mode(mode)
+    if not isinstance(queries, dict):
+        queries = {f"q{i}": q for i, q in enumerate(queries)}
+    named = {str(n): _expand_multiterm(qualify(_as_query(q)), index,
+                                       max_expansions)
+             for n, q in queries.items()}
+    all_terms = sorted({t for q in named.values()
+                        for t in set(q.terms()) | set(q.neg_terms())})
+    tstats = index.term_stats_for(all_terms)
+    live: dict[str, Query] = {}
+    for n, q in named.items():
+        q = prune_missing(q, set(tstats))
+        if isinstance(q, MatchNoDocs):
+            continue
+        if isinstance(q, MatchAllDocs) or (
+                isinstance(q, Not) and isinstance(q.positive, MatchAllDocs)):
+            raise ValueError(
+                f"query {n!r}: MatchAllDocs is not batchable — run it "
+                "through search() (docmeta universe path)")
+        live[n] = q
+    empty = spark.createDataFrame([], BATCH_SCHEMA)
+    if not live:
+        return empty
+    needed = sorted({t for q in live.values()
+                     for t in set(q.terms()) | set(q.neg_terms())})
+    gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
+                         sum_dl=int(index.stats["sum_dl"]),
+                         term_stats=tstats,
+                         field_stats=index.stats.get("fields"))
+    bdel = index.deleted_broadcast()
+    postings = index.postings().filter(F.col("term").isin(needed))
+    n_ranges = max(1, -(-int(index.stats["n_docs"])
+                        // int(index.stats["drange_size"])))
+    est_cells = n_ranges * max(1, len(needed))
+    nparts = max(1, min(spark.sparkContext.defaultParallelism * 4,
+                        -(-est_cells // 64)))
+    postings = postings.repartition(nparts, "drange")
+    qitems = sorted(live.items())
+
+    def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf_postings) == 0:
+            return pd.DataFrame({"query": pd.Series(dtype=object),
+                                 "doc_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        cells = {}
+        for r in pdf_postings.itertuples(index=False):
+            cells[r.term] = RangeCell(
+                doc_bytes=bytes(r.doc_bytes), tf_bytes=bytes(r.tf_bytes),
+                norm_bytes=bytes(r.norm_bytes),
+                block_last=np.asarray(r.block_last, dtype=np.int64),
+                block_max_tf=np.asarray(r.block_max_tf, dtype=np.int32),
+                block_min_norm=np.frombuffer(bytes(r.block_min_norm),
+                                             dtype=np.uint8),
+                pos_bytes=(bytes(r.pos_bytes)
+                           if r.pos_bytes is not None else b""),
+            )
+        out = []
+        deleted = bdel.value
+        for n, q in qitems:
+            scorer = RangeScorer(cells, gstats, mode=mode, prune=prune,
+                                 deleted=deleted)
+            docs, scores = scorer.topk(q, k)
+            out.append(pd.DataFrame({
+                "query": n, "doc_id": docs.astype(np.int64),
+                "score": scores.astype(np.float64)}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({"query": [], "doc_id": [], "score": []})
+
+    candidates = (postings.groupBy("drange")
+                  .applyInPandas(score_group, schema=BATCH_SCHEMA))
+    w = Window.partitionBy("query").orderBy(F.desc("score"),
+                                            F.asc("doc_id"))
+    return (candidates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
 
 
 def delete_docs(index: Index, doc_ids: list[int]) -> int:

@@ -152,6 +152,33 @@ def test_cursor_single_term_pruning_skips_blocks():
 
 
 # ---------------------------------------------------------------------------
+# search_batch: one job for N queries == N serial jobs, bit-for-bit
+# ---------------------------------------------------------------------------
+
+def test_search_batch_equals_serial(spark):
+    from sparklucene.driver_queries import index_for
+    from sparklucene.query import And, Not, Or, Phrase, Prefix, Term
+    from sparklucene.search import search, search_batch
+
+    idx = index_for(spark, "/root/testdata/sf0.001")
+    qs = {"t": Term("vector"),
+          "and": And((Term("hash"), Term("join"))),
+          "or": Or((Term("spark"), Term("merge"), Term("join"))),
+          "not": Not(Or((Term("spark"), Term("merge"))), Term("slow")),
+          "ph": Phrase(((0, "fast"), (1, "merge"))),
+          "px": And((Prefix("sc"), Term("merge"))),
+          "gone": Term("zzz_absent")}
+    rows = search_batch(idx, qs, k=10, mode="f64").collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query"], []).append((r["doc_id"], r["score"]))
+    for n, q in qs.items():
+        want = [(r["doc_id"], r["score"])
+                for r in search(idx, q, k=10, mode="f64").collect()]
+        assert by_q.get(n, []) == want, n
+
+
+# ---------------------------------------------------------------------------
 # streaming: a batch straddling a completed doc-range fails fast
 # ---------------------------------------------------------------------------
 
