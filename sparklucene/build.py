@@ -276,21 +276,38 @@ def compact_manifests(paths: IndexPaths) -> int:
     (atomic replace, then unlink the folded files — a crash mid-unlink
     leaves duplicates that override with identical content, so the
     operation is idempotent). Returns the number of ranges in the log."""
-    all_m = _manifests(paths)
+    # snapshot the exact part filenames FIRST: a manifest written by a
+    # racing invert between this listing and the unlink loop below must
+    # survive (it was not folded into the log, so deleting it would lose
+    # that range's completion record + batch_id lineage)
+    folded: list[str] = []
+    if os.path.isdir(paths.manifest_dir):
+        folded = [f for f in os.listdir(paths.manifest_dir)
+                  if f.endswith(".json")]
+    all_m: dict[int, dict] = {}
+    comp = os.path.join(paths.manifest_dir, _COMPACTED_MANIFESTS)
+    if os.path.exists(comp):
+        with open(comp) as fh:
+            for line in fh:
+                if line.strip():
+                    m = json.loads(line)
+                    all_m[m["drange"]] = m
+    for f in folded:
+        with open(os.path.join(paths.manifest_dir, f)) as fh:
+            m = json.load(fh)
+        all_m[m["drange"]] = m
     if not all_m:
         return 0
-    comp = os.path.join(paths.manifest_dir, _COMPACTED_MANIFESTS)
     tmp = f"{comp}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         for dr in sorted(all_m):
             fh.write(json.dumps(all_m[dr]) + "\n")
     os.replace(tmp, comp)
-    for f in os.listdir(paths.manifest_dir):
-        if f.endswith(".json"):
-            try:
-                os.unlink(os.path.join(paths.manifest_dir, f))
-            except OSError:
-                pass
+    for f in folded:
+        try:
+            os.unlink(os.path.join(paths.manifest_dir, f))
+        except OSError:
+            pass
     return len(all_m)
 
 

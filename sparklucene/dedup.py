@@ -154,21 +154,57 @@ def simhash_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, shingle: int = 3,
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0,
+                        max_block: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs within one ``source``
     (blocking key) — the verify step after LSH candidate generation, or a
     standalone blocked near-dup pass.
+
+    ``max_block`` caps the candidate-generation fan-out of a DEGENERATE
+    block (one giant source full of a hot shingle would otherwise
+    re-create quadratic candidates): a (source, shingle-hash) group with
+    more than ``max_block`` member docs is excluded from candidate
+    generation — but NOT from scoring: surviving candidate pairs are
+    verified with the exact intersection over ALL their shingles, so
+    every reported (n_inter, n_union, jaccard) stays exact. Recall
+    contract under the cap: a pair is reported iff it shares at least
+    one shingle whose within-source doc frequency is <= max_block
+    (ultra-common shingles are uninformative for near-dup detection —
+    the standard stop-shingle rule of web-dedup pipelines).
+    ``max_block=None`` (default) keeps complete recall.
     """
     sh = _shingle_hashes(docs.select("doc_id", "source", "text"), shingle) \
         .join(docs.select("doc_id", "source"), "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.source") == F.col("b.source"))
-                    & (F.col("a.h") == F.col("b.h"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("n_inter")))
+    if max_block is None:
+        gen = sh
+    else:
+        freq = (sh.groupBy("source", "h")
+                .agg(F.count("*").alias("_blk")))
+        gen = (sh.join(freq, ["source", "h"])
+               .filter(F.col("_blk") <= max_block)
+               .drop("_blk"))
+    a, b = gen.alias("a"), gen.alias("b")
+    cand = (a.join(b, (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
+    if max_block is None:
+        # complete generation: the equi-join rows ARE the intersection
+        inter = cand.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_inter"))
+    else:
+        # capped generation: re-derive the EXACT intersection (all
+        # shingles, capped ones included) for the surviving pairs only
+        pairs = cand.distinct()
+        x, y = sh.alias("x"), sh.alias("y")
+        inter = (pairs
+                 .join(x, F.col("doc_a") == F.col("x.doc_id"))
+                 .join(y, (F.col("doc_b") == F.col("y.doc_id"))
+                       & (F.col("x.h") == F.col("y.h")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_inter")))
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
     out = (inter.join(sa, "doc_a").join(sb, "doc_b")

@@ -22,6 +22,7 @@ The inverted index for a given sf_dir is built once and cached on disk
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from collections.abc import Callable
 
@@ -193,40 +194,85 @@ def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
 
     if not _fresh():
         import shutil
+        import threading
         import time as _time
 
-        def _last_progress(lock: str) -> float:
-            """Most recent mtime under the index dir (builders write
-            partials/manifests continuously) or of the lock itself."""
-            newest = 0.0
-            for p in (lock, index_dir):
-                if os.path.isdir(p):
-                    newest = max(newest, os.path.getmtime(p))
-                    for root, _dirs, files in os.walk(p):
-                        for f in files:
-                            try:
-                                newest = max(newest, os.path.getmtime(
-                                    os.path.join(root, f)))
-                            except OSError:
-                                pass
-            return newest
-
-        # crude cross-process lock: queries may be invoked concurrently.
-        # A lock whose holder died (no index progress for LOCK_TTL) is
-        # taken over instead of spinning forever on a stale dir.
+        # cross-process lock: queries may be invoked concurrently. The
+        # holder writes lock/owner.json (pid) and a daemon thread touches
+        # it as a heartbeat, so takeover requires BOTH a stale heartbeat
+        # AND a dead pid — a live builder in a long no-write phase (big
+        # shuffle before the first partial lands) keeps its lock. Release
+        # verifies ownership so a thief's lock is never removed by the
+        # original holder's cleanup.
         LOCK_TTL = 180.0
+        HEARTBEAT = 20.0
         lock = index_dir + ".lock"
+        owner = os.path.join(lock, "owner.json")
+
+        def _heartbeat_age() -> float:
+            """Seconds since the freshest sign of life: the heartbeat
+            file, the lock dir, or any write under the index dir."""
+            newest = 0.0
+            for p in (owner, lock, index_dir):
+                try:
+                    newest = max(newest, os.path.getmtime(p))
+                except OSError:
+                    continue
+            if os.path.isdir(index_dir):
+                for root, _dirs, files in os.walk(index_dir):
+                    for f in files:
+                        try:
+                            newest = max(newest, os.path.getmtime(
+                                os.path.join(root, f)))
+                        except OSError:
+                            pass
+            return _time.time() - newest
+
+        def _holder_dead() -> bool:
+            """True only when the recorded holder pid provably no longer
+            exists. Unreadable/missing owner file → not provably dead."""
+            try:
+                with open(owner) as fh:
+                    pid = int(json.load(fh)["pid"])
+            except (OSError, ValueError, KeyError):
+                return False
+            try:
+                os.kill(pid, 0)
+                return False
+            except ProcessLookupError:
+                return True
+            except PermissionError:
+                return False
+
+        def _owned_by_me() -> bool:
+            try:
+                with open(owner) as fh:
+                    return int(json.load(fh)["pid"]) == os.getpid()
+            except (OSError, ValueError, KeyError):
+                return False
+
         os.makedirs(os.path.dirname(index_dir), exist_ok=True)
         got = False
         deadline = _time.time() + 1200
         while not got and not _fresh():
             try:
                 os.mkdir(lock)
+                with open(owner, "w") as fh:
+                    json.dump({"pid": os.getpid()}, fh)
                 got = True
             except FileExistsError:
-                if _time.time() - _last_progress(lock) > LOCK_TTL:
+                stale = _heartbeat_age() > LOCK_TTL
+                if stale and (_holder_dead()
+                              # no owner record at all (pre-heartbeat
+                              # crash): fall back to a doubled TTL
+                              or (not os.path.exists(owner)
+                                  and _heartbeat_age() > 2 * LOCK_TTL)):
                     try:
-                        os.rmdir(lock)  # stale-holder takeover
+                        os.unlink(owner)
+                    except OSError:
+                        pass
+                    try:
+                        os.rmdir(lock)  # dead-holder takeover
                     except OSError:
                         pass
                     continue
@@ -234,6 +280,17 @@ def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
                     break
                 _time.sleep(1)
         if got:
+            stop = threading.Event()
+
+            def _beat() -> None:
+                while not stop.wait(HEARTBEAT):
+                    try:
+                        os.utime(owner)
+                    except OSError:
+                        return
+
+            beat = threading.Thread(target=_beat, daemon=True)
+            beat.start()
             try:
                 if not _fresh():
                     shutil.rmtree(index_dir, ignore_errors=True)
@@ -241,7 +298,17 @@ def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
                     build_index(spark, corpus, index_dir, analyzer=analyzer,
                                 extra_fields=extra_fields)
             finally:
-                os.rmdir(lock)
+                stop.set()
+                beat.join(timeout=1.0)
+                if _owned_by_me():  # never remove a thief's lock
+                    try:
+                        os.unlink(owner)
+                    except OSError:
+                        pass
+                    try:
+                        os.rmdir(lock)
+                    except OSError:
+                        pass
         if not _fresh():
             raise RuntimeError(
                 f"index at {index_dir} is not complete after waiting for a "

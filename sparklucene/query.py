@@ -375,6 +375,11 @@ def rewrite(q: Query) -> Query:
     if isinstance(q, DisMax):
         flat = [rewrite(c) for c in q.clauses]
         flat = [c for c in flat if not isinstance(c, MatchNoDocs)]
+        if any(isinstance(c, MatchAllDocs) for c in flat):
+            raise ValueError(
+                "MatchAllDocs inside DisMax requires doc-universe "
+                "iteration per range — use it standalone, under Not, "
+                "or as an And/Filtered clause")
         if not flat:
             return MatchNoDocs()
         if len(flat) == 1:
@@ -383,7 +388,8 @@ def rewrite(q: Query) -> Query:
     if isinstance(q, Not):
         pos = rewrite(q.positive)
         neg = rewrite(q.negative)
-        if isinstance(pos, MatchNoDocs):
+        if isinstance(pos, MatchNoDocs) or isinstance(neg, MatchAllDocs):
+            # excluding every doc (MUST_NOT MatchAll) is semantically empty
             return MatchNoDocs()
         if isinstance(neg, MatchNoDocs):
             return pos

@@ -327,8 +327,13 @@ class RangeScorer:
                     "phrase query requires an index built with positions "
                     "(build_index(..., store_positions=True))")
             decoded[t] = (docs, tfs, cell.positions())
-        # candidate docs: df-ascending intersection (ConjunctionDISI order)
-        by_df = sorted(dterms, key=lambda t: self.stats.term_stats[t].df)
+        # candidate docs: df-ascending intersection (ConjunctionDISI
+        # order); a term absent from term_stats (direct scorer use, no
+        # prune_missing) sorts by its local posting length instead
+        by_df = sorted(dterms,
+                       key=lambda t: (s.df if (s := self.stats.term_stats
+                                               .get(t)) else
+                                      decoded[t][0].size))
         cand = decoded[by_df[0]][0]
         for t in by_df[1:]:
             cand = cand[np.isin(cand, decoded[t][0], assume_unique=True)]
@@ -390,6 +395,10 @@ class RangeScorer:
         # prune_missing dropping them first (the search() path), but safe
         # for direct scorer use too
         slot_terms = [t for t in slot_terms if t in self.stats.term_stats]
+        if not slot_terms:
+            # direct scorer use (no prune_missing) where every slot term is
+            # absent from term_stats: idf sum is 0 → weight 0 for all docs
+            return np.zeros(pfreq.size, dtype=np.float32)
         N, S = self.stats.stats_for(slot_terms[0])
         idf_fn = bm25.idf_classic if self.mode == "classic" else bm25.idf
         idf_total = sum(idf_fn(self.stats.term_stats[t].df, N)

@@ -42,6 +42,13 @@ from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 RESULT_SCHEMA = "doc_id long, score double"
 
+#: deletes at or below this count are collected + broadcast (Lucene's
+#: in-RAM live-docs bitset analog); above it every search path switches
+#: to a distributed shape (per-range cogroup on the scorer path,
+#: anti-join on the docmeta path) so the driver never materializes the
+#: deletes table
+DELETES_BROADCAST_BOUND = 1_000_000
+
 
 class Index:
     """Handle to a built index directory (SURVEY.md §1.2 layout).
@@ -61,6 +68,7 @@ class Index:
         self._tstats_memo: dict[str, TermStats | None] = {}
         self._deleted: list[int] | None = None
         self._deleted_bc = None
+        self._deleted_count: int | None = None
         self._expand_memo: dict[tuple, list[str]] = {}
 
     def postings(self) -> DataFrame:
@@ -82,20 +90,45 @@ class Index:
             self._termstats = df.persist() if self._cache else df
         return self._termstats
 
+    def deletes_df(self) -> DataFrame | None:
+        """The persisted deletes table as a DataFrame (no collect), or
+        None when no deletions exist — the input to the distributed
+        (> DELETES_BROADCAST_BOUND) search paths."""
+        path = os.path.join(self.paths.root, "deletes")
+        if not os.path.isdir(path):
+            return None
+        return self.spark.read.parquet(path).select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+
+    def deleted_count(self) -> int:
+        """Distinct persisted-deletion count (memoized; one tiny
+        count job per cold handle)."""
+        if self._deleted_count is None:
+            df = self.deletes_df()
+            self._deleted_count = (0 if df is None
+                                   else df.distinct().count())
+        return self._deleted_count
+
     def deleted_ids(self) -> list[int]:
         """Persisted deletions (live-docs). Memoized on the handle — one
         Spark job per cold handle, zero per query (Lucene keeps the
-        live-docs bitset in RAM per segment too). Small by assumption;
-        beyond ~10^6 deletes switch to an anti-join on the candidate side
-        and rebuild periodically."""
+        live-docs bitset in RAM per segment too). Hard-bounded: beyond
+        DELETES_BROADCAST_BOUND callers must use :meth:`deletes_df`
+        (search() cogroups it per range; the docmeta path anti-joins) —
+        collecting a pathological deletes table would OOM the driver."""
         if self._deleted is None:
-            path = os.path.join(self.paths.root, "deletes")
-            if not os.path.isdir(path):
+            df = self.deletes_df()
+            if df is None:
                 self._deleted = []
             else:
+                n = self.deleted_count()
+                if n > DELETES_BROADCAST_BOUND:
+                    raise RuntimeError(
+                        f"{n} deletes exceed DELETES_BROADCAST_BOUND "
+                        f"({DELETES_BROADCAST_BOUND}) — this path must use "
+                        "deletes_df() (distributed), not a driver collect")
                 self._deleted = sorted(
-                    r["doc_id"] for r in
-                    self.spark.read.parquet(path).collect())
+                    {int(r["doc_id"]) for r in df.collect()})
         return self._deleted
 
     def deleted_broadcast(self):
@@ -113,6 +146,7 @@ class Index:
             self._deleted_bc.unpersist()
         self._deleted = None
         self._deleted_bc = None
+        self._deleted_count = None
 
     def expand_terms(self, q: MultiTermQuery,
                      max_expansions: int = 1024) -> list[str]:
@@ -260,7 +294,10 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     mode = resolve_mode(mode)
     q = qualify(_as_query(query))
     q = _expand_multiterm(q, index, max_expansions)
-    bdel = index.deleted_broadcast()
+    # small deletes ride a broadcast bitset; pathological ones are
+    # cogrouped with the postings per doc-range instead (never collected)
+    del_cogroup = index.deleted_count() > DELETES_BROADCAST_BOUND
+    bdel = None if del_cogroup else index.deleted_broadcast()
     extra = (np.asarray(sorted({int(d) for d in exclude_docs}), np.int64)
              if exclude_docs else None)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
@@ -300,7 +337,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                         -(-est_cells // 64)))
     postings = postings.repartition(nparts, "drange")
 
-    def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+    def _score_cells(pdf_postings: pd.DataFrame,
+                     range_deleted: np.ndarray | None) -> pd.DataFrame:
         if len(pdf_postings) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "score": pd.Series(dtype=np.float64)})
@@ -314,7 +352,7 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                 block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
                 pos_bytes=bytes(r.pos_bytes) if r.pos_bytes is not None else b"",
             )
-        deleted = bdel.value
+        deleted = bdel.value if range_deleted is None else range_deleted
         if extra is not None:
             deleted = np.union1d(deleted, extra)
         scorer = RangeScorer(cells, gstats, mode=mode, prune=prune,
@@ -324,8 +362,31 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return pd.DataFrame({"doc_id": docs.astype(np.int64),
                              "score": scores.astype(np.float64)})
 
-    candidates = (postings.groupBy("drange")
-                  .applyInPandas(score_group, schema=RESULT_SCHEMA))
+    if del_cogroup:
+        # distributed live-docs: the deletes table is keyed by the SAME
+        # doc-range expression as the postings and cogrouped in, so each
+        # range scorer sees exactly its own slice — no driver collect,
+        # no broadcast of a huge set
+        drs = int(index.stats["drange_size"])
+        deldf = (index.deletes_df()
+                 .withColumn("drange",
+                             (F.col("doc_id") / F.lit(drs)).cast("int"))
+                 .repartition(nparts, "drange"))
+
+        def score_cogroup(key, pdf_postings: pd.DataFrame,
+                          pdf_del: pd.DataFrame) -> pd.DataFrame:
+            rdel = np.unique(pdf_del["doc_id"].to_numpy(dtype=np.int64))
+            return _score_cells(pdf_postings, rdel)
+
+        candidates = (postings.groupby("drange")
+                      .cogroup(deldf.groupby("drange"))
+                      .applyInPandas(score_cogroup, schema=RESULT_SCHEMA))
+    else:
+        def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+            return _score_cells(pdf_postings, None)
+
+        candidates = (postings.groupBy("drange")
+                      .applyInPandas(score_group, schema=RESULT_SCHEMA))
     if k is None:
         return _hydrate(candidates, hydrate)
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -372,9 +433,14 @@ def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
     score = float(np.float32(ma.boost))
     base = (index.docmeta().select("doc_id")
             .withColumn("score", F.lit(score).cast("double")))
-    dele = set(index.deleted_ids())
-    if exclude_docs:
-        dele |= {int(d) for d in exclude_docs}
+    if index.deleted_count() > DELETES_BROADCAST_BOUND:
+        # huge deletes: anti-join the persisted table directly (no collect)
+        base = base.join(index.deletes_df(), "doc_id", "left_anti")
+        dele = {int(d) for d in exclude_docs} if exclude_docs else set()
+    else:
+        dele = set(index.deleted_ids())
+        if exclude_docs:
+            dele |= {int(d) for d in exclude_docs}
     if dele:
         if len(dele) <= 100_000:
             base = base.filter(~F.col("doc_id").isin(sorted(dele)))
@@ -502,12 +568,20 @@ def delete_docs(index: Index, doc_ids: list[int]) -> int:
     stream the new version via streaming.py — the reference's
     delete+reinsert update model). Returns total deleted count."""
     path = os.path.join(index.paths.root, "deletes")
-    existing = set(index.deleted_ids())
-    allids = sorted(existing | {int(d) for d in doc_ids})
-    (index.spark.createDataFrame([(d,) for d in allids], "doc_id long")
-     .coalesce(1).write.mode("overwrite").parquet(path))
+    new = sorted({int(d) for d in doc_ids})
+    if index.deleted_count() <= DELETES_BROADCAST_BOUND:
+        existing = set(index.deleted_ids())
+        allids = sorted(existing | set(new))
+        (index.spark.createDataFrame([(d,) for d in allids], "doc_id long")
+         .coalesce(1).write.mode("overwrite").parquet(path))
+        index.invalidate_deletes()
+        return len(allids)
+    # at-scale path: append-only (duplicates are harmless — every reader
+    # dedupes via union1d / distinct / anti-join); never collect the table
+    (index.spark.createDataFrame([(d,) for d in new], "doc_id long")
+     .write.mode("append").parquet(path))
     index.invalidate_deletes()
-    return len(allids)
+    return index.deleted_count()
 
 
 def matches(index: Index, query: str | Query, mode: str = "lucene8"

@@ -175,12 +175,16 @@ def _centroid_scores(q_col, cents: list[tuple[int, list[int], int]]):
     """
     entries = []
     for cid, s_vec, snorm2 in cents:
+        if snorm2 <= 0:  # a zero sum vector would score NaN for every doc
+            continue
         s_lit = F.array(*[F.lit(int(x)) for x in s_vec])
         dot = F.aggregate(F.zip_with(q_col, s_lit, lambda a, b: a * b),
                           F.lit(0).cast("long"), lambda acc, x: acc + x)
         score = dot / F.sqrt(F.lit(float(snorm2)))
         entries.append(F.struct(score.alias("score"),
                                 F.lit(-cid).cast("long").alias("negid")))
+    if not entries:
+        raise ValueError("ivf: every centroid has a zero sum vector")
     best = F.array_max(F.array(*entries))
     return (-best["negid"]).alias("centroid"), best["score"]
 
@@ -190,32 +194,36 @@ def ivf_index(embeddings: DataFrame, n_centroids: int = 8,
     """IVF coarse quantizer: deterministic spherical k-means (Lloyd) on
     the 1/4096 integer grid.
 
-    Init = stride-sample over sorted vec_ids (no RNG). Each iteration:
-    assign every vector to its best centroid (see _centroid_scores),
-    then rebuild centroids as per-dimension INTEGER sums (posexplode →
-    partial+final sum — exact, order-free); an emptied cluster keeps its
-    previous sum. Returns (assignment DataFrame(vec_id, centroid),
-    centroid state [(id, S, snorm2)]).
+    Init = the ``n_centroids`` non-zero vectors minimizing a 60-bit md5
+    hash of vec_id (deterministic pseudo-random spread, no RNG; centroid
+    ids assigned in vec_id order). ``orderBy(h).limit(n)`` compiles to
+    TakeOrderedAndProject — per-partition heaps, the driver merges only n
+    rows — unlike a partitionless row_number window, which would funnel
+    the whole corpus through one task. Each iteration: assign every
+    vector to its best centroid (see _centroid_scores), then rebuild
+    centroids as per-dimension INTEGER sums (posexplode → partial+final
+    sum — exact, order-free); an emptied cluster, or one whose members'
+    sums cancel to the zero vector (snorm2=0 would put NaN in every
+    score), keeps its previous state. Returns (assignment
+    DataFrame(vec_id, centroid), centroid state [(id, S, snorm2)]).
 
     Scale: assignment is a narrow map over the corpus (centroids are
     literals in the plan — broadcast by construction); the update is one
     groupBy(centroid, dim) partial aggregate. Driver holds only
     n_centroids × dim integers.
     """
-    from pyspark.sql import Window
-
     base = quantize(embeddings).select("vec_id", "q", "norm2")
-    w = Window.orderBy("vec_id")
-    ranked = base.withColumn("rn", F.row_number().over(w) - 1)
-    total = base.count()
-    stride = max(1, total // n_centroids)
-    init = (ranked.filter((F.col("rn") % stride == 0)
-                          & (F.col("rn") < stride * n_centroids))
-            .select((F.col("rn") / stride).cast("long").alias("centroid"),
-                    "q").collect())
-    cents = [(int(r["centroid"]), [int(x) for x in r["q"]],
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+               16, 10).cast("long")
+    seeds = (base.filter(F.col("norm2") > 0)
+             .select("vec_id", "q").withColumn("h", h)
+             .orderBy("h", "vec_id").limit(n_centroids).collect())
+    if not seeds:
+        raise ValueError("ivf_index: no non-zero vectors to seed centroids")
+    seeds.sort(key=lambda r: r["vec_id"])
+    cents = [(cid, [int(x) for x in r["q"]],
               sum(int(x) * int(x) for x in r["q"]))
-             for r in sorted(init, key=lambda r: r["centroid"])]
+             for cid, r in enumerate(seeds)]
     assigned = None
     for _ in range(iters):
         cent_col, _score = _centroid_scores(F.col("q"), cents)
@@ -234,8 +242,12 @@ def ivf_index(embeddings: DataFrame, n_centroids: int = 8,
             if dims is None:  # emptied cluster keeps its previous state
                 new_cents.append((cid, s_vec, snorm2))
                 continue
-            s = [dims[d] for d in range(len(s_vec))]
-            new_cents.append((cid, s, sum(x * x for x in s)))
+            s = [dims.get(d, 0) for d in range(len(s_vec))]
+            n2 = sum(x * x for x in s)
+            if n2 == 0:  # cancelled-out sum: keep previous (NaN guard)
+                new_cents.append((cid, s_vec, snorm2))
+                continue
+            new_cents.append((cid, s, n2))
         cents = new_cents
     cent_col, _ = _centroid_scores(F.col("q"), cents)
     assigned = base.withColumn("centroid", cent_col)

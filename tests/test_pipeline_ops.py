@@ -119,8 +119,10 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark, embeddings):
 
 def test_ivf_matches_numpy_mirror(spark, embeddings):
     """ivf_cosine_topk == an independent numpy implementation of the same
-    pinned algorithm (stride init, integer-sum centroids, cosine
-    assignment with smallest-id ties, 2 Lloyd iterations, nprobe=1)."""
+    pinned algorithm (md5-hash seed init over non-zero vectors,
+    integer-sum centroids, cosine assignment with smallest-id ties,
+    2 Lloyd iterations, nprobe=1)."""
+    import hashlib
     import math
 
     from sparklucene.similarity import QUANT, ivf_cosine_topk
@@ -135,8 +137,12 @@ def test_ivf_matches_numpy_mirror(spark, embeddings):
     mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                    * QUANT + 0.5).astype(np.int64)
     n = len(ids)
-    stride = max(1, n // C)
-    cents = [mat[j * stride].copy() for j in range(C)]
+    # seed init: C smallest (60-bit md5(vec_id), vec_id) among non-zero
+    # vectors; centroid ids assigned in vec_id order
+    cand = [(int(hashlib.md5(str(int(ids[i])).encode()).hexdigest()[:15], 16),
+             int(ids[i]), i) for i in range(n) if (mat[i] @ mat[i]) > 0]
+    seed_rows = sorted(i for _h, _v, i in sorted(cand)[:C])
+    cents = [mat[i].copy() for i in seed_rows]
 
     def scores_vs(S):
         return [mat @ S[j] / math.sqrt(float(S[j] @ S[j])) for j in range(C)]
@@ -156,7 +162,10 @@ def test_ivf_matches_numpy_mirror(spark, embeddings):
         newS = []
         for j in range(C):
             members = mat[a == j]
-            newS.append(members.sum(axis=0) if len(members) else S[j])
+            s = members.sum(axis=0) if len(members) else None
+            if s is None or (s @ s) == 0:  # emptied/cancelled keeps previous
+                s = S[j]
+            newS.append(s)
         S = newS
     final = assign(S)
 
