@@ -1455,15 +1455,87 @@ SELECT vec_a, vec_b,
 FROM pairs
 WHERE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.3""")
 
-    # IVF coarse-quantizer ANN: iterative Lloyd k-means — not
-    # SQL-expressible, so the driver records a rows-only check; the
-    # EXACT check lives in tests/test_pipeline_ops.py (independent numpy
-    # mirror of the same pinned algorithm, bit-equal scores).
+    # IVF coarse-quantizer ANN: the k-means is deterministic integer
+    # arithmetic on the 1/4096 grid (md5-hash seed init, integer-sum
+    # centroids, fixed 2 Lloyd iterations), so the WHOLE pipeline —
+    # seeds, both update steps, final assignment, probe, cosine top-k —
+    # unrolls into SQL and the driver gets a full hash check (plus the
+    # independent numpy mirror in tests/test_pipeline_ops.py).
+    def _ivf_assign(name: str, cents: str) -> str:
+        """One Lloyd assignment pass as a CTE: argmax_j dot(q, S_j) /
+        sqrt(snorm2_j), ties to the smallest centroid id — the exact
+        float expression of similarity._centroid_scores."""
+        return f"""{name} AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(list_zip(v.q, c.s), z -> z[1] * z[2]))::BIGINT
+               / sqrt(CAST(c.snorm2 AS DOUBLE)) DESC, c.cid ASC) AS rn
+    FROM nv v CROSS JOIN {cents} c)
+  WHERE rn = 1)"""
+
+    def _ivf_update(i: int) -> str:
+        """Centroid rebuild as per-dimension integer sums; an emptied or
+        cancelled-to-zero cluster keeps its previous state."""
+        return f"""u{i} AS (
+  SELECT a.centroid AS cid, qd.dim, sum(qd.val)::BIGINT AS s
+  FROM a{i} a JOIN qd ON a.vec_id = qd.vec_id
+  GROUP BY a.centroid, qd.dim),
+u{i}l AS (SELECT cid, list(s ORDER BY dim) AS snew FROM u{i} GROUP BY cid),
+c{i} AS (
+  SELECT p.cid,
+         CASE WHEN u.snew IS NOT NULL
+                   AND list_sum(list_transform(u.snew, x -> x * x)) > 0
+              THEN u.snew ELSE p.s END AS s
+  FROM c{i - 1}n p LEFT JOIN u{i}l u ON p.cid = u.cid),
+c{i}n AS (
+  SELECT cid, s, list_sum(list_transform(s, x -> x * x))::BIGINT AS snorm2
+  FROM c{i})"""
+
+    ivf_sql = f"""WITH {quant_ctes},
+qd AS (
+  SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS dim FROM nv),
+seeds AS (
+  SELECT vec_id, q, norm2 FROM (
+    SELECT vec_id, q, norm2,
+           ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM nv WHERE norm2 > 0
+    ORDER BY h, vec_id LIMIT 4)),
+c0n AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS s,
+         norm2::BIGINT AS snorm2
+  FROM seeds),
+{_ivf_assign("a1", "c0n")},
+{_ivf_update(1)},
+{_ivf_assign("a2", "c1n")},
+{_ivf_update(2)},
+{_ivf_assign("a3", "c2n")},
+probe AS (
+  SELECT vec_id AS qid, centroid AS pc FROM a3 WHERE vec_id IN ({qids_sql})),
+cand AS (
+  SELECT p.qid, v.vec_id, v.centroid,
+         list_sum(list_transform(list_zip(qq.q, vv.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         qq.norm2 AS qn, vv.norm2 AS bn
+  FROM a3 v
+  JOIN probe p ON v.centroid = p.pc AND v.vec_id != p.qid
+  JOIN nv vv ON vv.vec_id = v.vec_id
+  JOIN nv qq ON qq.vec_id = p.qid),
+scored AS (
+  SELECT qid, vec_id, centroid,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+  FROM cand),
+ranked AS (
+  SELECT qid, vec_id, centroid, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+SELECT qid, rank, vec_id, centroid, cosine FROM ranked WHERE rank <= 5"""
+
     e["ann_ivf_topk"] = (
         lambda spark, sf: sim.ivf_cosine_topk(_t(spark, sf, "embeddings"),
                                               QIDS, k=5, n_centroids=4,
                                               iters=2, nprobe=1),
-        None)
+        ivf_sql)
 
     return e
 
@@ -2169,6 +2241,35 @@ _R01_COVERED = frozenset({
 })
 
 
+#: entries the driver's round-2 CORRECTNESS window verified
+#: (CORRECTNESS_r02.json — 49 hash-green + ann_ivf_topk rows-only, which
+#: is deliberately EXCLUDED here: round 3 gave it a full SQL oracle and
+#: it needs a hash-green row)
+_R02_COVERED = frozenset({
+    "match_all_count", "match_all_except_topk", "bm25_filtered",
+    "match_all_filtered_fq", "bm25_with_prefix_clause",
+    "bm25_with_wildcard_clause", "bm25_with_fuzzy_clause",
+    "bm25_multiphrase", "boolean_similarity_or", "custom_similarity_or",
+    "search_batch_queryset", "lm_dirichlet_or", "bm25_multifield_dismax",
+    "bm25_field_boost", "multifield_termstats", "bm25_stemmed",
+    "analyzer_shingle_termstats", "analyzer_edge_ngram_termstats",
+    "block_join_parent_rollup", "join_cross_collection", "stream_reduce",
+    "grouping_top2_per_group", "collapse_expand_by_source",
+    "function_termfreq", "numeric_range_query", "term_in_set_query",
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "dedup_exact_groups", "dedup_minhash_signatures",
+    "dedup_lsh_candidates", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "ann_cosine_topk_exact",
+    "ann_lsh_bucketed_topk", "ann_lsh_multiprobe_topk",
+    "dedup_embedding_neardup", "multimodal_payload_features",
+    "search_grouped_top2_per_lang", "function_score_query",
+    "constant_score_query", "facet_on_search_results", "sql_surface_bm25",
+    "sql_surface_facet", "streaming_nrt_build_termstats", "prefix_query",
+})
+
+_DRIVER_COVERED = _R01_COVERED | _R02_COVERED
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -2189,21 +2290,23 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_sql_surface_entries())
     e.update(_streaming_entries())
     e.update(_scalar_fn_entries())
-    # not-yet-driver-covered entries lead the registry (the driver checks
-    # a prefix window); relative assembly order is preserved within each
-    # tier, so every entry keeps a deterministic position. Entries whose
-    # OPERATOR is already driver-covered elsewhere (the old multi-term
-    # doc-set probes, superseded by the scored bm25_with_*_clause
-    # entries) and pure-Catalyst-builtin function entries are deferred to
-    # the end of the uncovered block so novel operators fit the window.
-    defer = ("prefix_query", "wildcard_query", "regexp_query",
-             "fuzzy_query", "function_math", "function_date_math",
-             "function_string")
+    # the driver checks a bounded PREFIX of the registry each round, so
+    # ordering is evidence policy: round 3 leads with the 6 entries that
+    # have never landed in a driver window across r1 ∪ r2, then
+    # ann_ivf_topk (oracle upgraded from rows-only to full SQL this
+    # round — needs its first hash-green row), then any new round-3
+    # entries (not in either covered set), then everything already
+    # driver-green. Relative assembly order is preserved within each
+    # tier, so every entry keeps a deterministic position.
+    lead = ("wildcard_query", "regexp_query", "fuzzy_query",
+            "function_math", "function_date_math", "function_string",
+            "ann_ivf_topk")
+    first = {k: e[k] for k in lead if k in e}
     head = {k: v for k, v in e.items()
-            if k not in _R01_COVERED and k not in defer}
-    deferred = {k: e[k] for k in defer if k in e}
-    tail = {k: v for k, v in e.items() if k in _R01_COVERED}
-    return {**head, **deferred, **tail}
+            if k not in _DRIVER_COVERED and k not in first}
+    tail = {k: v for k, v in e.items()
+            if k in _DRIVER_COVERED and k not in first}
+    return {**first, **head, **tail}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
