@@ -35,7 +35,7 @@ from sparklucene.build import FORMAT_VERSION, build_index, load_stats
 from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
 from sparklucene.query import (And, DisMax, Not, Or, Phrase, Query, Term,
-                               analyze_phrase)
+                               Within, analyze_phrase)
 from sparklucene.search import Index, matches, search, search_after, total_hits
 
 # ---------------------------------------------------------------------------
@@ -161,6 +161,76 @@ def phrase_topk_sql(slots: list[tuple[int, str]], k: int = 10) -> str:
     ctes, score = phrase_ctes_and_score(slots)
     return f"""WITH {corpus_ctes()},{ctes}
 SELECT pf.doc_id AS doc_id, CAST({score} AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def within_topk_sql(members: tuple[str, ...], window: int, ordered: bool,
+                    k: int = 10) -> str:
+    """Oracle for query.Within — mirrors the pinned interval spec
+    (anchor enumeration over members[0], ordered greedy chase / unordered
+    nearest-position with smaller-position ties, freq = matching anchors,
+    summed-idf phrase weight in members order)."""
+    m0, rest = members[0], members[1:]
+    ctes = [f"""
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+anchors AS (SELECT doc_id, pos AS p0 FROM tokp WHERE term = '{m0}')"""]
+    if ordered:
+        prev_cte, prev_col, carry = "anchors", "p0", ["p0"]
+        for i, t in enumerate(rest, start=1):
+            cols = ", ".join(f"s.{c}" for c in carry)
+            ctes.append(f"""
+s{i} AS (
+  SELECT s.doc_id, {cols}, min(t.pos) AS p{i}
+  FROM {prev_cte} s JOIN tokp t
+    ON t.doc_id = s.doc_id AND t.term = '{t}' AND t.pos > s.{prev_col}
+  GROUP BY s.doc_id, {cols})""")
+            prev_cte, prev_col = f"s{i}", f"p{i}"
+            carry.append(f"p{i}")
+        ctes.append(f"""
+matched AS (
+  SELECT doc_id, p0 FROM {prev_cte}
+  WHERE {prev_col} - p0 + 1 <= {window})""")
+    else:
+        for i, t in enumerate(rest, start=1):
+            ctes.append(f"""
+d{i} AS (
+  SELECT a.doc_id, a.p0, min(abs(t.pos - a.p0)) AS d
+  FROM anchors a JOIN tokp t
+    ON t.doc_id = a.doc_id AND t.term = '{t}'
+  GROUP BY a.doc_id, a.p0),
+q{i} AS (
+  SELECT n.doc_id, n.p0, min(t.pos) AS q{i}
+  FROM d{i} n JOIN tokp t
+    ON t.doc_id = n.doc_id AND t.term = '{t}'
+       AND abs(t.pos - n.p0) = n.d
+  GROUP BY n.doc_id, n.p0)""")
+        joins = " ".join(
+            f"JOIN q{i} ON q{i}.doc_id = a.doc_id AND q{i}.p0 = a.p0"
+            for i in range(1, len(rest) + 1))
+        allpos = ", ".join(["a.p0"] + [f"q{i}.q{i}"
+                                       for i in range(1, len(rest) + 1)])
+        ctes.append(f"""
+matched AS (
+  SELECT a.doc_id, a.p0 FROM anchors a {joins}
+  WHERE greatest({allpos}) - least({allpos}) + 1 <= {window})""")
+    ctes.append("""
+pf AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM matched GROUP BY doc_id)""")
+    idf_sum = " + ".join(
+        f"ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5))"
+        for t in members)
+    avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    denom = f"(pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl}))"
+    return f"""WITH {corpus_ctes()},{",".join(ctes)}
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST((({idf_sum}) * pf.tfp) / {denom} AS REAL) AS DOUBLE) AS score
 FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
@@ -1540,6 +1610,22 @@ SELECT qid, rank, vec_id, centroid, cosine FROM ranked WHERE rank <= 5"""
     return e
 
 
+def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Minimal intervals slice (u8:lucene/queries/.../intervals/ —
+    Intervals.maxwidth over ordered/unordered): proximity co-occurrence
+    queries through the full engine path (query.Within), scored with the
+    summed-idf phrase weight; oracles re-derive anchors/chases from raw
+    token positions in SQL (same position CTEs as the sloppy phrase)."""
+    e: dict[str, tuple[Callable, str | None]] = {}
+    e["intervals_ordered_within"] = (
+        _bm25(Within(("fast", "key", "scan"), window=8, ordered=True), k=10),
+        within_topk_sql(("fast", "key", "scan"), 8, True, k=10))
+    e["intervals_unordered_within"] = (
+        _bm25(Within(("merge", "join"), window=6, ordered=False), k=10),
+        within_topk_sql(("merge", "join"), 6, False, k=10))
+    return e
+
+
 def _result_composition_entries() -> dict[str, tuple[Callable, str | None]]:
     """Search-result post-processing (SURVEY.md §2.5-2.7): grouping,
     function scoring, constant score, facet-on-results — the Solr
@@ -2285,6 +2371,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_textops_entries())
     e.update(_dedup_entries())
     e.update(_similarity_entries())
+    e.update(_intervals_entries())
     e.update(_multimodal_entries())
     e.update(_result_composition_entries())
     e.update(_sql_surface_entries())

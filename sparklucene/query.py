@@ -166,6 +166,38 @@ class Phrase(Query):
         return sorted({t for _, t in self.slots})
 
 
+@dataclass(frozen=True)
+class Within(Query):
+    """Minimal interval query — the engine's slice of Lucene's intervals
+    surface (``u8:lucene/queries/.../intervals/``: ``Intervals.ordered`` /
+    ``Intervals.unordered`` wrapped in ``Intervals.maxwidth``): docs where
+    all ``members`` co-occur inside a token window of at most ``window``
+    positions.
+
+    Pinned matching spec (documented here because it is the oracle
+    contract, like the sloppy-phrase spec):
+
+      * every position p0 of ``members[0]`` is an ANCHOR;
+      * ordered: greedily chase p1 = min position of members[1] > p0,
+        p2 = min position of members[2] > p1, ... — the anchor matches
+        when the chase completes and last - p0 + 1 <= window;
+      * unordered: each other member contributes its position nearest to
+        p0 (ties -> the smaller position); the anchor matches when
+        max - min + 1 <= window over the chosen positions;
+      * freq = number of matching anchors, scored with the summed-idf
+        phrase weight (same float path as Phrase).
+    """
+
+    members: tuple[str, ...]
+    window: int
+    ordered: bool = False
+    #: non-default indexed field (requires store_positions on that field)
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        return sorted(set(self.members))
+
+
 @dataclass
 class MatchNoDocs(Query):
     _ignored: int = field(default=0)
@@ -318,6 +350,11 @@ def qualify(q: Query) -> Query:
         return MultiPhrase(tuple(
             (off, tuple(field_key(q.field, t) for t in alts))
             for off, alts in q.slots))
+    if isinstance(q, Within):
+        if q.field is None:
+            return q
+        return Within(tuple(field_key(q.field, t) for t in q.members),
+                      q.window, q.ordered)
     if isinstance(q, (And, Or)):
         clauses = tuple(qualify(c) for c in q.clauses)
         return (And(clauses) if isinstance(q, And)
@@ -371,6 +408,12 @@ def rewrite(q: Query) -> Query:
             return MatchNoDocs()
         if len(q.slots) == 1:  # single-term phrase == TermQuery (Lucene rewrite)
             return Term(q.slots[0][1], field=q.field)
+        return q
+    if isinstance(q, Within):
+        if not q.members or q.window <= 0:
+            return MatchNoDocs()
+        if len(q.members) == 1:  # degenerate interval == TermQuery
+            return Term(q.members[0], field=q.field)
         return q
     if isinstance(q, DisMax):
         flat = [rewrite(c) for c in q.clauses]
@@ -441,6 +484,9 @@ def prune_missing(q: Query, present: set[str]) -> Query:
         return q if q.term in present else MatchNoDocs()
     if isinstance(q, Phrase):
         return q if all(t in present for _, t in q.slots) else MatchNoDocs()
+    if isinstance(q, Within):
+        # every member is required (conjunctive), like a phrase
+        return q if all(t in present for t in q.members) else MatchNoDocs()
     if isinstance(q, MultiPhrase):
         slots = tuple((off, tuple(t for t in alts if t in present))
                       for off, alts in q.slots)

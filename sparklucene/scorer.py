@@ -42,7 +42,7 @@ from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
 from sparklucene.norms import LENGTH_TABLE
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, Term)
+                               Or, Phrase, Query, Term, Within)
 
 
 @dataclass
@@ -374,8 +374,8 @@ class RangeScorer:
         nb = self.cells[t0].norms()[np.searchsorted(d0, pdocs)]
         return pdocs, self._phrase_weighted(q, pfreq, nb)
 
-    def _phrase_weighted(self, q: Phrase | MultiPhrase, pfreq: np.ndarray,
-                         nb: np.ndarray) -> np.ndarray:
+    def _phrase_weighted(self, q: Phrase | MultiPhrase | Within,
+                         pfreq: np.ndarray, nb: np.ndarray) -> np.ndarray:
         """Phrase scoring with the mode's summed-idf weight. For a
         MultiPhrase the idf sums over EVERY alternative of every slot
         (MultiPhraseWeight collects all TermStatistics)."""
@@ -388,6 +388,8 @@ class RangeScorer:
             return np.full(pfreq.size, np.float32(1.0), dtype=np.float32)
         if isinstance(q, MultiPhrase):
             slot_terms = [t for _, alts in q.slots for t in alts]
+        elif isinstance(q, Within):
+            slot_terms = list(q.members)
         else:
             slot_terms = [t for _, t in q.slots]
         # all slot terms share one field by construction (qualify());
@@ -566,6 +568,97 @@ class RangeScorer:
         nb = self.cells[t_anchor].norms()[np.searchsorted(d0, pdocs)]
         return pdocs, self._phrase_weighted(q, pfreq, nb)
 
+    def _within_scores(self, q: Within) -> tuple[np.ndarray, np.ndarray]:
+        """Minimal-interval matcher (ordered / unordered within window) —
+        the pinned spec lives on the Within dataclass. Fully vectorized
+        across all anchors of all candidate docs with the same packed
+        uint64 (doc, pos) searchsorted machinery as the sloppy matcher."""
+        dterms = set(q.members)
+        if len(dterms) < len(q.members):
+            raise ValueError("Within members must be distinct terms")
+        if any(t not in self.cells for t in dterms):
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in dterms:
+            cell = self.cells[t]
+            docs, tfs = cell.decode()
+            if not cell.pos_bytes:
+                raise ValueError("interval (Within) queries require an "
+                                 "index built with positions")
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            decoded[t] = (docs, cum, cell.positions())
+        cand = None
+        for t in dterms:
+            d = decoded[t][0]
+            cand = d if cand is None else cand[np.isin(cand, d,
+                                                       assume_unique=True)]
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            cand = cand[~np.isin(cand, self._neg_mask_docs,
+                                 assume_unique=True)]
+        if cand is None or cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        for t in dterms:
+            d_t, _, p_t = decoded[t]
+            if d_t.size and (int(d_t[-1]) >= 1 << 32
+                             or (p_t.size and int(p_t.max()) >= 1 << 31)):
+                raise ValueError("interval matching requires doc_id < 2^32 "
+                                 "and token positions < 2^31")
+        t0 = q.members[0]
+        docs0, cum0, pos0 = decoded[t0]
+        docs0_rep = np.repeat(docs0, np.diff(cum0))
+        m0 = np.isin(docs0_rep, cand, assume_unique=False)
+        anchor_docs = docs0_rep[m0]
+        anchors = pos0[m0].astype(np.int64)
+        if anchor_docs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        adoc_keys = anchor_docs.astype(np.uint64) << np.uint64(32)
+        alive = np.ones(anchors.size, dtype=bool)
+        if q.ordered:
+            prev = anchors.copy()
+            for t in q.members[1:]:
+                docs_t, cum_t, pos_t = decoded[t]
+                key_t = ((np.repeat(docs_t, np.diff(cum_t)).astype(np.uint64)
+                          << np.uint64(32)) | pos_t.astype(np.uint64))
+                # first position of t strictly after prev in the same doc
+                j = np.searchsorted(key_t,
+                                    adoc_keys | (prev + 1).astype(np.uint64))
+                seg = np.searchsorted(docs_t, anchor_docs)
+                hi = cum_t[seg + 1]
+                ok = j < hi  # keys of earlier docs all sort lower -> j>=lo
+                jc = np.clip(j, 0, max(0, pos_t.size - 1))
+                nxt = pos_t[jc].astype(np.int64)
+                alive &= ok
+                prev = np.where(ok, nxt, prev)
+            width = prev - anchors + 1
+        else:
+            lo_p = anchors.copy()
+            hi_p = anchors.copy()
+            for t in q.members[1:]:
+                docs_t, cum_t, pos_t = decoded[t]
+                key_t = ((np.repeat(docs_t, np.diff(cum_t)).astype(np.uint64)
+                          << np.uint64(32)) | pos_t.astype(np.uint64))
+                seg = np.searchsorted(docs_t, anchor_docs)
+                lo, hi = cum_t[seg], cum_t[seg + 1]
+                j = np.searchsorted(key_t, adoc_keys | anchors.astype(np.uint64))
+                jc = np.clip(j, lo, hi - 1)
+                jl = np.clip(j - 1, lo, hi - 1)
+                dc = np.abs(pos_t[jc].astype(np.int64) - anchors)
+                dl = np.abs(pos_t[jl].astype(np.int64) - anchors)
+                # nearest position; ties -> the smaller (jl <= jc, so
+                # pos[jl] <= pos[jc])
+                qi = np.where(dl <= dc, pos_t[jl], pos_t[jc]).astype(np.int64)
+                lo_p = np.minimum(lo_p, qi)
+                hi_p = np.maximum(hi_p, qi)
+            width = hi_p - lo_p + 1
+        m = alive & (width <= q.window)
+        if not m.any():
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        pdocs, pfreq = np.unique(anchor_docs[m], return_counts=True)
+        self.metrics.docs_scored += int(pdocs.size)
+        self.metrics.docs_total += int(pdocs.size)
+        nb = self.cells[t0].norms()[np.searchsorted(docs0, pdocs)]
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
+
     # ---- generic clause scoring (phrase-aware booleans) -----------------
 
     def _clause_scores(self, c: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -576,6 +669,8 @@ class RangeScorer:
             return self._multiphrase_scores(c)
         if isinstance(c, Phrase):
             return self._phrase_scores(c)
+        if isinstance(c, Within):
+            return self._within_scores(c)
         if isinstance(c, And):
             return self._eval_and(c)
         if isinstance(c, Or):

@@ -1,0 +1,106 @@
+"""query.Within — minimal intervals (ordered / unordered within window).
+
+Reference surface: u8:lucene/queries/.../intervals/ (Intervals.ordered /
+Intervals.unordered under Intervals.maxwidth). The pinned anchor-count
+matching spec is documented on the Within dataclass; these tests pin it
+with hand-checked fixtures plus composition/edge behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparklucene.query import (MatchNoDocs, Or, Term, Within, prune_missing,
+                               rewrite)
+from tests.test_round2_fixes import _scorer_for
+
+FIXTURE = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "content": [
+    "alpha beta gamma",         # 0: ordered+unordered width 2
+    "beta alpha gamma",         # 1: unordered width 2; no beta after alpha
+    "alpha x x x beta",         # 2: width 5
+    "alpha x beta alpha beta",  # 3: anchors 0 (w3) and 3 (w2)
+    "gamma delta",              # 4: no members
+    "beta x x alpha",           # 5: unordered width 4, not ordered
+]})
+
+
+def _hits(q, pdf=FIXTURE):
+    s = _scorer_for(pdf)
+    docs, scores = s.topk(q, k=10)
+    return dict(zip(docs.tolist(), scores.tolist()))
+
+
+def test_unordered_window_sweep():
+    assert set(_hits(Within(("alpha", "beta"), 2))) == {0, 1, 3}
+    assert set(_hits(Within(("alpha", "beta"), 3))) == {0, 1, 3}
+    assert set(_hits(Within(("alpha", "beta"), 4))) == {0, 1, 3, 5}
+    assert set(_hits(Within(("alpha", "beta"), 5))) == {0, 1, 2, 3, 5}
+
+
+def test_ordered_requires_order():
+    assert set(_hits(Within(("alpha", "beta"), 2, ordered=True))) == {0, 3}
+    assert set(_hits(Within(("alpha", "beta"), 5, ordered=True))) == {0, 2, 3}
+    # beta-then-alpha direction
+    assert set(_hits(Within(("beta", "alpha"), 4, ordered=True))) == {1, 3, 5}
+
+
+def test_anchor_count_scales_score():
+    # doc 3 has ONE matching anchor at window 2 but TWO at window 3 —
+    # freq doubles, score strictly increases
+    s2 = _hits(Within(("alpha", "beta"), 2))[3]
+    s3 = _hits(Within(("alpha", "beta"), 3))[3]
+    assert s3 > s2
+
+
+def test_three_member_ordered_chase():
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "content": [
+        "one two three",        # chase 0->1->2, width 3
+        "one three two",        # two after one, but three not after two
+        "one x two x three",    # width 5
+    ]})
+    assert set(_hits(Within(("one", "two", "three"), 3, ordered=True),
+                     pdf)) == {0}
+    assert set(_hits(Within(("one", "two", "three"), 5, ordered=True),
+                     pdf)) == {0, 2}
+
+
+def test_unordered_nearest_tie_prefers_smaller_position():
+    # anchor 'mid' at pos 2; 'edge' at 0 and 4 — equidistant, the pinned
+    # spec picks pos 0, span [0..2] width 3
+    pdf = pd.DataFrame({"doc_id": [0],
+                        "content": ["edge x mid x edge"]})
+    assert set(_hits(Within(("mid", "edge"), 3), pdf)) == {0}
+
+
+def test_rewrite_and_prune():
+    assert rewrite(Within((), 5)) == MatchNoDocs()
+    assert rewrite(Within(("a",), 5)) == Term("a")
+    assert rewrite(Within(("a", "b"), 0)) == MatchNoDocs()
+    assert prune_missing(Within(("alpha", "zzz"), 5),
+                         {"alpha"}) == MatchNoDocs()
+
+
+def test_within_composes_in_boolean():
+    q = Or((Within(("alpha", "beta"), 2, ordered=True), Term("delta")))
+    hits = _hits(q)
+    assert set(hits) == {0, 3, 4}
+
+
+def test_duplicate_members_rejected():
+    s = _scorer_for(FIXTURE)
+    with pytest.raises(ValueError, match="distinct"):
+        s.topk(Within(("alpha", "alpha"), 3), k=5)
+
+
+def test_within_through_search_engine(spark):
+    """Full engine path == direct scorer union (single-range fixture) and
+    the documented search() surface accepts Within."""
+    from sparklucene.driver_queries import index_for
+    from sparklucene.search import search
+
+    idx = index_for(spark, "/root/testdata/sf0.001")
+    out = search(idx, Within(("merge", "join"), 6), k=10,
+                 mode="f64").collect()
+    assert len(out) == 10
+    assert all(r["score"] > 0 for r in out)
