@@ -1623,6 +1623,50 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
     e["intervals_unordered_within"] = (
         _bm25(Within(("merge", "join"), window=6, ordered=False), k=10),
         within_topk_sql(("merge", "join"), 6, False, k=10))
+
+    # highlighting round (Solr HighlightComponent user surface,
+    # u8:solr/core/.../handler/component/HighlightComponent.java):
+    # matched-term positions decoded for the <= k winners only; snippet =
+    # 7-token window starting 2 tokens before the first match
+    def hl_run(spark, sf):
+        idx = index_for(spark, sf)
+        corpus = load_corpus(spark, sf)
+        out = search(idx, Or((Term("merge"), Term("vector"))), k=10,
+                     mode="f64", hydrate=corpus, highlight=True)
+        first = F.array_min(F.flatten(F.transform(
+            "highlights", lambda h: h["positions"]))).cast("long")
+        return out.select("doc_id", "score", first.alias("first_pos"),
+                          "snippet")
+
+    hscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                            "g.sum_dl")
+    e["search_highlighted"] = (hl_run, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {hscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'vector')),
+topk AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl),
+firstp AS (
+  SELECT doc_id, min(pos)::BIGINT AS first_pos
+  FROM tokp WHERE term IN ('merge', 'vector') GROUP BY doc_id),
+snip AS (
+  SELECT d.doc_id, f.first_pos,
+         array_to_string(list_slice(
+           regexp_extract_all(lower(d.text), '{TOKEN_RE_SQL}'),
+           greatest(f.first_pos - 2, 0) + 1,
+           greatest(f.first_pos - 2, 0) + 7), ' ') AS snippet
+  FROM documents d JOIN firstp f USING (doc_id))
+SELECT t.doc_id, t.score, s.first_pos, s.snippet
+FROM topk t JOIN snip s USING (doc_id)""")
     return e
 
 

@@ -235,6 +235,65 @@ class Index:
                 if (s := self._tstats_memo.get(t)) is not None}
 
 
+#: typed empty highlights literal (schema-stable across no-hit paths)
+_EMPTY_HL = ("CAST(array() AS "
+             "array<struct<term:string,positions:array<int>>>)")
+
+HL_SCHEMA = "doc_id long, term string, positions array<int>"
+
+
+def _highlight_positions(index: Index, terms: list[str],
+                         winners: DataFrame) -> DataFrame:
+    """Matched-term token positions for the <= k winner docs — the
+    highlighting round of the two-phase plan (the user surface of Solr's
+    HighlightComponent, u8:solr/core/.../handler/component/
+    HighlightComponent.java; offsets here are token positions, already
+    indexed).
+
+    Shape at scale: term-pruned postings scan, restricted to the WINNERS'
+    doc-ranges by a broadcast join (<= k rows), positions decoded only
+    for winner docs inside each range's Arrow batch — cost is O(query
+    terms x winner ranges), independent of corpus size.
+    """
+    drs = int(index.stats["drange_size"])
+    win = winners.select("doc_id").withColumn(
+        "drange", (F.col("doc_id") / F.lit(drs)).cast("int"))
+    cells = (index.postings()
+             .filter(F.col("term").isin(sorted(set(terms))))
+             .join(F.broadcast(win), "drange"))
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {"doc_id": [], "term": [], "positions": []}
+        for term, grp in pdf.groupby("term", sort=True):
+            r0 = grp.iloc[0]
+            cell = RangeCell(
+                doc_bytes=bytes(r0.doc_bytes), tf_bytes=bytes(r0.tf_bytes),
+                norm_bytes=bytes(r0.norm_bytes),
+                block_last=np.asarray(r0.block_last, dtype=np.int64),
+                block_max_tf=np.asarray(r0.block_max_tf, dtype=np.int32),
+                block_min_norm=np.frombuffer(bytes(r0.block_min_norm),
+                                             dtype=np.uint8),
+                pos_bytes=(bytes(r0.pos_bytes)
+                           if r0.pos_bytes is not None else b""))
+            if not cell.pos_bytes:
+                raise ValueError("highlighting requires an index built "
+                                 "with positions")
+            docs, tfs = cell.decode()
+            pos = cell.positions()
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            want = np.unique(grp["doc_id"].to_numpy(np.int64))
+            idx = np.searchsorted(docs, want)
+            for d, i in zip(want.tolist(), idx.tolist()):
+                if i < docs.size and docs[i] == d:
+                    out["doc_id"].append(d)
+                    out["term"].append(term)
+                    out["positions"].append(
+                        pos[cum[i]:cum[i + 1]].astype(np.int32))
+        return pd.DataFrame(out)
+
+    return cells.groupBy("drange").applyInPandas(emit, HL_SCHEMA)
+
+
 def _as_query(query: str | Query) -> Query:
     return parse(query) if isinstance(query, str) else rewrite(query)
 
@@ -273,7 +332,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
            hydrate: DataFrame | None = None,
            exclude_docs: list[int] | None = None,
            after: tuple[float, int] | None = None,
-           max_expansions: int = 1024) -> DataFrame:
+           max_expansions: int = 1024,
+           highlight: bool = False) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
@@ -287,11 +347,19 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     handle, not shipped per query).
     ``after`` is a (score, doc_id) keyset cursor — each range collects
     only hits strictly after it and stays k-bounded (searchAfter).
+    ``highlight=True`` (requires bounded ``k``) adds a ``highlights``
+    column — array<struct<term, positions>> of the matched default-field
+    terms' token positions in each winner, decoded in a second k-bounded
+    round (Solr HighlightComponent's user surface); with ``hydrate`` a
+    ``snippet`` column (token window around the first match) is added too.
     """
     from sparklucene.plugins import resolve_mode
 
     spark = index.spark
     mode = resolve_mode(mode)
+    if highlight and k is None:
+        raise ValueError("highlight requires a bounded k (the positions "
+                         "round is k-bounded by design)")
     q = qualify(_as_query(query))
     q = _expand_multiterm(q, index, max_expansions)
     # small deletes ride a broadcast bitset; pathological ones are
@@ -301,6 +369,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     extra = (np.asarray(sorted({int(d) for d in exclude_docs}), np.int64)
              if exclude_docs else None)
     empty = spark.createDataFrame([], RESULT_SCHEMA)
+    if highlight:
+        empty = empty.withColumn("highlights", F.expr(_EMPTY_HL))
     if isinstance(q, MatchNoDocs):
         return _hydrate(empty, hydrate)
     pos_terms = q.terms()
@@ -313,8 +383,10 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return _hydrate(empty, hydrate)
     if isinstance(q, MatchAllDocs) or (
             isinstance(q, Not) and isinstance(q.positive, MatchAllDocs)):
-        return _matchall_search(index, q, k, mode, hydrate, exclude_docs,
-                                after)
+        out = _matchall_search(index, q, k, mode, None, exclude_docs, after)
+        if highlight:  # MatchAll has no matched terms
+            out = out.withColumn("highlights", F.expr(_EMPTY_HL))
+        return _hydrate(out, hydrate)
     all_terms = sorted(set(q.terms()) | set(q.neg_terms()))
 
     gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
@@ -390,6 +462,19 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     if k is None:
         return _hydrate(candidates, hydrate)
     topk = candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if highlight:
+        hterms = sorted({t for t in q.terms() if FIELD_SEP not in t})
+        if hterms:
+            hl = _highlight_positions(index, hterms, topk)
+            agg = (hl.groupBy("doc_id")
+                   .agg(F.array_sort(F.collect_list(
+                       F.struct("term", "positions"))).alias("highlights")))
+            topk = (topk.join(agg, "doc_id", "left")
+                    .withColumn("highlights",
+                                F.coalesce(F.col("highlights"),
+                                           F.expr(_EMPTY_HL))))
+        else:
+            topk = topk.withColumn("highlights", F.expr(_EMPTY_HL))
     return _hydrate(topk, hydrate)
 
 
@@ -467,9 +552,10 @@ BATCH_SCHEMA = "query string, doc_id long, score double"
 
 def search_batch(index: Index, queries, k: int = 10,
                  mode: str = "lucene8", prune: bool = True,
-                 max_expansions: int = 1024) -> DataFrame:
-    """Execute MANY queries in ONE Spark job — the reference-query-set /
-    high-QPS serving path (Solr handles query sets as concurrent
+                 max_expansions: int = 1024,
+                 afters: dict | None = None) -> DataFrame:
+    """Execute MANY queries in ONE Spark action — the reference-query-set
+    / high-QPS serving path (Solr handles query sets as concurrent
     requests; the Spark-native form is batch execution).
 
     ``queries`` is a dict name -> (str | Query) or a list (named by
@@ -477,12 +563,13 @@ def search_batch(index: Index, queries, k: int = 10,
     shuffle groups cells by doc-range, and every query is scored inside
     the same Arrow batch against SHARED decoded cells (RangeCell decode
     memoizes, so a posting list used by five queries is decoded once).
+    MatchAllDocs queries (standalone or ``Not(MatchAllDocs, x)``) route
+    to the zero-shuffle docmeta branch of the same plan and union in.
+    ``afters`` maps query name -> (score, doc_id) keyset cursor, applied
+    inside the range scorers exactly like ``search_after``.
     Returns DataFrame(query, doc_id, score): per-query top-k, ordered by
-    (score desc, doc_id asc) within each query.
-
-    Not supported here: MatchAllDocs (needs the docmeta universe — use
-    ``search()``) and per-query cursors. Amortization: per-query latency
-    becomes (one job) / N instead of N jobs.
+    (score desc, doc_id asc) within each query. Amortization: per-query
+    latency becomes (one action) / N instead of N jobs.
     """
     from sparklucene.plugins import resolve_mode
 
@@ -490,6 +577,11 @@ def search_batch(index: Index, queries, k: int = 10,
     mode = resolve_mode(mode)
     if not isinstance(queries, dict):
         queries = {f"q{i}": q for i, q in enumerate(queries)}
+    afters = {str(n): (float(a[0]), int(a[1]))
+              for n, a in (afters or {}).items()}
+    unknown = set(afters) - {str(n) for n in queries}
+    if unknown:
+        raise ValueError(f"afters for unknown queries: {sorted(unknown)}")
     named = {str(n): _expand_multiterm(qualify(_as_query(q)), index,
                                        max_expansions)
              for n, q in queries.items()}
@@ -497,19 +589,26 @@ def search_batch(index: Index, queries, k: int = 10,
                         for t in set(q.terms()) | set(q.neg_terms())})
     tstats = index.term_stats_for(all_terms)
     live: dict[str, Query] = {}
+    matchall: dict[str, Query] = {}
     for n, q in named.items():
         q = prune_missing(q, set(tstats))
         if isinstance(q, MatchNoDocs):
             continue
         if isinstance(q, MatchAllDocs) or (
                 isinstance(q, Not) and isinstance(q.positive, MatchAllDocs)):
-            raise ValueError(
-                f"query {n!r}: MatchAllDocs is not batchable — run it "
-                "through search() (docmeta universe path)")
+            matchall[n] = q
+            continue
         live[n] = q
     empty = spark.createDataFrame([], BATCH_SCHEMA)
+    ma_parts = [
+        _matchall_search(index, q, k, mode, None, None, afters.get(n))
+        .select(F.lit(n).alias("query"), "doc_id", "score")
+        for n, q in sorted(matchall.items())]
+    ma_df = ma_parts[0] if ma_parts else None
+    for p in ma_parts[1:]:
+        ma_df = ma_df.unionByName(p)
     if not live:
-        return empty
+        return ma_df if ma_df is not None else empty
     needed = sorted({t for q in live.values()
                      for t in set(q.terms()) | set(q.neg_terms())})
     gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
@@ -548,7 +647,7 @@ def search_batch(index: Index, queries, k: int = 10,
         for n, q in qitems:
             scorer = RangeScorer(cells, gstats, mode=mode, prune=prune,
                                  deleted=deleted)
-            docs, scores = scorer.topk(q, k)
+            docs, scores = scorer.topk(q, k, after=afters.get(n))
             out.append(pd.DataFrame({
                 "query": n, "doc_id": docs.astype(np.int64),
                 "score": scores.astype(np.float64)}))
@@ -559,8 +658,9 @@ def search_batch(index: Index, queries, k: int = 10,
                   .applyInPandas(score_group, schema=BATCH_SCHEMA))
     w = Window.partitionBy("query").orderBy(F.desc("score"),
                                             F.asc("doc_id"))
-    return (candidates.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k).drop("rn"))
+    scored = (candidates.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= k).drop("rn"))
+    return scored.unionByName(ma_df) if ma_df is not None else scored
 
 
 def delete_docs(index: Index, doc_ids: list[int]) -> int:
@@ -612,6 +712,19 @@ def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:
     if corpus is None:
         return topk
     # winners are <= k rows: broadcast them into the corpus scan
-    return (corpus.join(F.broadcast(topk), "doc_id", "inner")
-            .select("doc_id", "score", "repo", "path", "lang")
+    joined = corpus.join(F.broadcast(topk), "doc_id", "inner")
+    cols = ["doc_id", "score", "repo", "path", "lang"]
+    if "highlights" in topk.columns:
+        # snippet: the token window around the FIRST matched position,
+        # from the same pre-stop token stream the positions index
+        toks = F.expr("regexp_extract_all(lower(content), '[a-z0-9_]+', 0)")
+        allpos = F.flatten(F.transform("highlights",
+                                       lambda h: h["positions"]))
+        first = F.array_min(allpos)
+        start = F.greatest(first - F.lit(2), F.lit(0))
+        snippet = F.when(F.size("highlights") == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", F.slice(toks, start + 1, 7)))
+        joined = joined.withColumn("snippet", snippet)
+        cols += ["highlights", "snippet"]
+    return (joined.select(*cols)
             .orderBy(F.desc("score"), F.asc("doc_id")))

@@ -194,6 +194,36 @@ def test_deletes_cogroup_fallback_matches_broadcast(spark, deletes_index,
 
 
 # ---------------------------------------------------------------------------
+# search_batch: MatchAll routes to the docmeta branch; per-query cursors
+# ---------------------------------------------------------------------------
+
+def test_search_batch_matchall_and_cursors_equal_serial(spark):
+    from sparklucene.driver_queries import index_for
+    from sparklucene.query import And, Phrase
+    from sparklucene.search import search, search_after, search_batch
+
+    idx = index_for(spark, SF)
+    qs = {"t": Term("vector"),
+          "o": Or((Term("merge"), Term("join"))),
+          "a": And((Term("table"), Term("scan"))),
+          "p": Phrase(((0, "merge"), (1, "join"))),
+          "ma": MatchAllDocs(),
+          "nma": Not(MatchAllDocs(), Term("vector"))}
+    # page-2 cursors for two of them, from serial page 1
+    afters = {}
+    for n in ("t", "o"):
+        page1 = search(idx, qs[n], k=10).collect()
+        afters[n] = (page1[-1]["score"], page1[-1]["doc_id"])
+    got = search_batch(idx, qs, k=10, afters=afters).toPandas()
+    for n, q in qs.items():
+        want = (search_after(idx, q, 10, afters[n]) if n in afters
+                else search(idx, q, k=10)).toPandas()
+        sub = (got[got["query"] == n][["doc_id", "score"]]
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(sub, want, check_exact=True), n
+
+
+# ---------------------------------------------------------------------------
 # IVF: zero vectors never seed centroids / never produce NaN
 # ---------------------------------------------------------------------------
 
