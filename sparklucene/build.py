@@ -46,14 +46,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparklucene.analysis import (ENGLISH_STOP_WORDS, AnalyzerConfig,
-                                  analyze_flat, flat_tokens)
+                                  analyze_flat, flat_token_codes)
 from sparklucene.codec import encode_postings_batch
 from sparklucene.corpus import with_drange
 from sparklucene.norms import int_to_byte4
 from sparklucene.query import FIELD_SEP
 
 #: bump when the on-disk postings layout changes (stale-cache guard)
-FORMAT_VERSION = 3
+#: v4: per-range termstats-*.parquet partials (vocab-sized stats source)
+FORMAT_VERSION = 4
 
 POSTINGS_SCHEMA = (
     "term string, drange int, df_part long, cf_part long, doc_bytes binary, "
@@ -125,17 +126,26 @@ def _empty_postings() -> pa.Table:
     })
 
 
-def _invert_stream(toks: np.ndarray, tdocs: np.ndarray, tpos: np.ndarray,
+def _invert_stream(term_codes: np.ndarray, uniques: np.ndarray,
+                   tdocs: np.ndarray, tpos: np.ndarray,
                    doc_ids: np.ndarray, norm_bytes: np.ndarray, drange: int,
-                   store_positions: bool, prefix: str = ""
+                   store_positions: bool, prefix: str = "",
+                   stream_sorted: bool = True
                    ) -> tuple[pa.Table, int, int]:
-    """One analyzed token stream -> packed posting cells (vectorized
-    factorize/lexsort/reduceat — the DWPT TermsHash analog). ``prefix``
-    is the field qualifier for non-default fields."""
-    if toks.size == 0:
+    """One factorized token stream -> packed posting cells (vectorized
+    sort/reduceat — the DWPT TermsHash analog). ``term_codes`` index into
+    the sorted ``uniques`` vocabulary (flat_token_codes output); ``prefix``
+    is the field qualifier for non-default fields. With ``stream_sorted``
+    (tokens arrive in (doc, pos) order — true for every analyzer except
+    shingles, which append n-gram sections) ONE stable sort on the int
+    codes replaces the 3-key lexsort — Python never touches token
+    strings here."""
+    if term_codes.size == 0:
         return _empty_postings(), 0, 0
-    term_codes, uniques = pd.factorize(pd.Series(toks), sort=True)
-    order = np.lexsort((tpos, tdocs, term_codes))
+    if stream_sorted:
+        order = np.argsort(term_codes, kind="stable")
+    else:
+        order = np.lexsort((tpos, tdocs, term_codes))
     tc, dc = term_codes[order], tdocs[order]
     sorted_pos = tpos[order]
     # run-length collapse of (term, doc) -> tf
@@ -179,32 +189,59 @@ def _invert_stream(toks: np.ndarray, tdocs: np.ndarray, tpos: np.ndarray,
     return postings, int(df_part.sum()), len(cells)
 
 
-def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
+def _analyze_column(col, doc_ids: np.ndarray, stopwords,
+                    analyzer: AnalyzerConfig | None
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray, bool]:
+    """Analyze one column -> (term_codes, uniques, tdocs, tpos,
+    stream_sorted). ``col`` is a pyarrow string Array/ChunkedArray.
+    The standard chain stays Arrow-native end-to-end; configured
+    analyzers fall back to the pandas chain + a vocabulary factorize."""
+    if analyzer is None or analyzer == AnalyzerConfig():
+        stop = stopwords if analyzer is None else analyzer.stopwords
+        codes, uniques, tdocs, tpos = flat_token_codes(col, doc_ids, stop)
+        return codes, uniques, tdocs, tpos, True
+    toks, tdocs, tpos = analyze_flat(col.to_pandas(), doc_ids, analyzer)
+    if toks.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, object), tdocs, tpos, True)
+    codes, uniq = pd.factorize(pd.Series(toks), sort=True)
+    return (codes.astype(np.int64), np.asarray(uniq, dtype=object),
+            tdocs, tpos, analyzer.shingle is None)
+
+
+def _invert_one_range(data, drange: int, stopwords,
                       store_positions: bool = True,
                       analyzer: AnalyzerConfig | None = None,
                       extra_fields: tuple[Field, ...] = ()) -> tuple[
         pa.Table, pa.Table, dict]:
-    """Pure function: corpus rows of one doc range -> (postings, docmeta, manifest)."""
-    pdf = pdf.sort_values("doc_id")
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    if analyzer is None:
-        toks, tdocs, tpos = flat_tokens(pdf["content"], doc_ids, stopwords)
-    else:
-        toks, tdocs, tpos = analyze_flat(pdf["content"], doc_ids, analyzer)
+    """Pure function: corpus rows of one doc range -> (postings, docmeta,
+    manifest). ``data`` is a pyarrow Table (the mapInArrow fast path — no
+    pandas object strings anywhere) or a pandas DataFrame (converted)."""
+    if isinstance(data, pd.DataFrame):
+        data = pa.Table.from_pandas(
+            data[[c for c in data.columns]], preserve_index=False)
+    doc_ids = data.column("doc_id").to_numpy().astype(np.int64)
+    if doc_ids.size and np.any(doc_ids[1:] < doc_ids[:-1]):
+        order = np.argsort(doc_ids, kind="stable")
+        data = data.take(pa.array(order))
+        doc_ids = doc_ids[order]
+    codes, uniques, tdocs, tpos, srt = _analyze_column(
+        data.column("content"), doc_ids, stopwords, analyzer)
     # doc lengths (post-stop), incl. zero-token docs
     pos_of_doc = np.searchsorted(doc_ids, tdocs)
     dl = np.bincount(pos_of_doc, minlength=doc_ids.size).astype(np.int64)
     norm_bytes = int_to_byte4(dl)
     postings, n_postings, n_terms = _invert_stream(
-        toks, tdocs, tpos, doc_ids, norm_bytes, drange, store_positions)
+        codes, uniques, tdocs, tpos, doc_ids, norm_bytes, drange,
+        store_positions, stream_sorted=srt)
     field_meta: dict[str, dict] = {}
     if extra_fields:
         tables = [postings]
         for f in extra_fields:
             fan = f.analyzer if f.analyzer is not None else AnalyzerConfig()
-            ftoks, fdocs, fpos = analyze_flat(pdf[f.source], doc_ids, fan)
-            if ftoks.size and any(FIELD_SEP in t
-                                  for t in pd.unique(pd.Series(ftoks))):
+            fcodes, funiq, fdocs, fpos, fsrt = _analyze_column(
+                data.column(f.source), doc_ids, stopwords, fan)
+            if any(FIELD_SEP in t for t in funiq):
                 raise ValueError(
                     f"field {f.name!r} produced a token containing the "
                     "reserved \\x1f field separator")
@@ -212,8 +249,9 @@ def _invert_one_range(pdf: pd.DataFrame, drange: int, stopwords,
                               minlength=doc_ids.size).astype(np.int64)
             fnorm = int_to_byte4(fdl)
             tbl, np_f, nt_f = _invert_stream(
-                ftoks, fdocs, fpos, doc_ids, fnorm, drange,
-                f.store_positions, prefix=f.name + FIELD_SEP)
+                fcodes, funiq, fdocs, fpos, doc_ids, fnorm, drange,
+                f.store_positions, prefix=f.name + FIELD_SEP,
+                stream_sorted=fsrt)
             tables.append(tbl)
             n_postings += np_f
             n_terms += nt_f
@@ -336,27 +374,66 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
     partials_dir, manifest_dir = paths.partials, paths.manifest_dir
     stop = frozenset(stopwords)
 
-    def build_group(key, pdf):
-        dr = int(key[0])
-        postings, docmeta, man = _invert_one_range(pdf, dr, stop,
+    man_schema = pa.schema([
+        ("drange", pa.int32()), ("status", pa.string()),
+        ("n_docs", pa.int64()), ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()), ("sum_dl", pa.int64()),
+        ("sha", pa.string())])
+
+    def build_one(sub: pa.Table, dr: int) -> dict:
+        postings, docmeta, man = _invert_one_range(sub, dr, stop,
                                                    store_positions, analyzer,
                                                    extra_fields)
         if lineage:
             man.update(lineage)
         _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
         _atomic_write(docmeta, os.path.join(partials_dir, f"docmeta-{dr:06d}.parquet"))
+        # vocab-sized stats partial (term, df_part, cf_part): the merge
+        # stage aggregates global term stats from THESE instead of
+        # re-reading the heavy posting cells — at 100 TB the stats pass
+        # touches ~0.1% of the index bytes instead of all of them
+        _atomic_write(postings.select(["term", "drange", "df_part", "cf_part"]),
+                      os.path.join(partials_dir, f"termstats-{dr:06d}.parquet"))
         mpath = os.path.join(manifest_dir, f"part-{dr:06d}.json")
         tmp = f"{mpath}.tmp-{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(man, fh)
         os.replace(tmp, mpath)
-        return pd.DataFrame([{"drange": dr, "status": "built",
-                              "n_docs": man["n_docs"], "n_terms": man["n_terms"],
-                              "n_postings": man["n_postings"],
-                              "sum_dl": man["sum_dl"], "sha": man["sha"]}])
+        return man
 
-    built = (todo.groupBy("drange")
-             .applyInPandas(build_group, schema=MANIFEST_SCHEMA)
+    def build_partition(batches):
+        # mapInArrow: corpus rows arrive as Arrow record batches and stay
+        # Arrow through tokenization — per-string Python objects are never
+        # created (the old applyInPandas path converted every content
+        # string to a PyObject before our code even ran). A hash partition
+        # holds whole dranges (repartition key below), so one (drange,
+        # doc_id) sort + zero-copy slices re-creates the per-range groups.
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        dr = tbl.column("drange").to_numpy().astype(np.int64)
+        doc = tbl.column("doc_id").to_numpy()
+        order = np.lexsort((doc, dr))
+        if np.any(np.diff(order) != 1):
+            tbl = tbl.take(pa.array(order))
+            dr = dr[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(dr)) + 1, [dr.size]))
+        rows = []
+        for i in range(bounds.size - 1):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            d = int(dr[s])
+            man = build_one(tbl.slice(s, e - s), d)
+            rows.append({"drange": d, "status": "built",
+                         "n_docs": man["n_docs"], "n_terms": man["n_terms"],
+                         "n_postings": man["n_postings"],
+                         "sum_dl": man["sum_dl"], "sha": man["sha"]})
+        yield pa.RecordBatch.from_pylist(rows, schema=man_schema)
+
+    num = int(todo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    built = (todo.repartition(num, "drange")
+             .mapInArrow(build_partition, schema=MANIFEST_SCHEMA)
              .toPandas())
     skipped = pd.DataFrame([{"drange": d, "status": "skipped", "n_docs": -1,
                              "n_terms": -1, "n_postings": -1, "sum_dl": -1,
@@ -397,28 +474,39 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
             if f.startswith("postings-") and f.endswith(".parquet"))
         n_term_buckets = max(16, -(-total_bytes // (128 << 20)))
 
-    # one pass over the partials feeds both the term-range layout write and
-    # the stats aggregation (avoids re-reading every partial file)
-    postings = postings.persist()
     (postings
      .repartitionByRange(n_term_buckets, "term", "drange")
      .sortWithinPartitions("term", "drange")
      .write.mode("overwrite").parquet(paths.postings))
 
+    # global term stats aggregate from the vocab-sized termstats-* partials
+    # (term, drange, df_part, cf_part — no posting bytes), so this pass
+    # reads ~0.1% of the index; fall back to the postings table when
+    # resuming a partial dir written before FORMAT_VERSION 4
+    names = os.listdir(paths.partials)
+    n_post = sum(1 for f in names
+                 if f.startswith("postings-") and f.endswith(".parquet"))
+    n_tsp = sum(1 for f in names
+                if f.startswith("termstats-") and f.endswith(".parquet"))
+    if n_tsp == n_post and n_tsp > 0:
+        stats_src = (spark.read
+                     .option("pathGlobFilter", "termstats-*.parquet")
+                     .parquet(paths.partials))
+    else:
+        stats_src = postings.select("term", "drange", "df_part", "cf_part")
     if salt > 0:
-        pre = (postings
+        pre = (stats_src
                .withColumn("_salt", F.pmod(F.col("drange"), F.lit(salt)))
                .groupBy("term", "_salt")
                .agg(F.sum("df_part").alias("df_s"), F.sum("cf_part").alias("cf_s")))
         stats_df = pre.groupBy("term").agg(F.sum("df_s").alias("df"),
                                            F.sum("cf_s").alias("cf"))
     else:
-        stats_df = postings.groupBy("term").agg(F.sum("df_part").alias("df"),
-                                                F.sum("cf_part").alias("cf"))
+        stats_df = stats_src.groupBy("term").agg(F.sum("df_part").alias("df"),
+                                                 F.sum("cf_part").alias("cf"))
     (stats_df.repartitionByRange(max(1, n_term_buckets // 4), "term")
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(paths.termstats))
-    postings.unpersist()
 
     # global stats come from the per-range manifests (segment metadata) —
     # no extra pass over the data, exactly like Lucene's SegmentInfos;

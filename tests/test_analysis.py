@@ -65,3 +65,60 @@ def test_duckdb_oracle_parity(corpus_pdf):
     want = pd.DataFrame(rows, columns=["doc_id", "tok"]).sort_values("doc_id", kind="stable")
     assert got["tok"].tolist() == want["tok"].tolist()
     assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+
+
+def test_flat_token_codes_parity(corpus_pdf):
+    """Arrow-native tokenizer == pandas tokenizer + factorize(sort=True)."""
+    import pyarrow as pa
+
+    from sparklucene.analysis import flat_token_codes
+
+    texts = corpus_pdf["content"].head(300)
+    ids = corpus_pdf["doc_id"].head(300).to_numpy()
+    toks, docs, pos = flat_tokens(texts, ids)
+    ref_codes, ref_uniq = pd.factorize(pd.Series(toks), sort=True)
+    codes, uniq, adocs, apos = flat_token_codes(
+        pa.array(texts, type=pa.string()), ids)
+    assert np.array_equal(codes, ref_codes)
+    assert list(uniq) == list(ref_uniq)
+    assert np.array_equal(adocs, docs)
+    assert np.array_equal(apos, pos)
+
+
+def test_flat_token_codes_fuzz_unicode():
+    """Seeded fuzz incl. unicode edge chars, empty docs, nulls, stop runs."""
+    import pyarrow as pa
+
+    from sparklucene.analysis import flat_token_codes
+
+    rng = np.random.default_rng(42)
+    alphabet = list("ab1_ -.\tZéİKß中 the and")
+    docs = []
+    for _ in range(400):
+        n = int(rng.integers(0, 60))
+        docs.append("".join(rng.choice(alphabet, size=n)))
+    docs += ["", "   ", "the and of", "_", "a" * 500, None]
+    ids = np.arange(len(docs), dtype=np.int64)
+    pds = pd.Series(docs)
+    toks, tdocs, tpos = flat_tokens(pds, ids)
+    ref_codes, ref_uniq = pd.factorize(pd.Series(toks), sort=True)
+    codes, uniq, adocs, apos = flat_token_codes(
+        pa.array(docs, type=pa.string()), ids)
+    assert np.array_equal(adocs, tdocs)
+    assert np.array_equal(apos, tpos)
+    assert list(uniq) == list(ref_uniq)
+    assert np.array_equal(codes, ref_codes)
+
+
+def test_flat_token_codes_empty_and_no_stop():
+    import pyarrow as pa
+
+    from sparklucene.analysis import flat_token_codes
+
+    c, u, d, p = flat_token_codes(pa.array([], type=pa.string()),
+                                  np.array([], dtype=np.int64))
+    assert c.size == u.size == d.size == p.size == 0
+    c, u, d, p = flat_token_codes(pa.array(["the quick fox"]),
+                                  np.array([7]), frozenset())
+    assert list(u[c]) == ["the", "quick", "fox"]
+    assert list(d) == [7, 7, 7] and list(p) == [0, 1, 2]
