@@ -302,9 +302,12 @@ def main() -> None:
                 spark.stop()
         runs: dict[int, dict] = {}
         for cores in (hi, lo):
-            steady = times[cores][1:] if len(times[cores]) > 1 \
-                else times[cores]
-            best = float(np.min(steady))
+            # MIN over ALL reps: JIT/cache warm-up only ever makes a rep
+            # SLOWER, so the min is immune to it — discarding rep 0 as
+            # warm-up risks throwing away the one rep that landed in a
+            # quiet host window (observed: 3x swings between reps at the
+            # same level on this shared VM)
+            best = float(np.min(times[cores]))
             runs[cores] = {"docs": int(n_docs), "build_sec": best,
                            "docs_per_sec": n_docs / best,
                            "raw_times": [round(t, 2)
