@@ -1947,6 +1947,38 @@ ts AS (
 )
 SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 15""")
 
+    # -- French minimal stemmer (Savoy SAC'06; round 3) ------------------
+    # same VALUES-map oracle pattern as Porter: the pinned 31-word corpus
+    # vocabulary makes the word->stem map static SQL
+    from sparklucene.stem import french_minimal_stem
+    fr_vals = ", ".join(
+        f"('{w}', '{french_minimal_stem(w)}')" for w in VOCAB31
+        if w not in ENGLISH_STOP_WORDS and french_minimal_stem(w) != w)
+    fr_probe = sorted({french_minimal_stem(w)
+                       for w in ("customer", "filter", "vector", "merge")})
+
+    def fr_min_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="frmin",
+                        analyzer=AnalyzerConfig(stem="french_minimal"))
+        return (idx.termstats()
+                .filter(F.col("term").isin(fr_probe))
+                .select("term", "df", "cf"))
+    e["analyzer_french_minimal_termstats"] = (fr_min_tstats, f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+sm(term, sterm) AS (VALUES {fr_vals}),
+st AS (
+  SELECT doc_id, coalesce(sm.sterm, tok.term) AS term
+  FROM tok LEFT JOIN sm ON tok.term = sm.term
+  WHERE tok.term NOT IN {stop}
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM st GROUP BY term
+)
+SELECT term, df, cf FROM ts WHERE term IN {_terms_in(fr_probe)}""")
+
     return e
 
 
@@ -2400,6 +2432,35 @@ _R02_COVERED = frozenset({
 _DRIVER_COVERED = _R01_COVERED | _R02_COVERED
 
 
+def _suggest_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Suggester + spell-check (round 3; Solr SuggestComponent /
+    SpellCheckComponent, Lucene DirectSpellChecker —
+    u8:solr/core/.../component/{SuggestComponent,SpellCheckComponent}.java,
+    u8:lucene/suggest/.../spell/DirectSpellChecker.java). Both run against
+    the term dictionary only; the oracle re-derives the dictionary from
+    raw tokens and applies the same ranking in SQL."""
+    from sparklucene.suggest import spellcheck, suggest_prefix
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def sugg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        return suggest_prefix(idx, "s", k=8)
+    e["suggest_prefix_topk"] = (sugg, f"""WITH {corpus_ctes()}
+SELECT term, df, cf FROM tstats
+WHERE term LIKE 's%' ORDER BY cf DESC, term ASC LIMIT 8""")
+
+    def spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        return spellcheck(idx, "sprk", k=5, max_edits=2, min_prefix=1)
+    e["spellcheck_topk"] = (spell, f"""WITH {corpus_ctes()}
+SELECT term, levenshtein(term, 'sprk')::INT AS distance, df FROM tstats
+WHERE levenshtein(term, 'sprk') <= 2 AND term <> 'sprk' AND term LIKE 's%'
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
+
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -2412,6 +2473,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_stream_entries())
     e.update(_window_entries())
     e.update(_termdict_entries())
+    e.update(_suggest_entries())
     e.update(_textops_entries())
     e.update(_dedup_entries())
     e.update(_similarity_entries())

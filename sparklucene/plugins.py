@@ -67,6 +67,13 @@ def resolve_analyzer(name: str | AnalyzerConfig | None):
                      "plugins.register_analyzer)")
 
 
+def register_stemmer(name: str, fn: Callable[[str], str]) -> None:
+    """Custom language stemmer usable as ``AnalyzerConfig(stem=name)``
+    (applied vocabulary-vectorized — see stem.stem_vocab)."""
+    from sparklucene.stem import register_stemmer as _reg
+    _reg(name, fn)
+
+
 def register_qparser(name: str, fn: Callable[[str], Query]) -> None:
     if not callable(fn):
         raise TypeError("qparser must be callable(text) -> Query")

@@ -164,14 +164,92 @@ def porter_stem(word: str) -> str:
     return w
 
 
+def english_minimal_stem(word: str) -> str:
+    """Minimal English plural stemmer (public knowledge: the algorithm of
+    Lucene's EnglishMinimalStemFilter — strip a final 's' unless preceded
+    by 'u' or 's'; words shorter than 3 chars unchanged)."""
+    if len(word) < 3 or not word.endswith("s") or word[-2] in ("u", "s"):
+        return word
+    return word[:-1]
+
+
+def s_stem(word: str) -> str:
+    """Harman's S-stemmer (D. Harman, "How effective is suffixing?",
+    JASIS 42(1), 1991): three plural rules dispatched on the LONGEST
+    matching suffix; a rule's exception terminates the procedure (so
+    "goes"/"eies" stay unchanged — the reading under which the published
+    exceptions actually protect those words):
+    ies→y (not aies/eies), es→e (not aes/ees/oes), s→∅ (not us/ss)."""
+    if len(word) > 3 and word.endswith("ies"):
+        return word if word[-4] in ("a", "e") else word[:-3] + "y"
+    if len(word) > 2 and word.endswith("es"):
+        return word if word[-3] in ("a", "e", "o") else word[:-1]
+    if len(word) > 2 and word.endswith("s"):
+        return word if word[-2] in ("u", "s") else word[:-1]
+    return word
+
+
+def french_minimal_stem(word: str) -> str:
+    """Minimal French stemmer (public knowledge: J. Savoy, "Light
+    stemming approaches for the French, Portuguese, German and Hungarian
+    languages", ACM SAC 2006 — the algorithm of Lucene's
+    FrenchMinimalStemFilter). Words shorter than 6 chars unchanged;
+    'aux'→'al'; otherwise strip final s, r, e, é in that order, then a
+    doubled final letter."""
+    if len(word) < 6:
+        return word
+    if word[-1] == "x":
+        if word.endswith("aux"):
+            return word[:-3] + "al"
+        return word[:-1]
+    if word[-1] == "s":
+        word = word[:-1]
+    if word[-1] == "r":
+        word = word[:-1]
+    if word[-1] == "e":
+        word = word[:-1]
+    if word[-1] == "é":  # é
+        word = word[:-1]
+    if len(word) >= 2 and word[-1] == word[-2]:
+        word = word[:-1]
+    return word
+
+
+#: stemmer registry — built-ins plus user registrations
+#: (plugins.register_stemmer re-exports _register for the unified surface)
+_STEMMERS: dict[str, "object"] = {
+    "porter": porter_stem,
+    "english_minimal": english_minimal_stem,
+    "s_stem": s_stem,
+    "french_minimal": french_minimal_stem,
+}
+
+
+def register_stemmer(name: str, fn) -> None:
+    """Register a custom per-word stemmer callable(str) -> str under a
+    name usable in ``AnalyzerConfig(stem=name)`` — the engine always
+    applies it vocabulary-vectorized (O(V) calls, never per token)."""
+    if not callable(fn):
+        raise TypeError("stemmer must be callable(word) -> word")
+    _STEMMERS[name] = fn
+
+
+def resolve_stemmer(algorithm: str):
+    fn = _STEMMERS.get(algorithm)
+    if fn is None:
+        raise ValueError(f"unknown stemmer {algorithm!r}: not one of "
+                         f"{sorted(_STEMMERS)} and not registered via "
+                         "stem.register_stemmer")
+    return fn
+
+
 def stem_vocab(tokens: np.ndarray, algorithm: str = "porter") -> np.ndarray:
     """Stem a flat object-dtype token array via its DISTINCT vocabulary:
     O(V) Python stem calls, O(n) numpy take — never per-token Python over
     the stream (SURVEY §2.2 term-dictionary-join design)."""
-    if algorithm != "porter":
-        raise ValueError(f"unknown stemmer {algorithm!r}")
+    fn = resolve_stemmer(algorithm)
     if tokens.size == 0:
         return tokens
     codes, uniques = pd.factorize(pd.Series(tokens))
-    mapped = np.array([porter_stem(u) for u in uniques], dtype=object)
+    mapped = np.array([fn(u) for u in uniques], dtype=object)
     return mapped[codes]

@@ -115,3 +115,39 @@ def test_chain_edge_ngram_after_stop():
     cfg = AnalyzerConfig(edge_ngram=(2, 3))
     # 'the' is stop-filtered before gram expansion
     assert analyze_text("the spark", cfg) == ["sp", "spa"]
+
+
+def test_minimal_stemmers():
+    from sparklucene.stem import (english_minimal_stem, french_minimal_stem,
+                                  register_stemmer, resolve_stemmer, s_stem,
+                                  stem_vocab)
+    import numpy as np
+
+    # Lucene EnglishMinimalStemFilter semantics: plural-s only
+    assert english_minimal_stem("cats") == "cat"
+    assert english_minimal_stem("queries") == "querie"
+    assert english_minimal_stem("bus") == "bus"
+    assert english_minimal_stem("class") == "class"
+    assert english_minimal_stem("as") == "as"
+    # Harman S-stemmer
+    assert s_stem("flies") == "fly"
+    # exception terminates: "eies"/"goes" are protected, not cascaded
+    assert s_stem("eies") == "eies"
+    assert s_stem("bashes") == "bashe"
+    assert s_stem("goes") == "goes"
+    assert s_stem("cats") == "cat"
+    assert s_stem("bus") == "bus"
+    # Savoy French minimal (paper examples: chevaux->cheval)
+    assert french_minimal_stem("chevaux") == "cheval"
+    assert french_minimal_stem("fraises") == "frais"
+    assert french_minimal_stem("merge") == "merge"  # len < 6 unchanged
+    assert french_minimal_stem("customer") == "custom"
+    # registry: custom stemmer via name
+    register_stemmer("upper3", lambda w: w[:3].upper())
+    out = stem_vocab(np.array(["alpha", "beta", "alpha"], dtype=object),
+                     "upper3")
+    assert list(out) == ["ALP", "BET", "ALP"]
+    assert resolve_stemmer("porter")("running") == "run"
+    import pytest
+    with pytest.raises(ValueError):
+        resolve_stemmer("nope")

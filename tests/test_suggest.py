@@ -1,0 +1,75 @@
+"""Suggester + spell-check (suggest.py) — behavior + oracle parity.
+
+The driver-contract mirror (test_driver_contract) already value-checks
+the two registry entries vs DuckDB; these tests pin the API semantics:
+prefix filtering, popularity ranking, k bound, exact-word exclusion,
+minPrefix narrowing, and field qualification.
+"""
+
+import shutil
+
+import pytest
+
+from sparklucene.analysis import AnalyzerConfig
+from sparklucene.build import Field, build_index
+from sparklucene.corpus import load_corpus
+from sparklucene.search import Index
+from sparklucene.suggest import spellcheck, suggest_prefix
+
+SF = "/root/testdata/sf0.001"
+IDX_DIR = "/root/repo/.cache/test-suggest-index"
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    shutil.rmtree(IDX_DIR, ignore_errors=True)
+    corpus = load_corpus(spark, SF)
+    kw = AnalyzerConfig(tokenizer="keyword", stopwords=frozenset())
+    build_index(spark, corpus, IDX_DIR, drange_size=128,
+                extra_fields=(Field("lang", "lang", kw),))
+    return Index(spark, IDX_DIR)
+
+
+def test_suggest_prefix_ranking_and_k(idx):
+    rows = suggest_prefix(idx, "s", k=4).collect()
+    assert 0 < len(rows) <= 4
+    assert all(r["term"].startswith("s") for r in rows)
+    cfs = [r["cf"] for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    # k bound respected vs the full expansion
+    all_rows = suggest_prefix(idx, "s", k=1000).collect()
+    assert [r["term"] for r in rows] == [r["term"] for r in all_rows[:4]]
+
+
+def test_suggest_prefix_no_match_and_field(idx):
+    assert suggest_prefix(idx, "zzzz", k=5).count() == 0
+    # field-qualified dictionary: lang keyword terms, qualifier stripped
+    rows = suggest_prefix(idx, "", k=100, field="lang").collect()
+    terms = {r["term"] for r in rows}
+    assert terms and all("\x1f" not in t for t in terms)
+    # default-field suggestions never leak qualified keys
+    d_rows = suggest_prefix(idx, "", k=10000).collect()
+    assert all("\x1f" not in r["term"] for r in d_rows)
+
+
+def test_spellcheck_excludes_word_and_ranks_by_distance(idx):
+    rows = spellcheck(idx, "sprk", k=5, max_edits=2).collect()
+    assert rows, "expected at least one correction for 'sprk'"
+    assert rows[0]["term"] == "spark" and rows[0]["distance"] == 1
+    ds = [r["distance"] for r in rows]
+    assert ds == sorted(ds)
+    # a correctly spelled word is not suggested as its own correction
+    rows = spellcheck(idx, "spark", k=5, max_edits=2).collect()
+    assert all(r["term"] != "spark" for r in rows)
+
+
+def test_spellcheck_min_prefix_narrows(idx):
+    # min_prefix=1 keeps only same-initial candidates
+    with_guard = {r["term"] for r in
+                  spellcheck(idx, "sprk", k=50, max_edits=2,
+                             min_prefix=1).collect()}
+    without = {r["term"] for r in
+               spellcheck(idx, "sprk", k=50, max_edits=2,
+                          min_prefix=0).collect()}
+    assert with_guard <= without
+    assert all(t.startswith("s") for t in with_guard)
