@@ -1314,6 +1314,56 @@ SELECT doc_id, len(shingles)::BIGINT AS n_shingles,
         % 2305843009213693951)::BIGINT AS fingerprint
 FROM sh""")
 
+    # -- round 3: repetition, decontamination, sequence packing ----------
+    grams3 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(3))
+    e["text_dup_ngram_fraction"] = (
+        lambda spark, sf: textops.duplicate_ngram_fraction(
+            _t(spark, sf, "documents"), n=3),
+        f"""
+WITH base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, list_transform(
+        range(1, greatest(len(toks) - 2, 0) + 1), i -> {grams3}) AS grams
+      FROM base)
+SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
+       len(list_distinct(grams))::BIGINT AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams)))
+                 / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END AS dup_ngram_frac
+FROM g""")
+
+    def contam(spark, sf):
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 23 == 0)
+        return textops.contamination_scores(docs, bench, n=8)
+    e["pipeline_decontamination"] = (contam, f"""
+WITH base AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS gram FROM base),
+h AS (SELECT doc_id, {H60.format(x='gram')} AS h FROM g),
+bh AS (SELECT DISTINCT h FROM h WHERE doc_id % 23 = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM h GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM h
+        WHERE h IN (SELECT h FROM bh) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       coalesce(hit.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(hit.n_hits, 0) / CAST(t.n_grams AS DOUBLE) AS contamination
+FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id""")
+
+    e["pipeline_pack_sequences"] = (
+        lambda spark, sf: textops.pack_sequences(
+            _t(spark, sf, "documents"), budget=128, sep=1),
+        f"""
+WITH base AS (SELECT doc_id, len({TOKS_SQL}) + 1 AS cost FROM documents),
+o AS (SELECT doc_id, cost,
+             coalesce(sum(cost) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS "offset"
+      FROM base)
+SELECT doc_id, "offset", cost::BIGINT AS n_tokens_sep,
+       ("offset" // 128)::BIGINT AS first_seq,
+       (("offset" + cost - 1) // 128)::BIGINT AS last_seq
+FROM o""")
+
     return e
 
 
@@ -1688,6 +1738,34 @@ doc_scores AS (
   SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
   FROM term_scores GROUP BY doc_id)"""
     q_ms = Or((Term("merge"), Term("spark")))
+
+    # -- ReRank (round 3; Solr ReRankQParserPlugin:
+    # u8:solr/core/.../search/ReRankQParserPlugin.java) ------------------
+    def reranked(spark, sf):
+        from sparklucene.search import rerank
+        idx = index_for(spark, sf)
+        return rerank(idx, Or((Term("spark"), Term("merge"), Term("join"))),
+                      Term("vector"), k=10, rerank_docs=30, weight=2.0,
+                      mode="f64")
+    e["search_reranked"] = (reranked, f"""WITH {corpus_ctes()},
+main_ts AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge', 'spark')),
+main_top AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS base
+  FROM main_ts GROUP BY doc_id
+  ORDER BY base DESC, doc_id ASC LIMIT 30),
+rr AS (
+  SELECT tf.doc_id,
+         CAST(CAST(sum(CAST({tscore} AS DOUBLE)) AS REAL) AS DOUBLE) AS rs
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'vector' GROUP BY tf.doc_id)
+SELECT mt.doc_id, mt.base + 2.0 * coalesce(rr.rs, 0.0) AS score
+FROM main_top mt LEFT JOIN rr ON mt.doc_id = rr.doc_id
+ORDER BY score DESC, mt.doc_id ASC LIMIT 10""")
 
     def grouped(spark, sf):
         idx = index_for(spark, sf)

@@ -708,6 +708,36 @@ def search_after(index: Index, query: str | Query, k: int,
                   after=(float(after[0]), int(after[1])))
 
 
+def rerank(index: Index, main_query: "str | Query",
+           rerank_query: "str | Query", k: int = 10, rerank_docs: int = 50,
+           weight: float = 2.0, mode: str = "lucene8",
+           prune: bool = True) -> DataFrame:
+    """Two-pass re-ranking — Solr ReRankQParserPlugin semantics (public
+    surface ``q={!rerank reRankQuery=$rq reRankDocs=N reRankWeight=w}``;
+    u8:solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java):
+    the main query's top ``rerank_docs`` hits are rescored as
+    ``main_score + weight * rerank_score`` where they ALSO match the
+    rerank query (non-matching hits keep their main score), and the top
+    ``k`` of the combined order (score desc, doc_id asc) are returned.
+
+    Plan shape: pass 1 is the ordinary two-phase top-k (k-bounded); pass
+    2 runs the rerank query through the same scorer and left-joins its
+    per-doc scores onto the ≤N candidates — the join ships only
+    (doc_id, score) pairs, never posting bytes, so the added cost is one
+    ordinary query execution regardless of corpus size.
+    """
+    base = search(index, main_query, k=rerank_docs, mode=mode, prune=prune)
+    rr = (matches(index, rerank_query, mode=mode)
+          .select("doc_id", F.col("score").alias("_rr_score")))
+    return (base.join(rr, "doc_id", "left")
+            .withColumn("score",
+                        F.col("score") + F.lit(float(weight)) *
+                        F.coalesce(F.col("_rr_score"), F.lit(0.0)))
+            .drop("_rr_score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
 def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:
     if corpus is None:
         return topk

@@ -42,6 +42,16 @@ def hash60_sql(expr: str) -> str:
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 
 
+def _gram_idxs(toks, n: int):
+    """1-based start indexes of the doc's token n-grams — EMPTY when the
+    doc has fewer than n tokens. (F.sequence(1, 0) yields a DESCENDING
+    [1, 0] in Spark, unlike SQL range(); the guard prevents element_at
+    from indexing past the array on short docs.)"""
+    return F.when(F.size(toks) >= n,
+                  F.sequence(F.lit(1), F.size(toks) - (n - 1))
+                  ).otherwise(F.expr("CAST(array() AS array<int>)"))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token accounting: whitespace tokens, analyzer tokens,
     distinct analyzer terms, and a BPE-ish subword proxy count
@@ -111,7 +121,7 @@ def fingerprint(docs: DataFrame, shingle: int = 4) -> DataFrame:
     distinct token ``shingle``-grams, mod 2^61-1 — a content sketch stable
     under token reordering-free edits, used for near-dup triage."""
     toks = F.expr(TOKEN_EXPR)
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle - 1), F.lit(0)))
+    idxs = _gram_idxs(toks, shingle)
     shingles = F.array_distinct(F.transform(
         idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
                                            for j in range(shingle)])))
@@ -121,3 +131,101 @@ def fingerprint(docs: DataFrame, shingle: int = 4) -> DataFrame:
         % 2305843009213693951)
     return docs.select("doc_id", F.size(shingles).cast("long").alias("n_shingles"),
                        h.alias("fingerprint"))
+
+
+def duplicate_ngram_fraction(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition signal (the duplicate-n-gram fraction
+    used by published pretraining quality filters, e.g. Gopher's
+    repetition rules): 1 - distinct_ngrams/total_ngrams per doc. Narrow
+    Catalyst array expressions — no explode, no shuffle, no Python."""
+    toks = F.expr(TOKEN_EXPR)
+    idxs = _gram_idxs(toks, n)
+    grams = F.transform(
+        idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                           for j in range(n)]))
+    out = docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("n_ngrams") > 0,
+               (F.col("n_ngrams") - F.col("n_distinct"))
+               / F.col("n_ngrams").cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_ngram_frac"))
+
+
+def _distinct_gram_hashes(docs: DataFrame, n: int) -> DataFrame:
+    toks = F.expr(TOKEN_EXPR)
+    idxs = _gram_idxs(toks, n)
+    grams = F.array_distinct(F.transform(
+        idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                           for j in range(n)])))
+    return (docs.select("doc_id", F.explode(grams).alias("gram"))
+            .select("doc_id", _hash60(F.col("gram")).alias("h")))
+
+
+def contamination_scores(docs: DataFrame, bench: DataFrame,
+                         n: int = 8) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the fraction of its
+    distinct token ``n``-gram hashes that occur anywhere in the benchmark
+    set (the standard n-gram-overlap test-set contamination check for
+    training corpora). Returns (doc_id, n_grams, n_hits, contamination).
+
+    Scale shape: both sides explode to distinct 60-bit gram hashes; the
+    join is an equi-join on the hash (8 bytes/row — never gram strings,
+    never doc x doc). The benchmark side is distinct-reduced first and is
+    normally tiny relative to the corpus, so AQE broadcasts it; at worst
+    it is a shuffle join keyed by hash with partial aggregation."""
+    cg = _distinct_gram_hashes(docs, n)
+    bg = _distinct_gram_hashes(bench, n).select("h").distinct()
+    totals = cg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (cg.join(bg, "h", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .select("*", (F.col("n_hits") / F.col("n_grams").cast("double"))
+                    .alias("contamination")))
+
+
+def pack_sequences(docs: DataFrame, budget: int, sep: int = 1,
+                   bucket_size: int = 8192) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard pretraining layout:
+    docs laid end-to-end in doc_id order, ``sep`` separator tokens after
+    each, cut into fixed ``budget``-token training sequences). Returns
+    per doc: its global token offset and first/last sequence index.
+
+    The global prefix sum is computed hierarchically so NO window ever
+    runs unpartitioned over the corpus: per-doc cumsum inside
+    ``doc_id // bucket_size`` buckets (partitioned window) + a cumsum
+    over the per-bucket totals (a window over corpus/bucket_size rows —
+    at 10^12 docs pick bucket_size so that table stays small, or add a
+    third level). DuckDB mirrors it with one ordered window."""
+    from pyspark.sql import Window
+
+    toks = F.expr(TOKEN_EXPR)
+    base = docs.select(
+        "doc_id", (F.col("doc_id") / bucket_size).cast("long").alias("bkt"),
+        (F.size(toks) + sep).cast("long").alias("cost"))
+    wb = Window.partitionBy("bkt").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    bucket_tot = base.groupBy("bkt").agg(F.sum("cost").alias("btot"))
+    wg = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_off = bucket_tot.select(
+        "bkt", F.coalesce(F.sum("btot").over(wg), F.lit(0)).alias("boff"))
+    out = (base
+           .withColumn("loff", F.coalesce(F.sum("cost").over(wb), F.lit(0)))
+           .join(F.broadcast(bucket_off), "bkt")
+           .select("doc_id",
+                   (F.col("boff") + F.col("loff")).alias("offset"),
+                   F.col("cost").alias("n_tokens_sep")))
+    # integer `div`, not floor(double /): offsets can exceed 2^53 at
+    # 10^12-doc scale where double division loses exactness
+    return out.select(
+        "doc_id", "offset", "n_tokens_sep",
+        F.expr(f"offset div {int(budget)}").cast("long").alias("first_seq"),
+        F.expr(f"(offset + n_tokens_sep - 1) div {int(budget)}")
+        .cast("long").alias("last_seq"))

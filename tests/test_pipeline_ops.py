@@ -222,3 +222,44 @@ def test_language_id_marker_determinism(spark):
     rows = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
     assert rows[0] == "en"
     assert rows[1] == "de"
+
+
+def test_round3_pipeline_ops(spark):
+    """Semantic invariants for the round-3 pipeline ops (value-exactness
+    vs DuckDB is covered by the driver-contract mirror)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparklucene.textops import (contamination_scores,
+                                     duplicate_ngram_fraction,
+                                     pack_sequences)
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c a b c a b c",     # heavy 3-gram repetition
+                 "one two three four five",  # all distinct
+                 "x y",                    # shorter than n -> 0 grams
+                 "one two three four five"],  # exact copy of doc 1
+    }))
+    rep = {r["doc_id"]: r for r in duplicate_ngram_fraction(docs, 3).collect()}
+    assert rep[0]["dup_ngram_frac"] > 0.5
+    assert rep[1]["dup_ngram_frac"] == 0.0
+    assert rep[2]["n_ngrams"] == 0 and rep[2]["dup_ngram_frac"] == 0.0
+
+    bench = docs.filter(F.col("doc_id") == 1)
+    con = {r["doc_id"]: r for r in
+           contamination_scores(docs, bench, n=3).collect()}
+    assert con[1]["contamination"] == 1.0      # benchmark doc itself
+    assert con[3]["contamination"] == 1.0      # exact copy -> fully contaminated
+    assert con[0]["contamination"] == 0.0
+    assert 2 not in con                        # zero 3-grams -> no row
+
+    packed = {r["doc_id"]: r for r in
+              pack_sequences(docs, budget=4, sep=1).collect()}
+    # offsets are a contiguous prefix sum in doc_id order
+    off = 0
+    for d in [0, 1, 2, 3]:
+        assert packed[d]["offset"] == off
+        off += packed[d]["n_tokens_sep"]
+    # doc 0: 9 tokens + sep = 10 -> sequences 0..2 at budget 4
+    assert packed[0]["first_seq"] == 0 and packed[0]["last_seq"] == 2
