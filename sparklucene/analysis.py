@@ -43,6 +43,48 @@ ENGLISH_STOP_WORDS = frozenset(
 _LOWER_SPECIAL = str.maketrans({"İ": "I"})
 
 
+# --------------------------------------------------------------------------
+# HTMLStripCharFilter (u8:lucene/analysis/common/.../charfilter/
+# HTMLStripCharFilter.java). Pinned engine spec — a pre-tokenization char
+# filter, not an HTML parser:
+#   1. strip comments  <!-- ... -->            (content dropped)
+#   2. strip <script>/<style> ELEMENTS          (content dropped)
+#   3. replace every remaining tag <...> with a single space (so adjacent
+#      words never merge — matches the reference's offset-preserving gap)
+#   4. decode character entities: the 6 XML/HTML named entities plus
+#      numeric &#NN; / &#xHH;. Decoding happens AFTER tag removal, so
+#      "&lt;b&gt;" becomes literal text "<b>", never a tag (same as the
+#      reference's single-pass scanner).
+# The identical chain is expressible in DuckDB (regexp_replace with 'gs'
+# flags + chained replace), which is what the driver oracle uses.
+# --------------------------------------------------------------------------
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_HTML_SCRIPT_RE = re.compile(r"<script\b[^>]*>.*?</script\s*>", re.S | re.I)
+_HTML_STYLE_RE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.S | re.I)
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+#: &amp; must decode LAST: "&amp;lt;" is the literal text "&lt;", and an
+#: early &amp;->& pass would wrongly cascade it into "<".
+_HTML_NAMED_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+_HTML_NUM_ENTITY_RE = re.compile(r"&#(?:x([0-9a-fA-F]+)|([0-9]+));")
+
+
+def _decode_num_entity(m: re.Match) -> str:
+    code = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+    return chr(code) if 0 < code <= 0x10FFFF else " "
+
+
+def strip_html(s: pd.Series) -> pd.Series:
+    """Vectorized HTMLStripCharFilter over a string Series."""
+    s = s.str.replace(_HTML_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_HTML_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_HTML_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_HTML_TAG_RE, " ", regex=True)
+    for ent, ch in _HTML_NAMED_ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_HTML_NUM_ENTITY_RE, _decode_num_entity, regex=True)
+
+
 def tokenize_text(text: str, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> list[str]:
     """Reference tokenizer: lowercase -> [a-z0-9_]+ runs -> stop filter."""
     return [t for t in TOKEN_RE.findall(text.translate(_LOWER_SPECIAL).lower())
@@ -187,6 +229,9 @@ class AnalyzerConfig:
 
     tokenizer: str = "standard"
     pattern: str | None = None
+    #: HTMLStripCharFilter: runs FIRST (char filters precede tokenization
+    #: in the reference's analyzer stack) — see :func:`strip_html`.
+    html_strip: bool = False
     lowercase: bool = True
     ascii_fold: bool = False
     split_word_delims: bool = False
@@ -230,6 +275,8 @@ STANDARD_ANALYZER = AnalyzerConfig()
 
 def _pretransform(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     s = texts.fillna("")
+    if cfg.html_strip:
+        s = strip_html(s)
     if cfg.split_word_delims:
         # camelCase / digit boundaries become spaces; underscores split
         s = (s.str.replace(r"([a-z0-9])([A-Z])", r"\1 \2", regex=True)

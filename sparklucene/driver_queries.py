@@ -244,11 +244,14 @@ _INDEX_CACHE: dict[str, Index] = {}
 
 
 def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
-              analyzer=None, extra_fields: tuple = ()) -> Index:
+              analyzer=None, extra_fields: tuple = (),
+              transform=None) -> Index:
     """Build-once-per-corpus index handle (disk-cached across processes).
 
     ``variant``/``analyzer`` build alternate-analyzer indexes (stemmed,
-    shingled, ...) cached under their own directories."""
+    shingled, ...) cached under their own directories. ``transform``
+    (DataFrame -> DataFrame) derives an alternate corpus before indexing
+    — callers MUST pair it with a unique ``variant`` (the cache key)."""
     key = os.path.realpath(sf_dir) + ("#" + variant if variant else "")
     idx = _INDEX_CACHE.get(key)
     if idx is not None:
@@ -365,6 +368,8 @@ def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
                 if not _fresh():
                     shutil.rmtree(index_dir, ignore_errors=True)
                     corpus = load_corpus(spark, sf_dir)
+                    if transform is not None:
+                        corpus = transform(corpus)
                     build_index(spark, corpus, index_dir, analyzer=analyzer,
                                 extra_fields=extra_fields)
             finally:
@@ -2056,6 +2061,55 @@ ts AS (
   FROM st GROUP BY term
 )
 SELECT term, df, cf FROM ts WHERE term IN {_terms_in(fr_probe)}""")
+
+    # -- HTMLStripCharFilter (round 3; u8:lucene/analysis/common/...
+    # /charfilter/HTMLStripCharFilter.java). The corpus has no markup, so
+    # the entry derives an HTML-wrapped corpus (deterministic literal
+    # wrapping — comments, a script element, named + numeric entities),
+    # indexes it with html_strip=True, and probes the term dictionary for
+    # terms that only exist if stripping behaved: entity-decoded tokens
+    # present, tag names / script bodies / comment text absent.
+    _HTML_PRE = '<div class="doc"><b>'
+    _HTML_POST = ('</b><script type="text/javascript">var stripped_flag = 1;'
+                  '</script><!-- hidden webmarkup --> Done &amp; d&#111;ne '
+                  '&lt;webtag&gt;')
+    _html_probe = ("done", "webtag", "stripped_flag", "webmarkup",
+                   "script", "javascript", "div", "amp", "lt")
+
+    def _html_wrap(c):
+        return c.withColumn(
+            "content", F.concat(F.lit(_HTML_PRE), F.col("content"),
+                                F.lit(_HTML_POST)))
+
+    def html_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="html",
+                        analyzer=AnalyzerConfig(html_strip=True),
+                        transform=_html_wrap)
+        return (idx.termstats().filter(F.col("term").isin(list(_html_probe)))
+                .orderBy("term").select("term", "df", "cf"))
+    e["analyzer_html_strip_termstats"] = (html_tstats, f"""WITH raw AS (
+  SELECT doc_id, '{_HTML_PRE.replace("'", "''")}' || text ||
+         '{_HTML_POST.replace("'", "''")}' AS html
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        html, '<!--.*?-->', ' ', 'gs'),
+        '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis'),
+        '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis'),
+        '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'), '&#111;', 'o') AS text
+  FROM raw),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM stripped),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM tok WHERE term NOT IN {stop} GROUP BY term)
+SELECT term, df, cf FROM ts WHERE term IN {_terms_in(_html_probe)}
+ORDER BY term ASC""")
 
     return e
 

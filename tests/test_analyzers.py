@@ -96,3 +96,32 @@ def test_term_map_synonym_normalization(spark, tmp_path):
     build_index(spark, corpus, d, drange_size=8, analyzer=cfg)
     hits = {r["doc_id"] for r in search(Index(spark, d), "join", k=10).collect()}
     assert hits == {0, 1, 2}
+
+
+def test_html_strip_char_filter():
+    """HTMLStripCharFilter (u8:.../charfilter/HTMLStripCharFilter.java):
+    comments/script/style content dropped, tags become gaps (no word
+    joining), entities decoded AFTER tag removal and &amp; decoded LAST
+    (no double-decode cascade)."""
+    from sparklucene.analysis import strip_html
+
+    cfg = AnalyzerConfig(html_strip=True)
+    assert toks('<p class="x">Hello <b>world</b></p>', cfg) == \
+        ["hello", "world"]
+    # script/style/comment CONTENT is dropped, not just the tags
+    assert toks('aa<script>var hidden = 1;</script>bb'
+                '<style>p{color:red}</style>cc<!-- secret -->dd', cfg) == \
+        ["aa", "bb", "cc", "dd"]
+    # tags are gaps: "a<b>b" must not merge into "ab"
+    assert toks("one<br>two", cfg) == ["one", "two"]
+    # entities: named + numeric (dec and hex), decoded post-tag-removal
+    assert toks("d&#111;ne &#x41;BC &lt;tag&gt;", cfg) == \
+        ["done", "abc", "tag"]
+    # &amp; decodes last: "&amp;lt;" is literal "&lt;", never "<"
+    s = strip_html(pd.Series(["x &amp;lt; y"]))
+    assert s[0] == "x &lt; y"
+    # decoded "<" is literal text, never re-parsed as a tag
+    assert strip_html(pd.Series(["&lt;b&gt;bold&lt;/b&gt;"]))[0] == \
+        "<b>bold</b>"
+    # plain text untouched ("no" is a stop word)
+    assert toks("plain markup here", cfg) == ["plain", "markup", "here"]
