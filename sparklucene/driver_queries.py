@@ -1234,6 +1234,37 @@ SELECT c_custkey,
        levenshtein(c_name, 'Customer#000000001')::BIGINT AS lev
 FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")
 
+    # -- ord()/rord() ValueSources (round 3; u8:solr/core/.../search/
+    # function/OrdFieldSource.java). Solr's ord(f) is the 1-based position
+    # of a doc's value in the field's SORTED value dictionary; rord is the
+    # reverse ordinal. Scale shape: the ordinal dictionary is built over
+    # the DISTINCT values only (|dict| rows, not |docs|) — the global
+    # window runs on that tiny set — then broadcast-joined back onto docs,
+    # so no doc-proportional shuffle-by-one-partition ever happens.
+    def ordinal_fns(spark, sf):
+        from pyspark.sql import Window
+        docs = _t(spark, sf, "documents")
+        w_asc = Window.orderBy(F.col("lang").asc())
+        w_desc = Window.orderBy(F.col("lang").desc())
+        dict_df = (docs.select("lang").distinct()
+                   .select("lang",
+                           F.dense_rank().over(w_asc).cast("long").alias("ord"),
+                           F.dense_rank().over(w_desc).cast("long").alias("rord")))
+        return (docs.filter(F.col("doc_id") < 60)
+                .join(F.broadcast(dict_df), "lang")
+                .select("doc_id", "lang", "ord", "rord")
+                .orderBy("doc_id"))
+    e["function_ordinal"] = (ordinal_fns, """
+WITH vals AS (SELECT DISTINCT lang FROM documents),
+dict AS (
+  SELECT lang,
+         dense_rank() OVER (ORDER BY lang ASC)::BIGINT AS ord,
+         dense_rank() OVER (ORDER BY lang DESC)::BIGINT AS rord
+  FROM vals)
+SELECT d.doc_id, d.lang, dict.ord, dict.rord
+FROM documents d JOIN dict USING (lang)
+WHERE d.doc_id < 60 ORDER BY d.doc_id""")
+
     return e
 
 
@@ -2287,6 +2318,41 @@ def _lm_dirichlet_similarity(tf, dl, df, cf, doc_count, sum_dl):
     return np.maximum(score, 0.0)
 
 
+def _lm_jelinek_mercer_similarity(tf, dl, df, cf, doc_count, sum_dl):
+    """LM with Jelinek-Mercer smoothing (Zhai & Lafferty, SIGIR 2001 —
+    the model behind Lucene's LMJelinekMercerSimilarity). Pinned engine
+    spec (lambda = 0.1, Lucene's default for short queries):
+
+        score = ln(1 + ((1 - lam) * tf / dl) / (lam * (cf / T)))
+
+    with T = sum_dl and dl the SmallFloat-quantized length. Every
+    operation maps 1:1 to the DuckDB oracle's expression tree."""
+    import numpy as np
+
+    lam = 0.1
+    return np.log(1.0 + ((1.0 - lam) * tf / dl)
+                  / (lam * (cf / sum_dl)))
+
+
+def _dfr_inl2_similarity(tf, dl, df, cf, doc_count, sum_dl):
+    """DFR I(n)L2 (Amati & van Rijsbergen, TOIS 2002 — Lucene's
+    DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2), c = 1).
+    Pinned engine spec:
+
+        tfn   = tf * log2(1 + avgdl / dl)          (H2, c = 1)
+        score = (1 / (tfn + 1)) * tfn * log2((N + 1) / (df + 0.5))
+
+    with avgdl = T / N on quantized lengths; log2 x = ln x / ln 2 on
+    both sides so the float expression trees match bit-for-bit."""
+    import numpy as np
+
+    ln2 = np.log(2.0)
+    avgdl = sum_dl / doc_count
+    tfn = tf * (np.log(1.0 + avgdl / dl) / ln2)
+    return ((1.0 / (tfn + 1.0)) * tfn
+            * (np.log((doc_count + 1.0) / (df + 0.5)) / ln2))
+
+
 def _query_algebra_entries() -> dict[str, tuple[Callable, str | None]]:
     """Round-2 query-algebra completeness (SURVEY.md §2.4-2.5):
     MatchAllDocs, FILTER occur, constant-score multi-term rewrites
@@ -2496,6 +2562,43 @@ term_scores AS (
          CAST(CAST(1.0 AS DOUBLE) * greatest(
            ln(1.0 + tf.tf / (2000.0 * (ts.cf / CAST(g.sum_dl AS DOUBLE))))
            + ln(2000.0 / (m.dlq + 2000.0)), 0.0) AS REAL) AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'vector'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- LM Jelinek-Mercer through the callable slot (round 3) -----------
+    def lm_jm(spark, sf):
+        q = Or((Term("vector"), Term("merge")))
+        return search(index_for(spark, sf), q, k=10,
+                      mode=_lm_jelinek_mercer_similarity)
+    e["lm_jelinek_mercer_or"] = (lm_jm, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(ln(1.0 + ((1.0 - 0.1) * tf.tf / m.dlq)
+                 / (0.1 * (ts.cf / CAST(g.sum_dl AS DOUBLE)))) AS REAL) AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'vector'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- DFR I(n)L2 through the callable slot (round 3) ------------------
+    def dfr_inl2(spark, sf):
+        q = Or((Term("vector"), Term("merge")))
+        return search(index_for(spark, sf), q, k=10,
+                      mode=_dfr_inl2_similarity)
+    _tfn = ("(tf.tf * (ln(1.0 + (CAST(g.sum_dl AS DOUBLE) / g.doc_count)"
+            " / m.dlq) / ln(2.0)))")
+    e["dfr_inl2_or"] = (dfr_inl2, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST((1.0 / ({_tfn} + 1.0)) * {_tfn}
+              * (ln((g.doc_count + 1.0) / (ts.df + 0.5)) / ln(2.0))
+              AS REAL) AS s
   FROM tf JOIN tstats ts ON tf.term = ts.term
   JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
   WHERE tf.term IN ('merge', 'vector'))
