@@ -1030,6 +1030,53 @@ SELECT event_type, count(*)::BIGINT AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type""")
 
+    # -- SignificantTermsStream (round 3; u8:solr/solrj/.../io/stream/
+    # SignificantTermsStream.java): terms over-represented in the result
+    # set of a query vs the corpus. The oracle re-derives foreground
+    # doc-frequencies from raw tokens and applies the same single
+    # integer-product relative-risk division.
+    def sig_terms(spark, sf):
+        from sparklucene.streams import significant_terms
+        idx = index_for(spark, sf)
+        return significant_terms(idx, load_corpus(spark, sf),
+                                 Term("merge"), k=10, min_doc_freq=2)
+    e["stream_significant_terms"] = (sig_terms, f"""WITH {corpus_ctes()},
+fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+fgn AS (SELECT count(*)::BIGINT AS fg_n FROM fg),
+fgdf AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+  FROM tf t JOIN fg USING (doc_id) GROUP BY t.term
+  HAVING count(DISTINCT t.doc_id) >= 2)
+SELECT f.term, f.fg_df, ts.df AS bg_df,
+       CAST(f.fg_df * g.doc_count AS DOUBLE)
+       / CAST(n.fg_n * ts.df AS DOUBLE) AS score
+FROM fgdf f JOIN tstats ts ON f.term = ts.term
+CROSS JOIN gstats g CROSS JOIN fgn n
+ORDER BY score DESC, f.term ASC LIMIT 10""")
+
+    # -- KnnStream (round 3): TF-IDF-cosine k-nearest to a seed doc ------
+    def knn_stream(spark, sf):
+        from sparklucene.mlt import knn_text
+        idx = index_for(spark, sf)
+        return knn_text(idx, load_corpus(spark, sf), doc_id=5, k=10)
+    e["stream_knn_text"] = (knn_stream, f"""WITH {corpus_ctes()},
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE)
+         * ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5)) AS w
+  FROM tf JOIN tstats ts ON tf.term = ts.term CROSS JOIN gstats g),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+seedw AS (SELECT term, w AS qw FROM w WHERE doc_id = 5),
+seedn AS (SELECT nrm AS qn FROM norms WHERE doc_id = 5),
+dots AS (
+  SELECT w.doc_id, sum(w.w * s.qw) AS dot
+  FROM w JOIN seedw s USING (term) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       CAST(CAST(d.dot / (n.nrm * sn.qn) AS REAL) AS DOUBLE) AS cosine
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN seedn sn
+WHERE d.doc_id != 5
+ORDER BY cosine DESC, d.doc_id ASC LIMIT 10""")
+
     return e
 
 

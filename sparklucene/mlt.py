@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,3 +46,59 @@ def more_like_this(index: Index, corpus: DataFrame, doc_id: int,
         return search(index, MatchNoDocs(), k=k, mode=mode)
     q = Or(tuple(Term(t) for t, _ in top))
     return search(index, q, k=k, mode=mode, exclude_docs=[int(doc_id)])
+
+
+def knn_text(index: Index, corpus: DataFrame, doc_id: int, k: int = 10
+             ) -> DataFrame:
+    """KnnStream — k-nearest documents to a seed doc by TF-IDF cosine
+    (u8:solr/solrj/.../io/stream/KnnStream.java, which is MoreLikeThis-
+    based k-nearest by text; SURVEY.md §2.9, previously scoped out).
+
+    Pinned engine spec: w(d,t) = tf(d,t) * idf(t) with the Lucene 8.x
+    idf ln(1 + (N - df + 0.5)/(df + 0.5));
+    cosine(q,d) = dot(q,d) / (||q|| * ||d||), reported as float32 (ties
+    broken doc_id ASC, seed excluded).
+
+    Scale shape: term weights are one scan + partial-agg groupBy; the
+    seed's sparse vector and norm are broadcast; candidates are docs
+    sharing >= 1 term with the seed (equi-join on term — docs sharing
+    nothing have cosine 0 and are correctly absent). idf runs in an
+    Arrow-batched pandas UDF so ln is glibc ln on both engine and
+    oracle (np.log == DuckDB ln — same contract the LM similarities pin).
+    """
+    from sparklucene.analysis import make_tokenize_udf
+
+    seed = int(doc_id)
+    n = int(index.stats["doc_count"])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def idf_of(df_s: pd.Series) -> pd.Series:
+        import numpy as np
+        d = df_s.to_numpy(dtype=np.float64)
+        return pd.Series(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+
+    tok = make_tokenize_udf()
+    tf = (corpus.select("doc_id", F.explode(tok(F.col("content"))).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    ts = index.termstats().select("term", "df")
+    w = (tf.join(ts, "term")
+         .select("doc_id", "term",
+                 (F.col("tf") * idf_of(F.col("df"))).alias("w")))
+    norms = (w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    seed_w = (w.filter(F.col("doc_id") == seed)
+              .select("term", F.col("w").alias("qw")))
+    seed_n = (norms.filter(F.col("doc_id") == seed)
+              .select(F.col("nrm").alias("qn")))
+    dots = (w.join(F.broadcast(seed_w), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("qw")).alias("dot")))
+    return (dots.join(norms, "doc_id").crossJoin(F.broadcast(seed_n))
+            .filter(F.col("doc_id") != seed)
+            .select("doc_id",
+                    (F.col("dot") / (F.col("nrm") * F.col("qn")))
+                    .cast("float").cast("double").alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("doc_id")).limit(k))

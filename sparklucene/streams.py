@@ -115,3 +115,54 @@ def parallel_stream(df: DataFrame, n: int, *keys: str) -> DataFrame:
     """ParallelStream: explicit hash re-partition of the dataflow across n
     workers — Spark's repartition(n, keys) IS this operator, managed."""
     return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def significant_terms(index, corpus: DataFrame, query, k: int = 10,
+                      min_doc_freq: int = 1, min_term_length: int = 1
+                      ) -> DataFrame:
+    """SignificantTermsStream: terms over-represented in a query's result
+    set vs the whole corpus (u8:solr/solrj/.../io/stream/
+    SignificantTermsStream.java — SURVEY.md §2.9, previously scoped out).
+
+    Pinned engine spec (relative-risk form of Solr's foreground/background
+    scoring): for each term t appearing in at least ``min_doc_freq`` of
+    the foreground docs F = docs(query),
+
+        score(t) = (fg_df * N) / (F * bg_df)
+
+    computed as ONE integer-product division (bit-deterministic across
+    engines), where fg_df = |{d in F : t in d}|, bg_df = the term
+    dictionary's df, N = doc_count. Output: (term, fg_df, bg_df, score),
+    score DESC, term ASC, top k.
+
+    Scale shape: the foreground doc set never leaves the cluster — the
+    match set is joined to the corpus (semi-join on doc_id), matching
+    docs are re-tokenized with the Arrow-vectorized analyzer (cost ∝
+    |F|, Solr's term-vector walk equivalent), per-term distinct-doc
+    counts are a partial-aggregated groupBy, and background df comes
+    from the term dictionary (termstats) — no full-postings scan, no
+    driver-side collect.
+    """
+    from sparklucene.analysis import make_tokenize_udf
+    from sparklucene.search import matches
+
+    tok = make_tokenize_udf()
+    fg_docs = matches(index, query).select("doc_id")
+    fg_terms = (corpus.join(fg_docs, "doc_id", "left_semi")
+                .select("doc_id",
+                        F.explode(F.array_distinct(tok(F.col("content"))))
+                        .alias("term")))
+    if min_term_length > 1:
+        fg_terms = fg_terms.filter(F.length("term") >= min_term_length)
+    fg_df = (fg_terms.groupBy("term")
+             .agg(F.count("*").alias("fg_df"))
+             .filter(F.col("fg_df") >= min_doc_freq))
+    fg_n = fg_docs.agg(F.count("*").alias("fg_n"))
+    bg = index.termstats().select("term", F.col("df").alias("bg_df"))
+    n_docs = int(index.stats["doc_count"])
+    return (fg_df.join(bg, "term").crossJoin(F.broadcast(fg_n))
+            .select("term", "fg_df", "bg_df",
+                    ((F.col("fg_df") * F.lit(n_docs)).cast("double")
+                     / (F.col("fg_n") * F.col("bg_df")).cast("double"))
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("term")).limit(k))
