@@ -2743,6 +2743,72 @@ ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
     return e
 
 
+def _spatial_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Spatial surface (round 3; u8:solr geodist()/{!bbox}/
+    SpatialHeatmapFacets — sparklucene.spatial). The fixture tables have
+    no coordinates, so each entry derives them deterministically from
+    doc_id with EXACT integer arithmetic (identical in Spark and DuckDB):
+    lat = ((doc_id*7919) % 18000)/100 - 90, lon = ((doc_id*104729) %
+    36000)/100 - 180. bbox/heatmap are IEEE-exact; geodist is rounded to
+    3 decimals (module float-determinism contract)."""
+    from sparklucene.spatial import geodist_km, geodist_sql, heatmap_facet
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def _pts(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            (((F.col("doc_id") * 7919) % 18000) / F.lit(100.0)
+             - F.lit(90.0)).alias("lat"),
+            (((F.col("doc_id") * 104729) % 36000) / F.lit(100.0)
+             - F.lit(180.0)).alias("lon"))
+
+    _PTS_SQL = """pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents)"""
+
+    def geo_topk(spark, sf):
+        pts = _pts(spark, sf)
+        return (pts.select(
+            "doc_id", "lat", "lon",
+            F.round(geodist_km(F.col("lat"), F.col("lon"), 10.5, 20.25), 3)
+            .alias("dist_km"))
+            .orderBy(F.asc("dist_km"), F.asc("doc_id")).limit(10))
+    e["spatial_geodist_topk"] = (geo_topk, f"""WITH {_PTS_SQL}
+SELECT doc_id, lat, lon,
+       round({geodist_sql('lat', 'lon', '10.5', '20.25')}, 3) AS dist_km
+FROM pts ORDER BY dist_km ASC, doc_id ASC LIMIT 10""")
+
+    def bbox(spark, sf):
+        from sparklucene.spatial import bbox_filter
+        pts = _pts(spark, sf)
+        return (bbox_filter(pts, "lat", "lon", -10.0, 30.0, 0.0, 90.0)
+                .orderBy("doc_id").limit(20))
+    e["spatial_bbox_filter"] = (bbox, f"""WITH {_PTS_SQL}
+SELECT doc_id, lat, lon FROM pts
+WHERE lat >= -10.0 AND lat <= 30.0 AND lon >= 0.0 AND lon <= 90.0
+ORDER BY doc_id LIMIT 20""")
+
+    def heatmap(spark, sf):
+        pts = _pts(spark, sf)
+        hm = heatmap_facet(pts, "lat", "lon", -90.0, 90.0, -180.0, 180.0,
+                           rows=10, cols=10)
+        return (hm.select(F.col("row").alias("cell_row"),
+                          F.col("col").alias("cell_col"), "n")
+                .orderBy("cell_row", "cell_col"))
+    e["spatial_heatmap_facet"] = (heatmap, f"""WITH {_PTS_SQL}
+SELECT CAST(least(floor((lat - -90.0) / 18.0), 9) AS BIGINT) AS cell_row,
+       CAST(least(floor((lon - -180.0) / 36.0), 9) AS BIGINT) AS cell_col,
+       count(*)::BIGINT AS n
+FROM pts
+WHERE lat >= -90.0 AND lat <= 90.0 AND lon >= -180.0 AND lon <= 180.0
+GROUP BY 1, 2 ORDER BY cell_row, cell_col""")
+
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -2765,6 +2831,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_sql_surface_entries())
     e.update(_streaming_entries())
     e.update(_scalar_fn_entries())
+    e.update(_spatial_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy: round 3 leads with the 6 entries that
     # have never landed in a driver window across r1 ∪ r2, then
