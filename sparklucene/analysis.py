@@ -247,6 +247,13 @@ class AnalyzerConfig:
     #: 'porter' is the classic 1980 algorithm (sparklucene.stem),
     #: vocabulary-vectorized.
     stem: str | None = None
+    #: PhoneticFilter (Lucene analysis-phonetic): encode tokens with the
+    #: named encoder ('soundex'). With phonetic_inject=True (Solr's
+    #: default) the original token AND its code are both emitted at the
+    #: same position; False replaces the token. Applied after stemming,
+    #: before ngram/shingle — vocabulary-vectorized like every filter.
+    phonetic: str | None = None
+    phonetic_inject: bool = True
     #: NGramTokenFilter (min, max): each token is REPLACED by its char
     #: n-grams, all at the source token's position.
     ngram: tuple[int, int] | None = None
@@ -329,6 +336,16 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
     if cfg.stem:
         from sparklucene.stem import stem_vocab
         flat = stem_vocab(flat, cfg.stem)
+    if cfg.phonetic:
+        from sparklucene.stem import resolve_phonetic
+        enc = resolve_phonetic(cfg.phonetic)
+        if cfg.phonetic_inject:
+            flat, docs, pos = _vocab_expand(
+                flat, docs, pos,
+                lambda t: [t, enc(t)] if enc(t) != t else [t])
+        else:
+            flat, docs, pos = _vocab_expand(flat, docs, pos,
+                                            lambda t: [enc(t)])
     if cfg.ngram:
         flat, docs, pos = _vocab_expand(
             flat, docs, pos,

@@ -2189,6 +2189,44 @@ ts AS (
 SELECT term, df, cf FROM ts WHERE term IN {_terms_in(_html_probe)}
 ORDER BY term ASC""")
 
+    # -- PhoneticFilter / Soundex (round 3) ------------------------------
+    # u8:lucene/analysis/phonetic/.../PhoneticFilter.java (encoder =
+    # commons-codec American Soundex). inject=True is the Solr default:
+    # each token emits itself AND its code at the same position. The
+    # pinned corpus vocabulary makes the word->code map static SQL; codes
+    # contain digits, so they can never collide with the alphabetic
+    # source vocabulary.
+    from sparklucene.stem import soundex
+    px_vals = ", ".join(
+        f"('{w}', '{soundex(w)}')" for w in VOCAB31
+        if w not in ENGLISH_STOP_WORDS)
+    px_probe = sorted({soundex(w)
+                       for w in ("customer", "merge", "vector", "window")})
+
+    def phonetic_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="sndx",
+                        analyzer=AnalyzerConfig(phonetic="soundex"))
+        return (idx.termstats().filter(F.col("term").isin(px_probe))
+                .orderBy("term").select("term", "df", "cf"))
+    e["analyzer_phonetic_termstats"] = (phonetic_tstats, f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+base AS (SELECT doc_id, term FROM tok WHERE term NOT IN {stop}),
+px(term, code) AS (VALUES {px_vals}),
+injected AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT b.doc_id, px.code AS term FROM base b
+  JOIN px ON b.term = px.term AND px.code <> px.term
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM injected GROUP BY term
+)
+SELECT term, df, cf FROM ts WHERE term IN {_terms_in(px_probe)}
+ORDER BY term ASC""")
+
     return e
 
 

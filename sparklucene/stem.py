@@ -253,3 +253,51 @@ def stem_vocab(tokens: np.ndarray, algorithm: str = "porter") -> np.ndarray:
     codes, uniques = pd.factorize(pd.Series(tokens))
     mapped = np.array([fn(u) for u in uniques], dtype=object)
     return mapped[codes]
+
+
+# --------------------------------------------------------------------------
+# Phonetic encoders (u8:lucene/analysis/phonetic/.../PhoneticFilter.java,
+# which delegates to commons-codec — the algorithm itself is the public
+# 1918 American Soundex as specified by the U.S. National Archives).
+# --------------------------------------------------------------------------
+_SOUNDEX_CODES = {c: d for letters, d in
+                  (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                   ("l", "4"), ("mn", "5"), ("r", "6"))
+                  for c in letters}
+
+
+def soundex(word: str) -> str:
+    """American Soundex, commons-codec semantics (the encoder behind
+    Solr's PhoneticFilterFactory): first letter kept, consonants coded
+    1-6, adjacent equal codes collapsed, h/w transparent (codes separated
+    only by h/w still collapse), vowels reset, padded/truncated to 4.
+    Tokens with any non-ASCII-letter char pass through unencoded (the
+    filter's clean-up step drops them; this engine's token set includes
+    digits/underscores which Soundex does not define). Output lowercase,
+    matching the engine's term-dictionary contract."""
+    if not word or not (word.isascii() and word.isalpha()):
+        return word
+    w = word.lower()
+    out = [w[0]]
+    prev = _SOUNDEX_CODES.get(w[0], "")
+    for ch in w[1:]:
+        code = _SOUNDEX_CODES.get(ch, "")
+        if code and code != prev:
+            out.append(code)
+            if len(out) == 4:
+                break
+        if ch in "hw":
+            continue
+        prev = code
+    return ("".join(out) + "000")[:4]
+
+
+_PHONETICS: dict[str, "object"] = {"soundex": soundex}
+
+
+def resolve_phonetic(algorithm: str):
+    fn = _PHONETICS.get(algorithm)
+    if fn is None:
+        raise ValueError(f"unknown phonetic encoder {algorithm!r}: not "
+                         f"one of {sorted(_PHONETICS)}")
+    return fn

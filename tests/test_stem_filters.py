@@ -151,3 +151,54 @@ def test_minimal_stemmers():
     import pytest
     with pytest.raises(ValueError):
         resolve_stemmer("nope")
+
+
+# published Soundex vectors (U.S. National Archives spec + the
+# commons-codec test suite behind Solr's PhoneticFilterFactory);
+# engine emits lowercase per the term-dictionary contract
+SOUNDEX_VECTORS = {
+    "robert": "r163", "rupert": "r163", "ashcraft": "a261",
+    "ashcroft": "a261", "tymczak": "t522", "pfister": "p236",
+    "honeyman": "h555", "washington": "w252", "lee": "l000",
+    "gutierrez": "g362", "jackson": "j250", "vandeusen": "v532",
+}
+
+
+def test_soundex_published_vectors():
+    from sparklucene.stem import soundex
+    bad = {w: (soundex(w), want) for w, want in SOUNDEX_VECTORS.items()
+           if soundex(w) != want}
+    assert not bad, bad
+
+
+def test_soundex_passthrough_non_alpha():
+    from sparklucene.stem import soundex
+    # tokens the 1918 algorithm does not define pass through unencoded
+    assert soundex("x86") == "x86"
+    assert soundex("") == ""
+    assert soundex("café") == "café"
+
+
+def test_phonetic_filter_inject():
+    # Solr default inject=true: original + code at the SAME position
+    cfg = AnalyzerConfig(phonetic="soundex", stopwords=frozenset())
+    toks, docs, pos = analyze_flat(
+        pd.Series(["robert merge"]), np.array([0]), cfg)
+    got = sorted(zip(pos.tolist(), toks.tolist()))
+    assert got == [(0, "r163"), (0, "robert"), (1, "m620"), (1, "merge")]
+
+
+def test_phonetic_filter_replace():
+    cfg = AnalyzerConfig(phonetic="soundex", phonetic_inject=False,
+                         stopwords=frozenset())
+    assert analyze_text("robert rupert x86", cfg) == ["r163", "r163", "x86"]
+
+
+def test_phonetic_after_stop_unknown_encoder():
+    import pytest
+    from sparklucene.stem import resolve_phonetic
+    cfg = AnalyzerConfig(phonetic="soundex")
+    # 'the' stop-filtered before encoding
+    assert analyze_text("the robert", cfg) == ["robert", "r163"]
+    with pytest.raises(ValueError):
+        resolve_phonetic("metaphone")
