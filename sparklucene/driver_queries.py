@@ -34,8 +34,8 @@ from sparklucene.analysis import TOKEN_RE_SQL, stoplist_sql
 from sparklucene.build import FORMAT_VERSION, build_index, load_stats
 from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
-from sparklucene.query import (And, DisMax, Not, Or, Phrase, Query, Term,
-                               Within, analyze_phrase)
+from sparklucene.query import (And, DisMax, Not, Or, Phrase, Query,
+                               SpanFirst, Term, Within, analyze_phrase)
 from sparklucene.search import Index, matches, search, search_after, total_hits
 
 # ---------------------------------------------------------------------------
@@ -1756,6 +1756,34 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
     e["intervals_unordered_within"] = (
         _bm25(Within(("merge", "join"), window=6, ordered=False), k=10),
         within_topk_sql(("merge", "join"), 6, False, k=10))
+
+    # SpanFirstQuery slice (u8:lucene/core/.../spans/SpanFirstQuery.java):
+    # 'merge' within the first 5 pre-stop token positions; freq =
+    # qualifying positions, single-term summed-idf phrase weight
+    _sft, _sfe = "merge", 5
+    _sf_idf = (f"ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE "
+               f"term = '{_sft}') + 0.5) / ((SELECT df FROM tstats WHERE "
+               f"term = '{_sft}') + 0.5))")
+    _sf_avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    e["span_first_topk"] = (
+        _bm25(SpanFirst(_sft, _sfe), k=10), f"""WITH {corpus_ctes()},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS tfp FROM tokp
+  WHERE term = '{_sft}' AND pos < {_sfe} GROUP BY doc_id
+)
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST(({_sf_idf} * pf.tfp)
+            / (pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {_sf_avgdl}))
+            AS REAL) AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
 
     # highlighting round (Solr HighlightComponent user surface,
     # u8:solr/core/.../handler/component/HighlightComponent.java):

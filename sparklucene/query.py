@@ -198,6 +198,28 @@ class Within(Query):
         return sorted(set(self.members))
 
 
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    """Minimal SpanFirstQuery slice — Lucene's
+    ``u8:lucene/core/.../search/spans/SpanFirstQuery.java`` wrapping a
+    SpanTermQuery (the dominant public use: "term appears near the start
+    of the document", e.g. title-ish matching over a single body field).
+
+    Pinned matching spec: a doc matches when ``match`` occurs at a token
+    position ``< end`` (positions index the pre-stop stream, like
+    Phrase); freq = the number of qualifying positions, scored with the
+    single-term summed-idf phrase weight (same float path as Phrase).
+    """
+
+    match: str
+    end: int
+    #: non-default indexed field (requires store_positions on that field)
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        return [self.match]
+
+
 @dataclass
 class MatchNoDocs(Query):
     _ignored: int = field(default=0)
@@ -355,6 +377,10 @@ def qualify(q: Query) -> Query:
             return q
         return Within(tuple(field_key(q.field, t) for t in q.members),
                       q.window, q.ordered)
+    if isinstance(q, SpanFirst):
+        if q.field is None:
+            return q
+        return SpanFirst(field_key(q.field, q.match), q.end)
     if isinstance(q, (And, Or)):
         clauses = tuple(qualify(c) for c in q.clauses)
         return (And(clauses) if isinstance(q, And)
@@ -415,6 +441,8 @@ def rewrite(q: Query) -> Query:
         if len(q.members) == 1:  # degenerate interval == TermQuery
             return Term(q.members[0], field=q.field)
         return q
+    if isinstance(q, SpanFirst):
+        return MatchNoDocs() if q.end <= 0 else q
     if isinstance(q, DisMax):
         flat = [rewrite(c) for c in q.clauses]
         flat = [c for c in flat if not isinstance(c, MatchNoDocs)]
@@ -487,6 +515,8 @@ def prune_missing(q: Query, present: set[str]) -> Query:
     if isinstance(q, Within):
         # every member is required (conjunctive), like a phrase
         return q if all(t in present for t in q.members) else MatchNoDocs()
+    if isinstance(q, SpanFirst):
+        return q if q.match in present else MatchNoDocs()
     if isinstance(q, MultiPhrase):
         slots = tuple((off, tuple(t for t in alts if t in present))
                       for off, alts in q.slots)

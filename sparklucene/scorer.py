@@ -42,7 +42,7 @@ from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
 from sparklucene.norms import LENGTH_TABLE
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, Term, Within)
+                               Or, Phrase, Query, SpanFirst, Term, Within)
 
 
 @dataclass
@@ -390,6 +390,8 @@ class RangeScorer:
             slot_terms = [t for _, alts in q.slots for t in alts]
         elif isinstance(q, Within):
             slot_terms = list(q.members)
+        elif isinstance(q, SpanFirst):
+            slot_terms = [q.match]
         else:
             slot_terms = [t for _, t in q.slots]
         # all slot terms share one field by construction (qualify());
@@ -659,6 +661,31 @@ class RangeScorer:
         nb = self.cells[t0].norms()[np.searchsorted(docs0, pdocs)]
         return pdocs, self._phrase_weighted(q, pfreq, nb)
 
+    def _spanfirst_scores(self, q: SpanFirst
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """SpanFirst matcher — the pinned spec lives on the SpanFirst
+        dataclass: freq = positions of ``match`` strictly below ``end``,
+        phrase-weighted. One posting cell, no packing needed."""
+        cell = self.cells.get(q.match)
+        if cell is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if not cell.pos_bytes:
+            raise ValueError("SpanFirst queries require an index built "
+                             "with positions")
+        docs, tfs = cell.decode()
+        pos = cell.positions()
+        docs_rep = np.repeat(docs, tfs)
+        pdocs, pfreq = np.unique(docs_rep[pos < q.end], return_counts=True)
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            keep = ~np.isin(pdocs, self._neg_mask_docs, assume_unique=True)
+            pdocs, pfreq = pdocs[keep], pfreq[keep]
+        if pdocs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        self.metrics.docs_scored += int(pdocs.size)
+        self.metrics.docs_total += int(pdocs.size)
+        nb = cell.norms()[np.searchsorted(docs, pdocs)]
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
+
     # ---- generic clause scoring (phrase-aware booleans) -----------------
 
     def _clause_scores(self, c: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -671,6 +698,8 @@ class RangeScorer:
             return self._phrase_scores(c)
         if isinstance(c, Within):
             return self._within_scores(c)
+        if isinstance(c, SpanFirst):
+            return self._spanfirst_scores(c)
         if isinstance(c, And):
             return self._eval_and(c)
         if isinstance(c, Or):

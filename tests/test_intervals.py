@@ -104,3 +104,45 @@ def test_within_through_search_engine(spark):
                  mode="f64").collect()
     assert len(out) == 10
     assert all(r["score"] > 0 for r in out)
+
+
+# ---- SpanFirst (minimal SpanFirstQuery slice) ---------------------------
+
+def test_spanfirst_position_cutoff():
+    from sparklucene.query import SpanFirst
+    # 'beta' at pos 0 (docs 1, 5), 1 (doc 0), 2 (doc 3), 4 (docs 2, 3)
+    assert set(_hits(SpanFirst("beta", 1))) == {1, 5}
+    assert set(_hits(SpanFirst("beta", 2))) == {0, 1, 5}
+    assert set(_hits(SpanFirst("beta", 3))) == {0, 1, 3, 5}
+    assert set(_hits(SpanFirst("beta", 5))) == {0, 1, 2, 3, 5}
+
+
+def test_spanfirst_freq_counts_qualifying_positions():
+    from sparklucene.query import SpanFirst
+    # doc 3 has beta at pos 2 and 4: freq 2 under end=5, freq 1 under
+    # end=3 -> strictly larger score with the larger window
+    h5 = _hits(SpanFirst("beta", 5))
+    h3 = _hits(SpanFirst("beta", 3))
+    assert h5[3] > h3[3]
+
+
+def test_spanfirst_unbounded_equals_term():
+    from sparklucene.query import SpanFirst
+    a = _hits(SpanFirst("beta", 10**6))
+    b = _hits(Term("beta"))
+    assert a == b
+
+
+def test_spanfirst_rewrite_and_prune():
+    from sparklucene.query import SpanFirst
+    assert rewrite(SpanFirst("a", 0)) == MatchNoDocs()
+    assert rewrite(SpanFirst("a", -3)) == MatchNoDocs()
+    assert prune_missing(SpanFirst("zzz", 5), {"alpha"}) == MatchNoDocs()
+    assert prune_missing(SpanFirst("alpha", 5),
+                         {"alpha"}) == SpanFirst("alpha", 5)
+
+
+def test_spanfirst_composes_and_respects_not():
+    from sparklucene.query import Not, SpanFirst
+    assert set(_hits(Or((SpanFirst("beta", 1), Term("delta"))))) == {1, 4, 5}
+    assert set(_hits(Not(SpanFirst("beta", 5), Term("gamma")))) == {2, 3, 5}
