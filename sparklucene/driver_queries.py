@@ -1878,6 +1878,30 @@ SELECT mt.doc_id, mt.base + 2.0 * coalesce(rr.rs, 0.0) AS score
 FROM main_top mt LEFT JOIN rr ON mt.doc_id = rr.doc_id
 ORDER BY score DESC, mt.doc_id ASC LIMIT 10""")
 
+    # -- QueryElevation (round 3; Solr QueryElevationComponent:
+    # u8:solr/core/.../handler/component/QueryElevationComponent.java —
+    # elevateIds/excludeIds with forceElevation) ------------------------
+    def elevated_q(spark, sf):
+        from sparklucene.search import elevate
+        idx = index_for(spark, sf)
+        return elevate(idx, q_ms, elevated=(451, 17), excluded=(3,),
+                       k=10, mode="f64")
+    e["query_elevation_topk"] = (elevated_q, f"""WITH {corpus_ctes()},{_doc_scores},
+elev(doc_id, ord) AS (VALUES (451, 0), (17, 1)),
+epart AS (
+  SELECT e.doc_id, coalesce(o.score, 0.0) AS score, 1 AS elevated, e.ord
+  FROM elev e LEFT JOIN doc_scores o ON e.doc_id = o.doc_id),
+opart AS (
+  SELECT doc_id, score, 0 AS elevated, NULL::INT AS ord
+  FROM doc_scores
+  WHERE doc_id NOT IN (451, 17, 3)
+  ORDER BY score DESC, doc_id ASC LIMIT 8),
+united AS (SELECT * FROM epart UNION ALL SELECT * FROM opart)
+SELECT doc_id, score, elevated,
+       (row_number() OVER (ORDER BY elevated DESC, ord ASC NULLS LAST,
+                           score DESC, doc_id ASC) - 1)::INT AS rank
+FROM united ORDER BY rank LIMIT 10""")
+
     def grouped(spark, sf):
         idx = index_for(spark, sf)
         docs = _t(spark, sf, "documents").select("doc_id", "lang")

@@ -738,6 +738,65 @@ def rerank(index: Index, main_query: "str | Query",
             .limit(k))
 
 
+def elevate(index: Index, query: "str | Query", elevated: "tuple[int, ...]",
+            excluded: "tuple[int, ...]" = (), k: int = 10,
+            mode: str = "lucene8", prune: bool = True) -> DataFrame:
+    """Editorial result elevation — Solr QueryElevationComponent semantics
+    (public surface ``elevateIds=``/``excludeIds=`` with
+    ``forceElevation=true``; u8:solr/core/.../handler/component/
+    QueryElevationComponent.java):
+
+      * ``elevated`` doc ids appear FIRST, in the configured order, with
+        ``elevated = 1`` — even when they do not match the query
+        (forceElevation); a non-matching elevated doc gets score 0.0
+        (pinned contract — Solr substitutes an artificial sort key there,
+        which has no float value to mirror);
+      * ``excluded`` doc ids never appear;
+      * organic hits fill the remaining ``k - len(elevated)`` slots in
+        (score desc, doc_id asc) order;
+      * ``rank`` is the explicit 0-based final position.
+
+    Plan shape: one ordinary top-(k + len(elevated) + len(excluded))
+    search (the buffer guarantees k organic survivors after the editorial
+    drops), plus one matches() pass filtered to the <= len(elevated)
+    elevated ids for their true scores — both k-bounded outputs; the
+    editorial tables are literal, so nothing data-proportional ships.
+    """
+    elev_ids = [int(d) for d in elevated][:k]
+    excl_ids = [int(d) for d in excluded]
+    drop = [int(d) for d in (*elevated, *excluded)]
+    n_org = max(0, k - len(elev_ids))
+    organic = search(index, query, k=k + len(drop), mode=mode, prune=prune)
+    if drop:
+        organic = organic.filter(~F.col("doc_id").isin(drop))
+    organic = (organic.orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(n_org)
+               .select("doc_id", "score",
+                       F.lit(0).alias("elevated"),
+                       F.lit(None).cast("int").alias("_ord")))
+    if elev_ids:
+        spark = index.spark
+        order_df = spark.createDataFrame(
+            [(d, i) for i, d in enumerate(elev_ids)],
+            schema="doc_id bigint, _ord int")
+        escores = (matches(index, query, mode=mode)
+                   .filter(F.col("doc_id").isin(elev_ids))
+                   .select("doc_id", F.col("score").alias("_es")))
+        epart = (order_df.join(F.broadcast(escores), "doc_id", "left")
+                 .select("doc_id",
+                         F.coalesce(F.col("_es"),
+                                    F.lit(0.0).cast("double")).alias("score"),
+                         F.lit(1).alias("elevated"), "_ord"))
+        out = epart.unionByName(organic)
+    else:
+        out = organic
+    w = Window.orderBy(F.desc("elevated"), F.asc_nulls_last("_ord"),
+                       F.desc("score"), F.asc("doc_id"))
+    return (out.withColumn("rank", F.row_number().over(w) - 1)
+            .drop("_ord").filter(F.col("rank") < k)
+            .orderBy("rank"))
+
+
 def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:
     if corpus is None:
         return topk

@@ -159,3 +159,45 @@ def test_hydration_and_sha_invariant(spark, built):
     chk = (corpus.withColumn("sha", F.sha2(F.col("content"), 256).substr(1, 40))
            .filter(F.col("commit") != F.col("sha")).count())
     assert chk == 0
+
+
+def test_query_elevation(built):
+    """QueryElevationComponent semantics: forced order, exclusion, score
+    provenance, rank column, and the no-editorial degenerate case."""
+    from sparklucene.query import Or, Term
+    from sparklucene.search import elevate
+
+    idx, _, _ = built
+    q = Or((Term("merge"), Term("spark")))
+    base = search(idx, q, k=12, mode="f64").toPandas()
+    top0 = int(base["doc_id"].iloc[0])
+
+    out = elevate(idx, q, elevated=(451, 17), excluded=(top0,),
+                  k=10, mode="f64").toPandas()
+    assert out["doc_id"].tolist()[:2] == [451, 17]
+    assert out["elevated"].tolist() == [1, 1] + [0] * 8
+    assert out["rank"].tolist() == list(range(10))
+    assert top0 not in out["doc_id"].tolist()
+    # organic tail = base order minus editorial ids
+    drop = {451, 17, top0}
+    want = [d for d in base["doc_id"].tolist() if d not in drop][:8]
+    assert out["doc_id"].tolist()[2:] == want
+    # elevated docs carry real (>= 0) scores; exact values are gated by
+    # the DuckDB oracle in test_driver_contract[query_elevation_topk]
+    assert (out["score"] >= 0).all()
+
+    # force-elevation of a doc that cannot match the query -> score 0.0
+    out2 = elevate(idx, Term("zzz_absent"), elevated=(5,), k=3,
+                   mode="f64").toPandas()
+    assert out2["doc_id"].tolist() == [5]
+    assert out2["score"].tolist() == [0.0]
+    assert out2["elevated"].tolist() == [1]
+
+    # no editorial config degenerates to plain search
+    out3 = elevate(idx, q, elevated=(), k=5, mode="f64").toPandas()
+    assert out3["doc_id"].tolist() == base["doc_id"].tolist()[:5]
+    assert out3["elevated"].tolist() == [0] * 5
+
+    # more elevated ids than k: truncated to k, configured order
+    out4 = elevate(idx, q, elevated=(9, 8, 7, 6), k=3, mode="f64").toPandas()
+    assert out4["doc_id"].tolist() == [9, 8, 7]
