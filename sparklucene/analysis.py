@@ -247,6 +247,14 @@ class AnalyzerConfig:
     #: 'porter' is the classic 1980 algorithm (sparklucene.stem),
     #: vocabulary-vectorized.
     stem: str | None = None
+    #: KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    #: (u8:lucene/analysis/common/.../miscellaneous/KeywordRepeatFilter.java,
+    #: RemoveDuplicatesTokenFilter.java — the classic "index both the
+    #: surface form and the stem at the same position" chain): with
+    #: ``stem_inject=True`` the original token is kept ALONGSIDE its stem
+    #: (same position); tokens the stemmer leaves unchanged emit once
+    #: (the RemoveDuplicates step). Requires ``stem`` to be set.
+    stem_inject: bool = False
     #: PhoneticFilter (Lucene analysis-phonetic): encode tokens with the
     #: named encoder ('soundex'). With phonetic_inject=True (Solr's
     #: default) the original token AND its code are both emitted at the
@@ -334,8 +342,14 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
         keep &= np.array([len(t) >= cfg.min_len for t in flat])
     flat, docs, pos = flat[keep], docs[keep], pos[keep]
     if cfg.stem:
-        from sparklucene.stem import stem_vocab
-        flat = stem_vocab(flat, cfg.stem)
+        from sparklucene.stem import resolve_stemmer, stem_vocab
+        if cfg.stem_inject:
+            st = resolve_stemmer(cfg.stem)
+            flat, docs, pos = _vocab_expand(
+                flat, docs, pos,
+                lambda t: [t, st(t)] if st(t) != t else [t])
+        else:
+            flat = stem_vocab(flat, cfg.stem)
     if cfg.phonetic:
         from sparklucene.stem import resolve_phonetic
         enc = resolve_phonetic(cfg.phonetic)

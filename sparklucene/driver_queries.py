@@ -2279,6 +2279,43 @@ ts AS (
 SELECT term, df, cf FROM ts WHERE term IN {_terms_in(px_probe)}
 ORDER BY term ASC""")
 
+    # -- KeywordRepeat + Porter + RemoveDuplicates (round 3) -------------
+    # u8:lucene/analysis/common/.../miscellaneous/{KeywordRepeatFilter,
+    # RemoveDuplicatesTokenFilter}.java: surface form AND stem indexed at
+    # the same position; unchanged stems emit once. Same static VALUES
+    # pattern as the phonetic oracle (inject only where stem <> term).
+    kr_vals = ", ".join(
+        f"('{w}', '{porter_stem(w)}')" for w in VOCAB31
+        if w not in ENGLISH_STOP_WORDS)
+    kr_probe = sorted({w for w in ("merge", "table", "value", "join")}
+                      | {porter_stem(w)
+                         for w in ("merge", "table", "value", "join")})
+
+    def kwrepeat_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="kwrep",
+                        analyzer=AnalyzerConfig(stem="porter",
+                                                stem_inject=True))
+        return (idx.termstats().filter(F.col("term").isin(kr_probe))
+                .orderBy("term").select("term", "df", "cf"))
+    e["analyzer_keyword_repeat_termstats"] = (kwrepeat_tstats, f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+base AS (SELECT doc_id, term FROM tok WHERE term NOT IN {stop}),
+sm(term, sterm) AS (VALUES {kr_vals}),
+injected AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT b.doc_id, sm.sterm AS term FROM base b
+  JOIN sm ON b.term = sm.term AND sm.sterm <> sm.term
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM injected GROUP BY term
+)
+SELECT term, df, cf FROM ts WHERE term IN {_terms_in(kr_probe)}
+ORDER BY term ASC""")
+
     return e
 
 

@@ -202,3 +202,26 @@ def test_phonetic_after_stop_unknown_encoder():
     assert analyze_text("the robert", cfg) == ["robert", "r163"]
     with pytest.raises(ValueError):
         resolve_phonetic("metaphone")
+
+
+def test_keyword_repeat_inject():
+    # KeywordRepeat + stemmer + RemoveDuplicates: surface form AND stem
+    # at the same position; unchanged stems emit once
+    cfg = AnalyzerConfig(stem="porter", stem_inject=True,
+                         stopwords=frozenset())
+    toks, docs, pos = analyze_flat(
+        pd.Series(["merges sky"]), np.array([0]), cfg)
+    got = sorted(zip(pos.tolist(), toks.tolist()))
+    assert got == [(0, "merg"), (0, "merges"), (1, "sky")]
+
+
+def test_keyword_repeat_then_shingle_flattened_stream():
+    # ShingleFilter consumes the FLATTENED token stream (Lucene parity:
+    # ShingleFilter over an unflattened graph / FlattenGraphFilter output
+    # shingles adjacent stream tokens, including same-position variants —
+    # the documented Lucene behavior for graph filters before shingles)
+    cfg = AnalyzerConfig(stem="porter", stem_inject=True,
+                         shingle=(2, 2), stopwords=frozenset())
+    out = analyze_text("merges tables", cfg)
+    assert out == ["merges", "merg", "tables", "tabl",
+                   "merges merg", "merg tables", "tables tabl"]
