@@ -663,6 +663,18 @@ SELECT term, df, cf FROM tstats WHERE term IN {_terms_in(probe)}""")
     e["index_top_terms_by_df"] = (top_terms, f"""WITH {corpus_ctes()}
 SELECT term, df FROM tstats ORDER BY df DESC, term ASC LIMIT 20""")
 
+    # -- TermVectorComponent (round 3; u8:solr/core/.../handler/
+    # component/TermVectorComponent.java: tv=true&tv.tf=true&tv.df=true)
+    def tv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.search import term_vectors
+        return term_vectors(index_for(spark, sf_dir),
+                            load_corpus(spark, sf_dir), (11, 42))
+    e["term_vectors_for_docs"] = (tv_docs, f"""WITH {corpus_ctes()}
+SELECT tf.doc_id, tf.term, tf.tf, ts.df, ts.cf
+FROM tf JOIN tstats ts ON tf.term = ts.term
+WHERE tf.doc_id IN (11, 42)
+ORDER BY tf.doc_id, tf.term""")
+
     def doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = index_for(spark, sf_dir)
         meta = idx.docmeta()

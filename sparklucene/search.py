@@ -797,6 +797,35 @@ def elevate(index: Index, query: "str | Query", elevated: "tuple[int, ...]",
             .orderBy("rank"))
 
 
+def term_vectors(index: Index, corpus: DataFrame,
+                 doc_ids: "tuple[int, ...]") -> DataFrame:
+    """Per-document term vectors — Solr TermVectorComponent surface
+    (``tv=true&tv.df=true&tv.tf=true``; u8:solr/core/.../handler/
+    component/TermVectorComponent.java): for each requested doc, its
+    (term, tf) vector plus the term's global (df, cf).
+
+    Forward-derived: the <= |doc_ids| requested docs are re-analyzed with
+    the SQL-expressible standard chain (the ``doc_id IN`` filter pushes
+    into the corpus parquet scan, so only those rows are read), then the
+    tiny tf set is BROADCAST into the termstats join for global stats —
+    the analyzer contract guarantees the forward pass equals the inverted
+    index content, and nothing data-proportional ever ships.
+    """
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, TOKEN_RE_SQL
+    ids = [int(d) for d in doc_ids]
+    tok = (corpus.filter(F.col("doc_id").isin(ids))
+           .select("doc_id", F.explode(F.expr(
+               f"regexp_extract_all(lower(content), '{TOKEN_RE_SQL}', 0)"
+           )).alias("term"))
+           .filter(~F.col("term").isin(sorted(ENGLISH_STOP_WORDS))))
+    tv = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"))
+    return (index.termstats().select("term", "df", "cf")
+            .join(F.broadcast(tv), "term", "inner")
+            .select("doc_id", "term", "tf", "df", "cf")
+            .orderBy("doc_id", "term"))
+
+
 def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:
     if corpus is None:
         return topk

@@ -201,3 +201,26 @@ def test_query_elevation(built):
     # more elevated ids than k: truncated to k, configured order
     out4 = elevate(idx, q, elevated=(9, 8, 7, 6), k=3, mode="f64").toPandas()
     assert out4["doc_id"].tolist() == [9, 8, 7]
+
+
+def test_term_vectors_match_forward_analysis(built, corpus_pdf):
+    """TermVectorComponent: tv rows equal an independent pandas forward
+    pass over the same docs, and (df, cf) match the term dictionary."""
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, TOKEN_RE
+    from sparklucene.search import term_vectors
+
+    idx, corpus, _ = built
+    ids = (7, 123)
+    out = term_vectors(idx, corpus, ids).toPandas()
+    want = {}
+    for _, row in corpus_pdf[corpus_pdf["doc_id"].isin(ids)].iterrows():
+        toks = [t for t in TOKEN_RE.findall(row["content"].lower())
+                if t not in ENGLISH_STOP_WORDS]
+        for t in toks:
+            want[(int(row["doc_id"]), t)] = want.get((int(row["doc_id"]), t), 0) + 1
+    got = {(int(r.doc_id), r.term): int(r.tf) for r in out.itertuples()}
+    assert got == want
+    ts = idx.termstats().toPandas().set_index("term")
+    for r in out.itertuples():
+        assert int(r.df) == int(ts.loc[r.term, "df"])
+        assert int(r.cf) == int(ts.loc[r.term, "cf"])
