@@ -1355,6 +1355,34 @@ SELECT doc_id,
                 t -> ceil(length(t) / 4)::BIGINT)), 0)::BIGINT AS n_subwords
 FROM documents""")
 
+    # -- deterministic hash sampling (round 3): reproducible holdout
+    # split + per-language stratified rebalance; membership is a pure
+    # function of md5(salt || doc_id), so DuckDB selects the SAME rows
+    def det_sample(spark, sf):
+        s = textops.deterministic_sample(_t(spark, sf, "documents"), 0.25)
+        return (s.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+                .orderBy("lang"))
+    e["sample_deterministic_frac"] = (det_sample, """
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE substring(md5('holdout-v1' || doc_id::VARCHAR), 1, 8) < '40000000'
+GROUP BY lang ORDER BY lang""")
+
+    _strata = {"en": 0.1, "de": 0.5, "es": 0.9, "fr": 1.0, "zh": 0.0}
+    from sparklucene.textops import _frac_thr
+    _thr_vals = ", ".join(f"('{k}', '{_frac_thr(v)}')"
+                          for k, v in sorted(_strata.items()))
+
+    def strat_sample(spark, sf):
+        s = textops.stratified_sample(_t(spark, sf, "documents"), _strata)
+        return (s.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+                .orderBy("lang"))
+    e["sample_stratified_by_lang"] = (strat_sample, f"""
+WITH thr(lang, t) AS (VALUES {_thr_vals})
+SELECT d.lang, count(*)::BIGINT AS n
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE substring(md5('holdout-v1' || d.doc_id::VARCHAR), 1, 8) < thr.t
+GROUP BY d.lang ORDER BY d.lang""")
+
     stop_list = "[" + ", ".join(
         f"'{w}'" for w in sorted(textops.ENGLISH_STOP_WORDS)) + "]"
     e["text_quality_score"] = (

@@ -229,3 +229,52 @@ def pack_sequences(docs: DataFrame, budget: int, sep: int = 1,
         F.expr(f"offset div {int(budget)}").cast("long").alias("first_seq"),
         F.expr(f"(offset + n_tokens_sep - 1) div {int(budget)}")
         .cast("long").alias("last_seq"))
+
+
+def _frac_thr(fraction: float) -> str:
+    """Hex threshold for an 8-hex-digit md5 prefix compare: keep rows
+    whose prefix sorts strictly below it. fraction >= 1 uses 'g' (every
+    hex digit < 'g', so everything passes); <= 0 uses '00000000' (nothing
+    passes)."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * 16 ** 8), 0), "08x")
+
+
+def sample_key(key: Column, salt: str) -> Column:
+    """8-hex-digit deterministic sampling key, reproducible in DuckDB as
+    ``substring(md5('salt' || key::VARCHAR), 1, 8)``."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def deterministic_sample(docs: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         salt: str = "holdout-v1") -> DataFrame:
+    """Reproducible hash sampling — the train/holdout split primitive of
+    corpus pipelines: keep rows where the first 8 hex digits of
+    ``md5(salt || key)`` sort below ``fraction * 16^8``.
+
+    Unlike ``df.sample()`` (whose output depends on partition layout and
+    seed plumbing), membership is a pure per-row function of the key, so
+    the SAME rows are selected across runs, engines, repartitionings and
+    scale tiers; disjoint splits come from disjoint fraction bands or
+    different salts. Narrow transformation — no shuffle at any scale."""
+    return docs.filter(sample_key(F.col(key_col), salt)
+                       < F.lit(_frac_thr(fraction)))
+
+
+def stratified_sample(docs: DataFrame, fractions: "dict[str, float]",
+                      strata_col: str = "lang", key_col: str = "doc_id",
+                      salt: str = "holdout-v1") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample dominant languages, keep the rest). ``fractions`` maps
+    stratum value -> keep fraction; strata absent from the map are
+    DROPPED (explicit-allowlist contract). The per-stratum thresholds
+    ship as a literal broadcast table, so the plan stays one narrow scan
+    + broadcast hash join regardless of corpus size."""
+    rows = [(k, _frac_thr(v)) for k, v in sorted(fractions.items())]
+    fdf = docs.sparkSession.createDataFrame(
+        rows, f"{strata_col} string, _thr string")
+    return (docs.join(F.broadcast(fdf), strata_col, "inner")
+            .filter(sample_key(F.col(key_col), salt) < F.col("_thr"))
+            .drop("_thr"))

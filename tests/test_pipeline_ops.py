@@ -263,3 +263,33 @@ def test_round3_pipeline_ops(spark):
         off += packed[d]["n_tokens_sep"]
     # doc 0: 9 tokens + sep = 10 -> sequences 0..2 at budget 4
     assert packed[0]["first_seq"] == 0 and packed[0]["last_seq"] == 2
+
+
+def test_deterministic_sample_invariants(spark, docs):
+    from sparklucene.textops import deterministic_sample, stratified_sample
+
+    ids = lambda df: set(r.doc_id for r in df.select("doc_id").collect())
+    s25 = ids(deterministic_sample(docs, 0.25))
+    # layout-independent: same membership after an arbitrary repartition
+    assert ids(deterministic_sample(docs.repartition(7), 0.25)) == s25
+    # fraction monotone: the 25% sample nests inside the 50% sample
+    assert s25 <= ids(deterministic_sample(docs, 0.5))
+    # rough mass (md5 uniformity): 25% +- 10 points of the corpus
+    n = docs.count()
+    assert 0.15 * n <= len(s25) <= 0.35 * n
+    # different salts give (near-)independent membership, same law
+    s25b = ids(deterministic_sample(docs, 0.25, salt="v2"))
+    assert s25b != s25
+    # degenerate fractions
+    assert ids(deterministic_sample(docs, 1.0)) == ids(docs)
+    assert ids(deterministic_sample(docs, 0.0)) == set()
+
+    # stratified: allowlist drops unmapped strata; frac-1.0 keeps all;
+    # frac-0.0 empties; sampled strata nest inside their full stratum
+    st = stratified_sample(docs, {"en": 1.0, "de": 0.3, "zh": 0.0})
+    langs = {r.lang for r in st.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    full_en = ids(docs.filter("lang = 'en'"))
+    assert ids(st.filter("lang = 'en'")) == full_en
+    de_ids = ids(st.filter("lang = 'de'"))
+    assert de_ids <= ids(docs.filter("lang = 'de'"))
