@@ -18,7 +18,7 @@ from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens, tokenize_serie
 from sparklucene.norms import LENGTH_TABLE, int_to_byte4, quantize_length
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, Term)
+                               Or, Phrase, Query, SpanFirst, Term, Within)
 
 
 @dataclass
@@ -122,13 +122,17 @@ def _sloppy_freqs(idx: OracleIndex, q: Phrase) -> dict[int, float]:
     return freqs
 
 
-def _phrase_weighted(idx: OracleIndex, q: Phrase | MultiPhrase,
+def _phrase_weighted(idx: OracleIndex, q: "Phrase | MultiPhrase | Within | SpanFirst",
                      tfs: np.ndarray, pos: np.ndarray, mode: str
                      ) -> np.ndarray:
     if mode == "boolean":
         return np.full(tfs.size, np.float32(1.0), dtype=np.float32)
     if isinstance(q, MultiPhrase):
         slot_terms = [t for _, alts in q.slots for t in alts]
+    elif isinstance(q, Within):
+        slot_terms = list(q.members)
+    elif isinstance(q, SpanFirst):
+        slot_terms = [q.match]
     else:
         slot_terms = [t for _, t in q.slots]
     idf_fn = bm25.idf_classic if mode == "classic" else bm25.idf
@@ -196,6 +200,65 @@ def _multiphrase_scores(idx: OracleIndex, q: MultiPhrase,
     return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=docs)
 
 
+def _within_scores(idx: OracleIndex, q: Within, mode: str) -> pd.Series:
+    """Naive interval matcher implementing the pinned Within spec (see
+    query.Within): anchor enumeration over members[0], ordered greedy
+    chase / unordered nearest-position with smaller-position ties, freq =
+    matching anchors, summed-idf phrase weight."""
+    per: dict[str, dict[int, list[int]]] = {}
+    for t in q.members:
+        rows = idx.tp[idx.tp["term"] == t]
+        by: dict[int, list[int]] = {}
+        for d, p in zip(rows["doc_id"], rows["pos"]):
+            by.setdefault(int(d), []).append(int(p))
+        per[t] = {d: sorted(ps) for d, ps in by.items()}
+    docs = set(per[q.members[0]])
+    for t in q.members[1:]:
+        docs &= set(per[t])
+    freqs: dict[int, int] = {}
+    for d in sorted(docs):
+        cnt = 0
+        for p0 in per[q.members[0]][d]:
+            if q.ordered:
+                prev, ok = p0, True
+                for t in q.members[1:]:
+                    nxt = [p for p in per[t][d] if p > prev]
+                    if not nxt:
+                        ok = False
+                        break
+                    prev = nxt[0]
+                if ok and prev - p0 + 1 <= q.window:
+                    cnt += 1
+            else:
+                lo = hi = p0
+                for t in q.members[1:]:
+                    best = min(per[t][d], key=lambda p: (abs(p - p0), p))
+                    lo, hi = min(lo, best), max(hi, best)
+                if hi - lo + 1 <= q.window:
+                    cnt += 1
+        if cnt:
+            freqs[d] = cnt
+    if not freqs:
+        return pd.Series(dtype=np.float32)
+    dd = np.array(sorted(freqs), dtype=np.int64)
+    tfs = np.array([freqs[d] for d in dd], dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, dd)
+    return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=dd)
+
+
+def _spanfirst_scores(idx: OracleIndex, q: SpanFirst, mode: str) -> pd.Series:
+    """Naive SpanFirst: freq = positions of ``match`` strictly below
+    ``end``, single-term summed-idf phrase weight."""
+    rows = idx.tp[(idx.tp["term"] == q.match) & (idx.tp["pos"] < q.end)]
+    if rows.empty:
+        return pd.Series(dtype=np.float32)
+    g = rows.groupby("doc_id").size().sort_index()
+    dd = g.index.to_numpy(dtype=np.int64)
+    tfs = g.to_numpy(dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, dd)
+    return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=dd)
+
+
 def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
     """doc_id -> total score (float64 accumulator, sorted-term order)."""
     if isinstance(q, MatchNoDocs):
@@ -205,6 +268,10 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
                                  dtype=np.float64), index=idx.doc_ids)
     if isinstance(q, MultiPhrase):
         return _multiphrase_scores(idx, q, mode).astype(np.float64)
+    if isinstance(q, Within):
+        return _within_scores(idx, q, mode).astype(np.float64)
+    if isinstance(q, SpanFirst):
+        return _spanfirst_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Phrase):
         return _phrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Term):

@@ -12,7 +12,8 @@ import pytest
 from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchNoDocs, MultiPhrase, Not, Or, Phrase,
-                               Term, prune_missing, rewrite)
+                               SpanFirst, Term, Within, prune_missing,
+                               rewrite)
 
 VOCAB = ["spark", "merge", "join", "scan", "filter", "window", "table",
          "hash", "batch", "vector", "stream", "agg", "query", "fast",
@@ -38,12 +39,24 @@ def _rand_phrase(rng: random.Random):
     return Phrase(slots)
 
 
+def _rand_positional(rng: random.Random):
+    if rng.random() < 0.6:
+        n = rng.randint(2, 3)
+        members = tuple(rng.sample(VOCAB[:12], n))
+        return Within(members, window=rng.randint(2, 9),
+                      ordered=rng.random() < 0.5)
+    return SpanFirst(rng.choice(VOCAB[:12]),
+                     end=rng.choice([1, 2, 5, 20]))
+
+
 def _rand_query(rng: random.Random, depth: int = 0):
     r = rng.random()
     if depth >= 3 or r < 0.35:
         return _rand_term(rng)
-    if r < 0.45:
+    if r < 0.42:
         return _rand_phrase(rng)
+    if r < 0.48:
+        return _rand_positional(rng)
     kids = tuple(_rand_query(rng, depth + 1)
                  for _ in range(rng.randint(2, 4)))
     kind = rng.randint(0, 5)
