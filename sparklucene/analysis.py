@@ -262,6 +262,15 @@ class AnalyzerConfig:
     #: before ngram/shingle — vocabulary-vectorized like every filter.
     phonetic: str | None = None
     phonetic_inject: bool = True
+    #: CommonGramsFilter (u8:lucene/analysis/common/.../commongrams/
+    #: CommonGramsFilter.java): for each adjacent token pair where EITHER
+    #: member is in this set, ALSO emit the combined token "a_b" at the
+    #: first member's position. Runs on the pre-stop stream (the classic
+    #: chain: tokenizer -> CommonGrams -> StopFilter, so common-word
+    #: unigrams drop but the bigrams survive — phrase-speed indexing for
+    #: stopword-heavy phrases like "the who"). "_" is a tokenizer-legal
+    #: char, so bigrams live in the ordinary term dictionary.
+    common_grams: frozenset[str] | None = None
     #: NGramTokenFilter (min, max): each token is REPLACED by its char
     #: n-grams, all at the source token's position.
     ngram: tuple[int, int] | None = None
@@ -334,6 +343,9 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
         tm = dict(cfg.term_map)
         mapped = np.array([tm.get(u, u) for u in uniques], dtype=object)
         flat = mapped[codes]
+    if cfg.common_grams:
+        flat, docs, pos = _with_common_grams(flat, docs, pos,
+                                             cfg.common_grams)
     keep = np.ones(flat.size, dtype=bool)
     if cfg.stopwords:
         stop_arr = np.array(sorted(cfg.stopwords), dtype=object)
@@ -424,6 +436,24 @@ def _with_shingles(flat: np.ndarray, docs: np.ndarray, pos: np.ndarray,
         out_p.append(pos[: flat.size - n + 1][same_doc])
     return (np.concatenate(out_t), np.concatenate(out_d),
             np.concatenate(out_p))
+
+
+def _with_common_grams(flat: np.ndarray, docs: np.ndarray, pos: np.ndarray,
+                       common: frozenset[str]
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unigrams + "a_b" bigrams for same-doc adjacent pairs where either
+    member is a common word (bigram at the first member's position)."""
+    if flat.size < 2:
+        return flat, docs, pos
+    is_c = np.isin(flat, np.array(sorted(common), dtype=object))
+    pair_ok = (docs[:-1] == docs[1:]) & (is_c[:-1] | is_c[1:])
+    if not pair_ok.any():
+        return flat, docs, pos
+    s = flat.astype(str)
+    joined = np.char.add(np.char.add(s[:-1], "_"), s[1:])[pair_ok]
+    return (np.concatenate((flat, joined.astype(object))),
+            np.concatenate((docs, docs[:-1][pair_ok])),
+            np.concatenate((pos, pos[:-1][pair_ok])))
 
 
 def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:

@@ -2356,6 +2356,34 @@ ts AS (
 SELECT term, df, cf FROM ts WHERE term IN {_terms_in(kr_probe)}
 ORDER BY term ASC""")
 
+    # -- CommonGramsFilter (round 3; u8:lucene/analysis/common/...
+    # /commongrams/CommonGramsFilter.java): adjacent pairs touching a
+    # stopword ALSO emit "a_b" at the first member's position, pre-stop —
+    # classic phrase-speed indexing. Probe: top bigram terms by df.
+    def cgrams_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="cgrams",
+                        analyzer=AnalyzerConfig(
+                            common_grams=ENGLISH_STOP_WORDS))
+        return (idx.termstats().filter(F.col("term").contains("_"))
+                .orderBy(F.desc("df"), F.asc("term")).limit(12)
+                .select("term", "df", "cf"))
+    e["analyzer_common_grams_termstats"] = (cgrams_tstats, f"""WITH tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+bi AS (
+  SELECT a.doc_id, a.term || '_' || b.term AS term
+  FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN {stop} OR b.term IN {stop}
+),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+  FROM bi GROUP BY term
+)
+SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 12""")
+
     return e
 
 

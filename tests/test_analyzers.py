@@ -125,3 +125,28 @@ def test_html_strip_char_filter():
         "<b>bold</b>"
     # plain text untouched ("no" is a stop word)
     assert toks("plain markup here", cfg) == ["plain", "markup", "here"]
+
+
+def test_common_grams_filter():
+    """CommonGramsFilter: 'a_b' bigrams where either member is common,
+    at the first member's position, pre-stop (stop unigrams drop, the
+    bigrams survive); no cross-doc pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from sparklucene.analysis import (ENGLISH_STOP_WORDS, AnalyzerConfig,
+                                      analyze_flat, analyze_text)
+
+    cfg = AnalyzerConfig(common_grams=ENGLISH_STOP_WORDS)
+    toks, docs, pos = analyze_flat(
+        pd.Series(["hash the query", "the end"]), np.array([3, 9]), cfg)
+    got = sorted(zip(docs.tolist(), pos.tolist(), toks.tolist()))
+    assert got == [(3, 0, "hash"), (3, 0, "hash_the"), (3, 1, "the_query"),
+                   (3, 2, "query"), (9, 0, "the_end"), (9, 1, "end")]
+    # pair of two NON-common words emits no bigram
+    assert analyze_text("fast query", cfg) == ["fast", "query"]
+    # with stopword removal disabled, common unigrams also survive
+    cfg2 = AnalyzerConfig(common_grams=frozenset({"the"}),
+                          stopwords=frozenset())
+    assert analyze_text("hash the query", cfg2) == \
+        ["hash", "the", "query", "hash_the", "the_query"]
