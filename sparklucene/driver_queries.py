@@ -1780,6 +1780,58 @@ SELECT qid, rank, vec_id, centroid, cosine FROM ranked WHERE rank <= 5"""
                                               iters=2, nprobe=1),
         ivf_sql)
 
+    # -- ClusteringComponent (round 3; u8:solr/contrib/clustering/...
+    # /CarrotClusteringEngine.java user surface): top-30 hits of a BM25
+    # query k-means-clustered on their embeddings. The oracle restricts
+    # nv/qd to the winner set, then reuses the SAME unrolled-k-means CTEs
+    # as ann_ivf_topk (seeds, a1..a3, u1..u2) verbatim.
+    _cl_score = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                               "g.sum_dl")
+
+    def clustered(spark, sf):
+        idx = index_for(spark, sf)
+        return sim.cluster_results(idx, Or((Term("merge"), Term("spark"))),
+                                   _t(spark, sf, "embeddings"), k_docs=30,
+                                   n_clusters=4, iters=2, mode="f64")
+    e["cluster_search_results"] = (clustered, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {_cl_score} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')),
+top AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 30),
+qv AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding, x -> floor(x::DOUBLE * 4096 + 0.5)::BIGINT) AS q
+  FROM embeddings e JOIN top t ON e.vec_id = t.doc_id),
+nv AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2
+  FROM qv),
+qd AS (
+  SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS dim FROM nv),
+seeds AS (
+  SELECT vec_id, q, norm2 FROM (
+    SELECT vec_id, q, norm2,
+           ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM nv WHERE norm2 > 0
+    ORDER BY h, vec_id LIMIT 4)),
+c0n AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS s,
+         norm2::BIGINT AS snorm2
+  FROM seeds),
+{_ivf_assign("a1", "c0n")},
+{_ivf_update(1)},
+{_ivf_assign("a2", "c1n")},
+{_ivf_update(2)},
+{_ivf_assign("a3", "c2n")}
+SELECT t.doc_id, t.score, a3.centroid AS cluster
+FROM top t JOIN a3 ON t.doc_id = a3.vec_id
+ORDER BY cluster ASC, score DESC, doc_id ASC""")
+
     return e
 
 

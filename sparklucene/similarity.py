@@ -291,3 +291,34 @@ def ivf_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "vec_id", "centroid", "cosine"))
+
+
+def cluster_results(index, query, embeddings: DataFrame, k_docs: int = 30,
+                    n_clusters: int = 4, iters: int = 2,
+                    mode: str = "f64") -> DataFrame:
+    """Search-result clustering — Solr ClusteringComponent's user surface
+    (u8:solr/contrib/clustering/.../CarrotClusteringEngine.java: cluster
+    the top-N hits of a query into labeled groups). Carrot2's text
+    algorithms are replaced by the engine's deterministic integer-grid
+    spherical k-means (``ivf_index``) over the hits' embedding vectors —
+    same pinned math as the IVF ANN family, so the SQL oracle mirrors it
+    exactly.
+
+    Returns (doc_id, score, cluster), cluster-major then score-ordered.
+
+    Plan shape: one ordinary top-k search; the <= k winner ids broadcast
+    into the embeddings scan (dynamic semi-join — nothing
+    data-proportional ships); k-means runs on <= k_docs vectors with
+    centroids as plan literals. Hits without an embedding row are dropped
+    (documented contract).
+    """
+    from sparklucene.search import search as _search
+    top = _search(index, query, k=k_docs, mode=mode)
+    vecs = embeddings.join(
+        F.broadcast(top.select(F.col("doc_id").alias("vec_id"))), "vec_id")
+    assigned, _cents = ivf_index(vecs, n_centroids=n_clusters, iters=iters)
+    return (top.join(assigned.select(F.col("vec_id").alias("doc_id"),
+                                     F.col("centroid").alias("cluster")),
+                     "doc_id")
+            .orderBy(F.asc("cluster"), F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score", "cluster"))

@@ -293,3 +293,22 @@ def test_deterministic_sample_invariants(spark, docs):
     assert ids(st.filter("lang = 'en'")) == full_en
     de_ids = ids(st.filter("lang = 'de'"))
     assert de_ids <= ids(docs.filter("lang = 'de'"))
+
+
+def test_cluster_results_deterministic(spark, docs, embeddings):
+    """ClusteringComponent: every hit with an embedding gets exactly one
+    cluster label in [0, n); labels invariant under input repartition."""
+    from sparklucene.driver_queries import index_for
+    from sparklucene.query import Or, Term
+    from sparklucene.similarity import cluster_results
+
+    idx = index_for(spark, SF)
+    q = Or((Term("merge"), Term("spark")))
+    a = cluster_results(idx, q, embeddings, k_docs=20, n_clusters=3,
+                        iters=2).toPandas()
+    assert len(a) == 20
+    assert a["cluster"].between(0, 2).all()
+    assert a["doc_id"].is_unique
+    b = cluster_results(idx, q, embeddings.repartition(5), k_docs=20,
+                        n_clusters=3, iters=2).toPandas()
+    assert a.values.tolist() == b.values.tolist()
