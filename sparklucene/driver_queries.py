@@ -1835,6 +1835,128 @@ ORDER BY cluster ASC, score DESC, doc_id ASC""")
     return e
 
 
+def _routed_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Document routing / sharded collections (Solr implicit/compositeId
+    routing, u8:solr/solrj/.../ImplicitDocRouter.java). Per-route
+    sub-indexes are built through index_for (locked, disk-cached); a
+    routes.json manifest with absolute dirs makes them a routed
+    collection for sparklucene.routing.routed_search. Scoring is
+    PER-SHARD statistics — Solr's default distributed IDF behavior
+    (u8:solr/core/.../search/stats/LocalStatsCache.java) — which the
+    oracles reproduce by computing every BM25 statistic within the
+    route's sub-corpus only."""
+    import json as _json
+
+    e: dict[str, tuple[Callable, str | None]] = {}
+    q_ms = Or((Term("merge"), Term("spark")))
+    tsc = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                         "g.sum_dl")
+    stop = stoplist_sql()
+
+    def _routed_base(spark: SparkSession, sf_dir: str) -> str:
+        langs = sorted(
+            r[0] for r in _t(spark, sf_dir, "documents")
+            .select("lang").distinct().collect())
+        manifest = {}
+        for lg in langs:
+            idx = index_for(
+                spark, sf_dir, variant=f"rt-{lg}",
+                transform=lambda c, lg=lg: c.filter(F.col("lang") == lg))
+            manifest[lg] = {"dir": idx.paths.root,
+                            "n_docs": idx.stats["n_docs"]}
+        base = os.path.join("/tmp", "sparklucene-idx",
+                            os.path.basename(os.path.realpath(sf_dir))
+                            + "-routed")
+        os.makedirs(base, exist_ok=True)
+        tmp = os.path.join(base, "routes.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"route_col": "lang", "routes": manifest}, fh,
+                       sort_keys=True)
+        os.replace(tmp, os.path.join(base, "routes.json"))
+        return base
+
+    def single_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import routed_search
+        base = _routed_base(spark, sf_dir)
+        return routed_search(spark, base, q_ms, route="en", k=10,
+                             mode="f64")
+    # per-shard stats: every CTE runs inside the lang='en' sub-corpus
+    e["routed_search_single_shard"] = (single_shard, f"""WITH docs_r AS (
+  SELECT * FROM documents WHERE lang = 'en'),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM docs_r),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term NOT IN {stop} GROUP BY doc_id, term),
+doclen AS (
+  SELECT d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM docs_r d
+  LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS dl FROM tok
+             WHERE term NOT IN {stop} GROUP BY doc_id) t USING (doc_id)),
+meta AS (
+  SELECT doc_id, dl, {quantize_length_sql('dl')}::BIGINT AS dlq FROM doclen),
+gstats AS (
+  SELECT count(*) FILTER (WHERE dl >= 1)::BIGINT AS doc_count,
+         sum(dl)::BIGINT AS sum_dl FROM meta),
+tstats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY term),
+term_scores AS (
+  SELECT tf.doc_id, {tsc} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id,
+       CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+       'en' AS route
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import routed_search
+        base = _routed_base(spark, sf_dir)
+        return routed_search(spark, base, q_ms, route=None, k=10,
+                             mode="f64")
+    # fan-out merge: per-LANG statistics throughout, global (score, doc)
+    # top-k — the union of per-shard top-10s contains the global top-10
+    e["routed_search_fanout"] = (fanout, f"""WITH tok AS (
+  SELECT d.lang, d.doc_id,
+         unnest(regexp_extract_all(lower(d.text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents d),
+tf AS (
+  SELECT lang, doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term NOT IN {stop} GROUP BY lang, doc_id, term),
+doclen AS (
+  SELECT d.lang, d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS dl FROM tok
+             WHERE term NOT IN {stop} GROUP BY doc_id) t USING (doc_id)),
+meta AS (
+  SELECT lang, doc_id, dl, {quantize_length_sql('dl')}::BIGINT AS dlq
+  FROM doclen),
+gstats AS (
+  SELECT lang, count(*) FILTER (WHERE dl >= 1)::BIGINT AS doc_count,
+         sum(dl)::BIGINT AS sum_dl FROM meta GROUP BY lang),
+tstats AS (
+  SELECT lang, term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY lang, term),
+term_scores AS (
+  SELECT tf.lang, tf.doc_id, {tsc} AS s
+  FROM tf
+  JOIN tstats ts ON tf.lang = ts.lang AND tf.term = ts.term
+  JOIN meta m ON tf.lang = m.lang AND tf.doc_id = m.doc_id
+  JOIN gstats g ON tf.lang = g.lang
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id,
+       CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+       lang AS route
+FROM term_scores GROUP BY lang, doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    return e
+
+
 def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
     """Minimal intervals slice (u8:lucene/queries/.../intervals/ —
     Intervals.maxwidth over ordered/unordered): proximity co-occurrence
@@ -3072,6 +3194,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_textops_entries())
     e.update(_dedup_entries())
     e.update(_similarity_entries())
+    e.update(_routed_entries())
     e.update(_intervals_entries())
     e.update(_multimodal_entries())
     e.update(_result_composition_entries())
