@@ -687,6 +687,33 @@ ORDER BY tf.doc_id, tf.term""")
     e["index_doc_norms"] = (doc_norms, f"""WITH {corpus_ctes()}
 SELECT doc_id, dl, dlq FROM meta""")
 
+    # -- RealTimeGet (round 3; Solr /get handler —
+    # u8:solr/core/.../handler/component/RealTimeGetComponent.java):
+    # fetch by unique key, stored fields + index-side doc metadata. This
+    # engine's visibility contract is the committed index view (streaming
+    # batches become visible at foreachBatch commit, streaming.py); the
+    # id filter pushes into BOTH parquet scans and every join side after
+    # the scan is <= |ids| rows.
+    _rtg_ids = (5, 123, 321)
+
+    def rtg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        table = [(b, int(v)) for b, v in enumerate(LENGTH_TABLE)]
+        decode = idx.spark.createDataFrame(table, "norm int, dlq long")
+        meta = (idx.docmeta().filter(F.col("doc_id").isin(list(_rtg_ids)))
+                .join(F.broadcast(decode), "norm"))
+        langs = (_t(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id").isin(list(_rtg_ids)))
+                 .select("doc_id", "lang", "source"))
+        return (meta.join(F.broadcast(langs), "doc_id")
+                .select("doc_id", "lang", "source", "dl", "dlq")
+                .orderBy("doc_id"))
+    e["realtime_get_by_ids"] = (rtg, f"""WITH {corpus_ctes()}
+SELECT m.doc_id, d.lang, d.source, m.dl, m.dlq
+FROM meta m JOIN documents d ON m.doc_id = d.doc_id
+WHERE m.doc_id IN (5, 123, 321)
+ORDER BY m.doc_id""")
+
     def index_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         """FIXTURES.md §6.2: index-derived aggregates must equal the
         from-scratch recomputation (sum df == distinct (term,doc) pairs,
