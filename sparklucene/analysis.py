@@ -62,14 +62,20 @@ _HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _HTML_SCRIPT_RE = re.compile(r"<script\b[^>]*>.*?</script\s*>", re.S | re.I)
 _HTML_STYLE_RE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.S | re.I)
 _HTML_TAG_RE = re.compile(r"<[^>]*>")
-#: &amp; must decode LAST: "&amp;lt;" is the literal text "&lt;", and an
-#: early &amp;->& pass would wrongly cascade it into "<".
-_HTML_NAMED_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
-_HTML_NUM_ENTITY_RE = re.compile(r"&#(?:x([0-9a-fA-F]+)|([0-9]+));")
+#: Entities decode in ONE combined pass (a regexp scan of the original
+#: string never re-reads its own replacements), so decoding can never
+#: cascade in either direction: "&amp;lt;" -> literal "&lt;",
+#: "&amp;#65;" -> literal "&#65;", "&#38;amp;" -> literal "&amp;".
+#: No sequential per-entity replace ordering has this property.
+_HTML_NAMED = {"lt": "<", "gt": ">", "quot": '"',
+               "apos": "'", "nbsp": " ", "amp": "&"}
+_HTML_ENTITY_RE = re.compile(
+    r"&(?:#x([0-9a-fA-F]+)|#([0-9]+)|(lt|gt|quot|apos|nbsp|amp));")
 
 
-def _decode_num_entity(m: re.Match) -> str:
+def _decode_entity(m: re.Match) -> str:
+    if m.group(3):
+        return _HTML_NAMED[m.group(3)]
     code = int(m.group(1), 16) if m.group(1) else int(m.group(2))
     return chr(code) if 0 < code <= 0x10FFFF else " "
 
@@ -80,9 +86,7 @@ def strip_html(s: pd.Series) -> pd.Series:
     s = s.str.replace(_HTML_SCRIPT_RE, " ", regex=True)
     s = s.str.replace(_HTML_STYLE_RE, " ", regex=True)
     s = s.str.replace(_HTML_TAG_RE, " ", regex=True)
-    for ent, ch in _HTML_NAMED_ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    return s.str.replace(_HTML_NUM_ENTITY_RE, _decode_num_entity, regex=True)
+    return s.str.replace(_HTML_ENTITY_RE, _decode_entity, regex=True)
 
 
 def tokenize_text(text: str, stopwords: frozenset[str] = ENGLISH_STOP_WORDS) -> list[str]:

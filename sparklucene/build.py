@@ -205,8 +205,14 @@ def _analyze_column(col, doc_ids: np.ndarray, stopwords,
     if toks.size == 0:
         return (np.empty(0, np.int64), np.empty(0, object), tdocs, tpos, True)
     codes, uniq = pd.factorize(pd.Series(toks), sort=True)
+    # shingles AND common-grams both append their n-gram section at the
+    # END of the stream, so per-term doc order is no longer guaranteed
+    # when a literal token collides with a generated gram spelling
+    # (e.g. literal 'the_who' vs bigram of adjacent 'the who') — those
+    # streams must take the full (term, doc, pos) lexsort path.
+    srt = analyzer.shingle is None and analyzer.common_grams is None
     return (codes.astype(np.int64), np.asarray(uniq, dtype=object),
-            tdocs, tpos, analyzer.shingle is None)
+            tdocs, tpos, srt)
 
 
 def _invert_one_range(data, drange: int, stopwords,
@@ -405,34 +411,49 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
         # mapInArrow: corpus rows arrive as Arrow record batches and stay
         # Arrow through tokenization — per-string Python objects are never
         # created (the old applyInPandas path converted every content
-        # string to a PyObject before our code even ran). A hash partition
-        # holds whole dranges (repartition key below), so one (drange,
-        # doc_id) sort + zero-copy slices re-creates the per-range groups.
-        blist = list(batches)
-        if not blist:
-            return
-        tbl = pa.Table.from_batches(blist).combine_chunks()
-        dr = tbl.column("drange").to_numpy().astype(np.int64)
-        doc = tbl.column("doc_id").to_numpy()
-        order = np.lexsort((doc, dr))
-        if np.any(np.diff(order) != 1):
-            tbl = tbl.take(pa.array(order))
-            dr = dr[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(dr)) + 1, [dr.size]))
-        rows = []
-        for i in range(bounds.size - 1):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            d = int(dr[s])
-            man = build_one(tbl.slice(s, e - s), d)
-            rows.append({"drange": d, "status": "built",
+        # string to a PyObject before our code even ran). The upstream
+        # sortWithinPartitions("drange", "doc_id") (a spillable Spark
+        # sort) makes drange groups CONTIGUOUS across the batch stream,
+        # so this consumer buffers one drange at a time — executor peak
+        # memory is one drange's rows, not the whole hash partition
+        # (which holds dranges-per-partition ~ n_dranges / parallelism).
+        rows: list[dict] = []
+        buf: list[pa.RecordBatch] = []
+        cur: int | None = None
+
+        def flush():
+            nonlocal buf
+            if cur is None or not buf:
+                return
+            sub = pa.Table.from_batches(buf).combine_chunks()
+            buf = []
+            man = build_one(sub, cur)
+            rows.append({"drange": cur, "status": "built",
                          "n_docs": man["n_docs"], "n_terms": man["n_terms"],
                          "n_postings": man["n_postings"],
                          "sum_dl": man["sum_dl"], "sha": man["sha"]})
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            i_dr = b.schema.get_field_index("drange")
+            dr = b.column(i_dr).to_numpy().astype(np.int64)
+            starts = np.concatenate(([0], np.flatnonzero(np.diff(dr)) + 1))
+            ends = np.concatenate((starts[1:], [dr.size]))
+            for s, e in zip(starts, ends):
+                d = int(dr[s])
+                if cur is None:
+                    cur = d
+                elif d != cur:
+                    flush()
+                    cur = d
+                buf.append(b.slice(int(s), int(e - s)))
+        flush()
         yield pa.RecordBatch.from_pylist(rows, schema=man_schema)
 
     num = int(todo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     built = (todo.repartition(num, "drange")
+             .sortWithinPartitions("drange", "doc_id")
              .mapInArrow(build_partition, schema=MANIFEST_SCHEMA)
              .toPandas())
     skipped = pd.DataFrame([{"drange": d, "status": "skipped", "n_docs": -1,

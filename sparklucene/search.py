@@ -333,7 +333,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
            exclude_docs: list[int] | None = None,
            after: tuple[float, int] | None = None,
            max_expansions: int = 1024,
-           highlight: bool = False) -> DataFrame:
+           highlight: bool = False,
+           stats_override: "GlobalStats | None" = None) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
@@ -347,6 +348,15 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     handle, not shipped per query).
     ``after`` is a (score, doc_id) keyset cursor — each range collects
     only hits strictly after it and stays k-bounded (searchAfter).
+    ``stats_override`` replaces the index-derived collection statistics
+    (doc_count / sum_dl / per-term df, cf) used for SCORING — matching
+    (term presence, pruning of locally-missing terms) still follows this
+    index. This is the Solr ExactStatsCache hook
+    (u8:solr/core/.../search/stats/ExactStatsCache.java): a routed
+    fan-out merges per-shard stats once and every shard scores with the
+    GLOBAL statistics, so distributed ranking equals single-index
+    ranking. MAXSCORE/WAND bounds derive from the same override, so
+    pruning stays score-safe.
     ``highlight=True`` (requires bounded ``k``) adds a ``highlights``
     column — array<struct<term, positions>> of the matched default-field
     terms' token positions in each winner, decoded in a second k-bounded
@@ -389,10 +399,23 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return _hydrate(out, hydrate)
     all_terms = sorted(set(q.terms()) | set(q.neg_terms()))
 
-    gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
-                         sum_dl=int(index.stats["sum_dl"]),
-                         term_stats=tstats,
-                         field_stats=index.stats.get("fields"))
+    if stats_override is not None:
+        # terms the override does not know (e.g. per-shard multi-term
+        # expansions the merger never saw) fall back to LOCAL stats —
+        # mirrors ExactStatsCache, which only merges stats for the terms
+        # of the rewritten query it was shown
+        ts = dict(stats_override.term_stats)
+        for t, s in tstats.items():
+            ts.setdefault(t, s)
+        gstats = GlobalStats(doc_count=stats_override.doc_count,
+                             sum_dl=stats_override.sum_dl,
+                             term_stats=ts,
+                             field_stats=stats_override.field_stats)
+    else:
+        gstats = GlobalStats(doc_count=int(index.stats["doc_count"]),
+                             sum_dl=int(index.stats["sum_dl"]),
+                             term_stats=tstats,
+                             field_stats=index.stats.get("fields"))
 
     postings = index.postings().filter(F.col("term").isin(all_terms))
     # size the scoring shuffle by the estimated number of matching cells
