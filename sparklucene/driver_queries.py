@@ -3109,6 +3109,74 @@ _R02_COVERED = frozenset({
 
 _DRIVER_COVERED = _R01_COVERED | _R02_COVERED
 
+#: entries the driver's round-3 CORRECTNESS window verified
+#: (CORRECTNESS_r03.json — 50 entries, all hash-green; includes 12
+#: re-checks of r1 entries, so those 12 are FRESH, not stale)
+_R03_COVERED = frozenset({
+    "wildcard_query", "regexp_query", "fuzzy_query", "function_math",
+    "function_date_math", "function_string", "ann_ivf_topk",
+    "lm_jelinek_mercer_or", "dfr_inl2_or",
+    "analyzer_french_minimal_termstats", "analyzer_html_strip_termstats",
+    "analyzer_phonetic_termstats", "analyzer_keyword_repeat_termstats",
+    "analyzer_common_grams_termstats", "term_vectors_for_docs",
+    "realtime_get_by_ids", "stream_significant_terms", "stream_knn_text",
+    "suggest_prefix_topk", "spellcheck_topk", "sample_deterministic_frac",
+    "sample_stratified_by_lang", "text_dup_ngram_fraction",
+    "pipeline_decontamination", "pipeline_pack_sequences",
+    "cluster_search_results", "routed_search_single_shard",
+    "routed_search_fanout", "intervals_ordered_within",
+    "intervals_unordered_within", "span_first_topk", "search_highlighted",
+    "search_reranked", "query_elevation_topk", "function_ordinal",
+    "spatial_geodist_topk", "spatial_bbox_filter", "spatial_heatmap_facet",
+    "bm25_term", "bm25_or_flagship", "bm25_or_wide", "bm25_and",
+    "bm25_not", "bm25_msm2", "bm25_and_missing_term", "bm25_with_deletes",
+    "classic_similarity_or", "more_like_this", "bm25_phrase",
+    "bm25_phrase_stopword_gap",
+})
+
+#: every entry with at least one driver CORRECTNESS row (r1 ∪ r2 ∪ r3)
+_ANY_DRIVER_ROW = _DRIVER_COVERED | _R03_COVERED
+
+#: the 87 entries whose LATEST driver row dates from r1/r2, ordered
+#: stalest-first (the 38 whose only row is r1, in r1 window order, then
+#: the 49 whose latest row is r2, in r2 window order). Round 4's
+#: 50-entry driver window re-verifies _STALE_FIRST[:50] on current
+#: code; the rest land in round 5's window.
+_STALE_FIRST = (
+    "bm25_phrase_sloppy", "bm25_phrase_or_term", "bm25_dismax",
+    "bm25_boosted_or", "search_total_hits", "search_export_sorted",
+    "search_cursor_page2", "index_term_stats", "index_top_terms_by_df",
+    "index_doc_norms", "index_invariants", "corpus_sha256_invariant",
+    "index_global_stats", "facet_field_lang", "facet_field_source_topn",
+    "facet_range_nchars", "facet_query_counts", "facet_pivot_lang_source",
+    "stats_component_numeric", "unique_agg", "percentile_agg",
+    "facet_rollup_hierarchy", "hll_approx_distinct",
+    "events_time_window_agg", "stream_select_eval", "stream_top_k",
+    "stream_unique", "stream_merge_sorted", "stream_hash_join",
+    "stream_outer_hash_join", "stream_sortmerge_join_rollup",
+    "stream_intersect", "stream_complement", "stream_rollup_metrics",
+    "stream_stats", "stream_fetch_enrich", "sort_multi_field",
+    "paging_page2", "match_all_count", "match_all_except_topk",
+    "bm25_filtered", "match_all_filtered_fq", "bm25_with_prefix_clause",
+    "bm25_with_wildcard_clause", "bm25_with_fuzzy_clause",
+    "bm25_multiphrase", "boolean_similarity_or", "custom_similarity_or",
+    "search_batch_queryset", "lm_dirichlet_or", "bm25_multifield_dismax",
+    "bm25_field_boost", "multifield_termstats", "bm25_stemmed",
+    "analyzer_shingle_termstats", "analyzer_edge_ngram_termstats",
+    "block_join_parent_rollup", "join_cross_collection", "stream_reduce",
+    "grouping_top2_per_group", "collapse_expand_by_source",
+    "function_termfreq", "numeric_range_query", "term_in_set_query",
+    "text_token_stats", "text_quality_score", "text_language_id",
+    "text_fingerprint", "dedup_exact_groups", "dedup_minhash_signatures",
+    "dedup_lsh_candidates", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "ann_cosine_topk_exact",
+    "ann_lsh_bucketed_topk", "ann_lsh_multiprobe_topk",
+    "dedup_embedding_neardup", "multimodal_payload_features",
+    "search_grouped_top2_per_lang", "function_score_query",
+    "constant_score_query", "facet_on_search_results", "sql_surface_bm25",
+    "sql_surface_facet", "streaming_nrt_build_termstats", "prefix_query",
+)
+
 
 def _suggest_entries() -> dict[str, tuple[Callable, str | None]]:
     """Suggester + spell-check (round 3; Solr SuggestComponent /
@@ -3230,22 +3298,24 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_scalar_fn_entries())
     e.update(_spatial_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
-    # ordering is evidence policy: round 3 leads with the 6 entries that
-    # have never landed in a driver window across r1 ∪ r2, then
-    # ann_ivf_topk (oracle upgraded from rows-only to full SQL this
-    # round — needs its first hash-green row), then any new round-3
-    # entries (not in either covered set), then everything already
-    # driver-green. Relative assembly order is preserved within each
-    # tier, so every entry keeps a deterministic position.
-    lead = ("wildcard_query", "regexp_query", "fuzzy_query",
-            "function_math", "function_date_math", "function_string",
-            "ann_ivf_topk")
-    first = {k: e[k] for k in lead if k in e}
-    head = {k: v for k, v in e.items()
-            if k not in _DRIVER_COVERED and k not in first}
+    # ordering is evidence policy. After round 3 every entry has at
+    # least one driver-green row, so round 4 rotates the window onto
+    # EVIDENCE FRESHNESS: the 87 entries whose latest driver row dates
+    # from r1/r2 lead (stalest first — all 38 r1-latest, then the
+    # r2-latest; the round-4 window of 50 re-verifies the r1 set plus
+    # the first 12 r2 entries on current code). New round-4 entries
+    # (no driver row yet) come next, then the 37 remaining r2 entries
+    # land with them inside round 5's window, and the r3-checked
+    # entries (freshest evidence) close the registry. Relative assembly
+    # order is preserved within each tier, so every entry keeps a
+    # deterministic position.
+    head = {k: e[k] for k in _STALE_FIRST[:50] if k in e}
+    fresh_new = {k: v for k, v in e.items()
+                 if k not in _ANY_DRIVER_ROW and k not in head}
+    mid = {k: e[k] for k in _STALE_FIRST[50:] if k in e}
     tail = {k: v for k, v in e.items()
-            if k in _DRIVER_COVERED and k not in first}
-    return {**first, **head, **tail}
+            if k not in head and k not in fresh_new and k not in mid}
+    return {**head, **fresh_new, **mid, **tail}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
