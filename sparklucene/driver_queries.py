@@ -166,6 +166,117 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
+def _span_node_sql(node, ctr: list[int], ctes: list[str]) -> str:
+    """Emit DuckDB CTEs computing the DISTINCT (doc_id, s, e) span set of
+    a spans.SpanNode — a faithful SQL re-derivation of the pinned span
+    spec (sparklucene/spans.py module docstring): greedy ordered chase
+    via min-(s, e) QUALIFY, unordered nearest-by-start with the
+    (abs distance, start, end) tie order, overlap NOT EXISTS for SpanNot.
+    Returns the name of the CTE holding the node's span set."""
+    from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
+                                   SpanTerm)
+
+    ctr[0] += 1
+    me = f"sp{ctr[0]}"
+    if isinstance(node, SpanTerm):
+        ctes.append(f"""
+{me} AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tokp
+  WHERE term = '{node.term}')""")
+        return me
+    if isinstance(node, SpanOrNode):
+        kids = [_span_node_sql(c, ctr, ctes) for c in node.clauses]
+        union = " UNION ".join(f"SELECT doc_id, s, e FROM {k}"
+                               for k in kids)
+        ctes.append(f"\n{me} AS ({union})")
+        return me
+    if isinstance(node, SpanNotNode):
+        inc = _span_node_sql(node.include, ctr, ctes)
+        exc = _span_node_sql(node.exclude, ctr, ctes)
+        ctes.append(f"""
+{me} AS (SELECT i.doc_id, i.s, i.e FROM {inc} i
+  WHERE NOT EXISTS (SELECT 1 FROM {exc} x
+    WHERE x.doc_id = i.doc_id AND x.s < i.e AND x.e > i.s))""")
+        return me
+    if isinstance(node, SpanNearNode):
+        kids = [_span_node_sql(c, ctr, ctes) for c in node.clauses]
+        if node.in_order:
+            prev = f"{me}_0"
+            ctes.append(f"""
+{prev} AS (SELECT doc_id, s AS s0, e AS pe, 0 AS gap FROM {kids[0]})""")
+            for j, kid in enumerate(kids[1:], start=1):
+                nxt = f"{me}_{j}"
+                ctes.append(f"""
+{nxt} AS (
+  SELECT a.doc_id, a.s0, c.e AS pe, a.gap + (c.s - a.pe) AS gap
+  FROM {prev} a JOIN {kid} c
+    ON c.doc_id = a.doc_id AND c.s >= a.pe
+  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.s0, a.pe, a.gap
+                             ORDER BY c.s, c.e) = 1)""")
+                prev = nxt
+            ctes.append(f"""
+{me} AS (SELECT DISTINCT doc_id, s0 AS s, pe AS e FROM {prev}
+  WHERE gap <= {node.slop})""")
+        else:
+            anch = f"{me}_a"
+            ctes.append(f"""
+{anch} AS (SELECT doc_id, s AS s0, e AS e0 FROM {kids[0]})""")
+            for j, kid in enumerate(kids[1:], start=1):
+                ctes.append(f"""
+{me}_{j} AS (
+  SELECT a.doc_id, a.s0, a.e0, c.s AS qs, c.e AS qe
+  FROM {anch} a JOIN {kid} c ON c.doc_id = a.doc_id
+  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.s0, a.e0
+                             ORDER BY abs(c.s - a.s0), c.s, c.e) = 1)""")
+            n = len(kids) - 1
+            joins = " ".join(
+                f"JOIN {me}_{j} q{j} ON q{j}.doc_id = a.doc_id "
+                f"AND q{j}.s0 = a.s0 AND q{j}.e0 = a.e0"
+                for j in range(1, n + 1))
+            lo = ", ".join(["a.s0"] + [f"q{j}.qs" for j in range(1, n + 1)])
+            hi = ", ".join(["a.e0"] + [f"q{j}.qe" for j in range(1, n + 1)])
+            wsum = " + ".join(["(a.e0 - a.s0)"]
+                              + [f"(q{j}.qe - q{j}.qs)"
+                                 for j in range(1, n + 1)])
+            ctes.append(f"""
+{me} AS (SELECT DISTINCT a.doc_id, least({lo}) AS s, greatest({hi}) AS e
+  FROM {anch} a {joins}
+  WHERE (greatest({hi}) - least({lo})) - ({wsum}) <= {node.slop})""")
+        return me
+    raise TypeError(f"not a span node: {node!r}")
+
+
+def span_topk_sql(root, k: int = 10) -> str:
+    """Oracle for query.Span — nested span trees re-derived from raw
+    token positions entirely in SQL; freq = root spans per doc, summed
+    include-side idf phrase weight (pre-order dedup; every leaf term is
+    assumed present in the fixture corpus)."""
+    from sparklucene.spans import leaf_terms
+
+    ctes: list[str] = [f"""
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+)"""]
+    root_name = _span_node_sql(root, [0], ctes)
+    ctes.append(f"""
+pf AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM {root_name}
+  GROUP BY doc_id)""")
+    idf_sum = " + ".join(
+        f"ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = '{t}') + 0.5)"
+        f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5))"
+        for t in leaf_terms(root, include_only=True))
+    avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    denom = f"(pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl}))"
+    return f"""WITH {corpus_ctes()},{",".join(ctes)}
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST((({idf_sum}) * pf.tfp) / {denom} AS REAL) AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 def within_topk_sql(members: tuple[str, ...], window: int, ordered: bool,
                     k: int = 10) -> str:
     """Oracle for query.Within — mirrors the pinned interval spec
@@ -1997,6 +2108,28 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
     e["intervals_unordered_within"] = (
         _bm25(Within(("merge", "join"), window=6, ordered=False), k=10),
         within_topk_sql(("merge", "join"), 6, False, k=10))
+
+    # nested span algebra (round 4; u8:lucene/core/.../search/spans/
+    # {SpanNearQuery,SpanOrQuery,SpanNotQuery}.java): composable trees —
+    # SpanNear over SpanOr, SpanNot exclusion — through the full engine
+    # path (query.Span / spans.eval_spans); the SQL oracle re-derives the
+    # span sets from raw token positions with the same pinned spec
+    # (span_topk_sql emits one CTE per tree node)
+    from sparklucene.query import Span
+    from sparklucene.spans import (SpanNearNode as _SN, SpanNotNode as _SX,
+                                   SpanOrNode as _SO, SpanTerm as _ST)
+    _nested_ord = _SN((_SO((_ST("merge"), _ST("hash"))), _ST("join")),
+                      slop=3, in_order=True)
+    e["span_near_ordered_nested"] = (
+        _bm25(Span(_nested_ord), k=10), span_topk_sql(_nested_ord, k=10))
+    _nested_unord = _SN((_ST("fast"), _SO((_ST("scan"), _ST("key")))),
+                        slop=6, in_order=False)
+    e["span_near_unordered_or"] = (
+        _bm25(Span(_nested_unord), k=10), span_topk_sql(_nested_unord, k=10))
+    _not_tree = _SX(_SN((_ST("merge"), _ST("join")), slop=8, in_order=True),
+                    _ST("hash"))
+    e["span_not_exclusion"] = (
+        _bm25(Span(_not_tree), k=10), span_topk_sql(_not_tree, k=10))
 
     # SpanFirstQuery slice (u8:lucene/core/.../spans/SpanFirstQuery.java):
     # 'merge' within the first 5 pre-stop token positions; freq =

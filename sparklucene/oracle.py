@@ -18,7 +18,10 @@ from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens, tokenize_serie
 from sparklucene.norms import LENGTH_TABLE, int_to_byte4, quantize_length
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, SpanFirst, Term, Within)
+                               Or, Phrase, Query, Span, SpanFirst, Term,
+                               Within)
+from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
+                               SpanTerm, leaf_terms)
 
 
 @dataclass
@@ -133,6 +136,10 @@ def _phrase_weighted(idx: OracleIndex, q: "Phrase | MultiPhrase | Within | SpanF
         slot_terms = list(q.members)
     elif isinstance(q, SpanFirst):
         slot_terms = [q.match]
+    elif isinstance(q, Span):
+        # include-side leaves; absent terms contribute no idf (the engine
+        # filters by term_stats presence, where df >= 1 by construction)
+        slot_terms = [t for t in q.weight_terms() if idx.df_of(t) > 0]
     else:
         slot_terms = [t for _, t in q.slots]
     idf_fn = bm25.idf_classic if mode == "classic" else bm25.idf
@@ -246,6 +253,83 @@ def _within_scores(idx: OracleIndex, q: Within, mode: str) -> pd.Series:
     return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=dd)
 
 
+def _span_eval_doc(node, pos_of: dict[str, list[int]]) -> list[tuple[int, int]]:
+    """Per-doc naive span-tree evaluation mirroring the pinned spec in
+    sparklucene/spans.py (module docstring = the contract): returns the
+    sorted, deduped list of (start, end) spans for one document."""
+    if isinstance(node, SpanTerm):
+        return [(p, p + 1) for p in pos_of.get(node.term, [])]
+    if isinstance(node, SpanOrNode):
+        out: set[tuple[int, int]] = set()
+        for c in node.clauses:
+            out.update(_span_eval_doc(c, pos_of))
+        return sorted(out)
+    if isinstance(node, SpanNotNode):
+        inc = _span_eval_doc(node.include, pos_of)
+        exc = _span_eval_doc(node.exclude, pos_of)
+        return [(s, e) for s, e in inc
+                if not any(xs < e and xe > s for xs, xe in exc)]
+    if isinstance(node, SpanNearNode):
+        sets = [_span_eval_doc(c, pos_of) for c in node.clauses]
+        if len(sets) == 1:
+            return sets[0]
+        if any(not s for s in sets):
+            return []
+        out = set()
+        for s0, e0 in sets[0]:
+            if node.in_order:
+                prev, gap, ok = e0, 0, True
+                for spans in sets[1:]:
+                    nxt = [(s, e) for s, e in spans if s >= prev]
+                    if not nxt:
+                        ok = False
+                        break
+                    s, e = min(nxt)  # lexicographic: min start, then end
+                    gap += s - prev
+                    prev = e
+                if ok and gap <= node.slop:
+                    out.add((s0, prev))
+            else:
+                lo, hi, wsum = s0, e0, e0 - s0
+                for spans in sets[1:]:
+                    s, e = min(spans, key=lambda x: (abs(x[0] - s0),
+                                                     x[0], x[1]))
+                    lo, hi = min(lo, s), max(hi, e)
+                    wsum += e - s
+                if (hi - lo) - wsum <= node.slop:
+                    out.add((lo, hi))
+        return sorted(out)
+    raise TypeError(f"not a span node: {node!r}")
+
+
+def _span_scores(idx: OracleIndex, q: Span, mode: str) -> pd.Series:
+    """Naive nested-span matcher: per candidate doc, evaluate the tree
+    with _span_eval_doc; freq = number of root spans; weight = summed idf
+    over include-side leaves present in the index (pre-order dedup)."""
+    terms = leaf_terms(q.root)
+    per: dict[str, dict[int, list[int]]] = {}
+    for t in terms:
+        rows = idx.tp[idx.tp["term"] == t]
+        by: dict[int, list[int]] = {}
+        for d, p in zip(rows["doc_id"], rows["pos"]):
+            by.setdefault(int(d), []).append(int(p))
+        per[t] = {d: sorted(ps) for d, ps in by.items()}
+    docs = sorted(set().union(*(set(per[t]) for t in terms)) if terms
+                  else set())
+    freqs: dict[int, int] = {}
+    for d in docs:
+        pos_of = {t: per[t].get(d, []) for t in terms}
+        spans = _span_eval_doc(q.root, pos_of)
+        if spans:
+            freqs[d] = len(spans)
+    if not freqs:
+        return pd.Series(dtype=np.float32)
+    dd = np.array(sorted(freqs), dtype=np.int64)
+    tfs = np.array([freqs[d] for d in dd], dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, dd)
+    return pd.Series(_phrase_weighted(idx, q, tfs, pos, mode), index=dd)
+
+
 def _spanfirst_scores(idx: OracleIndex, q: SpanFirst, mode: str) -> pd.Series:
     """Naive SpanFirst: freq = positions of ``match`` strictly below
     ``end``, single-term summed-idf phrase weight."""
@@ -272,6 +356,8 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
         return _within_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, SpanFirst):
         return _spanfirst_scores(idx, q, mode).astype(np.float64)
+    if isinstance(q, Span):
+        return _span_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Phrase):
         return _phrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Term):

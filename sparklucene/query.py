@@ -220,6 +220,35 @@ class SpanFirst(Query):
         return [self.match]
 
 
+@dataclass(frozen=True)
+class Span(Query):
+    """Composable span-algebra query — Lucene's nested span family
+    (``u8:lucene/core/.../search/spans/``): a tree of
+    ``spans.SpanTerm`` / ``SpanNearNode`` / ``SpanOrNode`` /
+    ``SpanNotNode`` evaluated to per-doc span sets. The pinned matching
+    spec lives in :mod:`sparklucene.spans` (the oracle contract); freq =
+    number of root spans, scored with the summed-idf phrase weight over
+    the include-side leaf terms (pre-order dedup — SpanWeight builds its
+    similarity from positive terms only; SpanNot's exclude side matches
+    but never weighs)."""
+
+    root: object  # spans.SpanNode
+    #: non-default indexed field (requires store_positions on that field)
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        # ALL leaf terms (exclude side included): the scorer needs every
+        # leaf's postings to evaluate the tree
+        from sparklucene.spans import leaf_terms
+        return sorted(leaf_terms(self.root))
+
+    def weight_terms(self) -> list[str]:
+        """Include-side leaves, pre-order, first-occurrence dedup — the
+        pinned idf summation order."""
+        from sparklucene.spans import leaf_terms
+        return leaf_terms(self.root, include_only=True)
+
+
 @dataclass
 class MatchNoDocs(Query):
     _ignored: int = field(default=0)
@@ -381,6 +410,11 @@ def qualify(q: Query) -> Query:
         if q.field is None:
             return q
         return SpanFirst(field_key(q.field, q.match), q.end)
+    if isinstance(q, Span):
+        if q.field is None:
+            return q
+        from sparklucene.spans import map_terms
+        return Span(map_terms(q.root, lambda t: field_key(q.field, t)))
     if isinstance(q, (And, Or)):
         clauses = tuple(qualify(c) for c in q.clauses)
         return (And(clauses) if isinstance(q, And)
@@ -443,6 +477,14 @@ def rewrite(q: Query) -> Query:
         return q
     if isinstance(q, SpanFirst):
         return MatchNoDocs() if q.end <= 0 else q
+    if isinstance(q, Span):
+        from sparklucene.spans import SpanTerm, simplify
+        root = simplify(q.root)
+        if root is None:
+            return MatchNoDocs()
+        if isinstance(root, SpanTerm):  # degenerate tree == TermQuery
+            return Term(root.term, field=q.field)
+        return Span(root, q.field)
     if isinstance(q, DisMax):
         flat = [rewrite(c) for c in q.clauses]
         flat = [c for c in flat if not isinstance(c, MatchNoDocs)]
@@ -517,6 +559,10 @@ def prune_missing(q: Query, present: set[str]) -> Query:
         return q if all(t in present for t in q.members) else MatchNoDocs()
     if isinstance(q, SpanFirst):
         return q if q.match in present else MatchNoDocs()
+    if isinstance(q, Span):
+        from sparklucene.spans import prune as span_prune
+        root = span_prune(q.root, present)
+        return MatchNoDocs() if root is None else rewrite(Span(root, q.field))
     if isinstance(q, MultiPhrase):
         slots = tuple((off, tuple(t for t in alts if t in present))
                       for off, alts in q.slots)

@@ -42,7 +42,9 @@ from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
 from sparklucene.norms import LENGTH_TABLE
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, SpanFirst, Term, Within)
+                               Or, Phrase, Query, Span, SpanFirst, Term,
+                               Within)
+from sparklucene.spans import empty_spans, eval_spans, leaf_terms
 
 
 @dataclass
@@ -392,6 +394,8 @@ class RangeScorer:
             slot_terms = list(q.members)
         elif isinstance(q, SpanFirst):
             slot_terms = [q.match]
+        elif isinstance(q, Span):
+            slot_terms = q.weight_terms()
         else:
             slot_terms = [t for _, t in q.slots]
         # all slot terms share one field by construction (qualify());
@@ -661,6 +665,53 @@ class RangeScorer:
         nb = self.cells[t0].norms()[np.searchsorted(docs0, pdocs)]
         return pdocs, self._phrase_weighted(q, pfreq, nb)
 
+    def _span_scores(self, q: Span) -> tuple[np.ndarray, np.ndarray]:
+        """Nested span-algebra matcher — the pinned spec lives in
+        :mod:`sparklucene.spans` (the oracle contract). The whole tree
+        evaluates vectorized over canonical (doc, start, end) arrays;
+        freq = root spans per doc, weighted with the include-side
+        summed-idf phrase weight. Norms come from any leaf cell holding
+        the doc (norms are per-doc, cells inline them)."""
+        terms = leaf_terms(q.root)
+        norm_docs: list[np.ndarray] = []
+        norm_vals: list[np.ndarray] = []
+
+        def leaf(t: str):
+            cell = self.cells.get(t)
+            if cell is None:
+                return empty_spans()
+            if not cell.pos_bytes:
+                raise ValueError("span queries require an index built "
+                                 "with positions")
+            docs, tfs = cell.decode()
+            if docs.size and (int(docs[-1]) >= 1 << 32):
+                raise ValueError("span matching requires doc_id < 2^32")
+            pos = cell.positions()
+            if pos.size and int(pos.max()) >= 1 << 31:
+                raise ValueError("span matching requires token "
+                                 "positions < 2^31")
+            norm_docs.append(docs)
+            norm_vals.append(cell.norms())
+            starts = pos.astype(np.int64)
+            return (np.repeat(docs, tfs), starts, starts + 1)
+
+        # evaluate leaves once (dedup by term), then the tree
+        cache = {t: leaf(t) for t in terms}
+        d, s, e = eval_spans(q.root, lambda t: cache[t])
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            keep = ~np.isin(d, self._neg_mask_docs, assume_unique=False)
+            d = d[keep]
+        if d.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        pdocs, pfreq = np.unique(d, return_counts=True)
+        self.metrics.docs_scored += int(pdocs.size)
+        self.metrics.docs_total += int(pdocs.size)
+        all_nd = np.concatenate(norm_docs)
+        all_nv = np.concatenate(norm_vals)
+        und, first = np.unique(all_nd, return_index=True)
+        nb = all_nv[first][np.searchsorted(und, pdocs)]
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
+
     def _spanfirst_scores(self, q: SpanFirst
                           ) -> tuple[np.ndarray, np.ndarray]:
         """SpanFirst matcher — the pinned spec lives on the SpanFirst
@@ -700,6 +751,8 @@ class RangeScorer:
             return self._within_scores(c)
         if isinstance(c, SpanFirst):
             return self._spanfirst_scores(c)
+        if isinstance(c, Span):
+            return self._span_scores(c)
         if isinstance(c, And):
             return self._eval_and(c)
         if isinstance(c, Or):

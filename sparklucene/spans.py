@@ -1,0 +1,325 @@
+"""Nested span algebra — composable positional queries over posting
+positions.
+
+The PySpark-native counterpart of Lucene's span family (public knowledge:
+``u8:lucene/core/.../search/spans/{SpanTermQuery,SpanNearQuery,SpanOrQuery,
+SpanNotQuery}.java`` and the intervals surface
+``u8:lucene/queries/.../intervals/Intervals.java``). Round 3 shipped only
+the flat slices (``query.Within``, ``query.SpanFirst``); this module adds
+the *composable* tree: SpanNear over SpanOr, SpanNot exclusion windows —
+what code-search proximity users actually write.
+
+A **span set** is three aligned int64 numpy arrays ``(docs, starts,
+ends)`` — end-exclusive token intervals on the pre-stop position stream
+(the same stream Phrase/Within use) — lexsorted by (doc, start, end) with
+exact-duplicate triples removed. Every combinator consumes and produces
+this representation, fully vectorized across all docs of a doc range at
+once (no per-doc Python in the engine path; the brute-force per-doc
+mirror lives in ``oracle.py``).
+
+Pinned matching spec (this docstring is the oracle contract, like the
+sloppy-phrase and Within specs):
+
+* ``SpanTerm(t)`` — one span ``(p, p+1)`` per position ``p`` of ``t``.
+* ``SpanOrNode(clauses)`` — set union of the clause span sets.
+* ``SpanNearNode(clauses, slop, in_order=True)`` — every span of
+  ``clauses[0]`` is an ANCHOR. Greedy ordered chase: for each later
+  clause take its (start, end)-lexicographically smallest span with
+  ``start >= prev_end`` in the same doc; the gap ``start - prev_end``
+  accumulates. The anchor matches when the chase completes with total
+  gap <= ``slop``; the result span is ``(anchor_start, last_end)``.
+* ``SpanNearNode(clauses, slop, in_order=False)`` — for each anchor
+  span of ``clauses[0]``, every other clause contributes its span
+  nearest by ``|start - anchor_start|`` (ties -> smaller start, then
+  smaller end). With covering interval ``(lo, hi)`` over all chosen
+  spans (anchor included), the anchor matches when
+  ``(hi - lo) - sum(span widths) <= slop``; the result span is the
+  covering ``(lo, hi)``.
+* ``SpanNotNode(include, exclude)`` — an include span survives iff no
+  exclude span in the same doc overlaps it
+  (``x.start < i.end and x.end > i.start`` — SpanNotQuery with
+  pre = post = 0).
+
+Scoring of a ``query.Span`` wrapper: freq = |root span set| per doc,
+weighted with the summed-idf phrase weight over the include-side leaf
+terms (pre-order, first-occurrence dedup, terms absent from the index
+contribute no idf) — SpanWeight builds its simScorer from the positive
+terms only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Union
+
+import numpy as np
+
+SpanSet = tuple[np.ndarray, np.ndarray, np.ndarray]
+
+#: positions are < 2^31 (codec contract), so start/end fit 32 bits and
+#: (doc << 32 | start) packs into uint64 for searchsorted probes
+_POS_BITS = np.uint64(32)
+
+
+@dataclass(frozen=True)
+class SpanTerm:
+    term: str
+
+
+@dataclass(frozen=True)
+class SpanNearNode:
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
+class SpanOrNode:
+    clauses: tuple
+
+
+@dataclass(frozen=True)
+class SpanNotNode:
+    include: "SpanNode"
+    exclude: "SpanNode"
+
+
+SpanNode = Union[SpanTerm, SpanNearNode, SpanOrNode, SpanNotNode]
+
+
+def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
+    """Leaf terms in pre-order, first occurrence kept. With
+    ``include_only`` the exclude side of SpanNot is skipped (those terms
+    match but never weigh — SpanNotQuery scores from the include side)."""
+    out: list[str] = []
+    seen: set[str] = set()
+
+    def walk(n: SpanNode) -> None:
+        if isinstance(n, SpanTerm):
+            if n.term not in seen:
+                seen.add(n.term)
+                out.append(n.term)
+        elif isinstance(n, (SpanNearNode, SpanOrNode)):
+            for c in n.clauses:
+                walk(c)
+        elif isinstance(n, SpanNotNode):
+            walk(n.include)
+            if not include_only:
+                walk(n.exclude)
+        else:
+            raise TypeError(f"not a span node: {n!r}")
+
+    walk(node)
+    return out
+
+
+def map_terms(node: SpanNode, fn: Callable[[str], str]) -> SpanNode:
+    """Structure-preserving leaf-term rewrite (field qualification)."""
+    if isinstance(node, SpanTerm):
+        return SpanTerm(fn(node.term))
+    if isinstance(node, SpanNearNode):
+        return SpanNearNode(tuple(map_terms(c, fn) for c in node.clauses),
+                            node.slop, node.in_order)
+    if isinstance(node, SpanOrNode):
+        return SpanOrNode(tuple(map_terms(c, fn) for c in node.clauses))
+    if isinstance(node, SpanNotNode):
+        return SpanNotNode(map_terms(node.include, fn),
+                           map_terms(node.exclude, fn))
+    raise TypeError(f"not a span node: {node!r}")
+
+
+def simplify(node: SpanNode) -> SpanNode | None:
+    """Structural rewrite: unwrap single-clause Near/Or, drop empty
+    branches. Returns None when the node can never match (empty clause
+    list, or a Near with an unmatchable clause)."""
+    if isinstance(node, SpanTerm):
+        return node
+    if isinstance(node, SpanOrNode):
+        kids = [simplify(c) for c in node.clauses]
+        kids = [c for c in kids if c is not None]
+        if not kids:
+            return None
+        return kids[0] if len(kids) == 1 else SpanOrNode(tuple(kids))
+    if isinstance(node, SpanNearNode):
+        if node.slop < 0:
+            return None
+        kids = [simplify(c) for c in node.clauses]
+        if not kids or any(c is None for c in kids):
+            return None  # every Near clause is required
+        return kids[0] if len(kids) == 1 else SpanNearNode(
+            tuple(kids), node.slop, node.in_order)
+    if isinstance(node, SpanNotNode):
+        inc = simplify(node.include)
+        if inc is None:
+            return None
+        exc = simplify(node.exclude)
+        return inc if exc is None else SpanNotNode(inc, exc)
+    raise TypeError(f"not a span node: {node!r}")
+
+
+def prune(node: SpanNode, present: set[str]) -> SpanNode | None:
+    """Drop leaves absent from the index (their span sets are empty, so
+    this is a pure optimization with identical semantics): a Near loses
+    the whole tree, an Or drops the branch, a Not losing its exclude
+    keeps the include. Returns None when nothing can match."""
+    if isinstance(node, SpanTerm):
+        return node if node.term in present else None
+    if isinstance(node, SpanOrNode):
+        kids = [prune(c, present) for c in node.clauses]
+        kids = [c for c in kids if c is not None]
+        if not kids:
+            return None
+        return kids[0] if len(kids) == 1 else SpanOrNode(tuple(kids))
+    if isinstance(node, SpanNearNode):
+        kids = [prune(c, present) for c in node.clauses]
+        if not kids or any(c is None for c in kids):
+            return None
+        return kids[0] if len(kids) == 1 else SpanNearNode(
+            tuple(kids), node.slop, node.in_order)
+    if isinstance(node, SpanNotNode):
+        inc = prune(node.include, present)
+        if inc is None:
+            return None
+        exc = prune(node.exclude, present)
+        return inc if exc is None else SpanNotNode(inc, exc)
+    raise TypeError(f"not a span node: {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# vectorized span-set machinery
+# ---------------------------------------------------------------------------
+
+def empty_spans() -> SpanSet:
+    z = np.empty(0, np.int64)
+    return z, z.copy(), z.copy()
+
+
+def _canon(docs: np.ndarray, starts: np.ndarray, ends: np.ndarray
+           ) -> SpanSet:
+    """Lexsort by (doc, start, end) + exact-duplicate removal."""
+    if docs.size == 0:
+        return empty_spans()
+    order = np.lexsort((ends, starts, docs))
+    d, s, e = docs[order], starts[order], ends[order]
+    keep = np.empty(d.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1]) | (e[1:] != e[:-1])
+    return d[keep], s[keep], e[keep]
+
+
+def _pack(docs: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    return (docs.astype(np.uint64) << _POS_BITS) | vals.astype(np.uint64)
+
+
+def _eval_or(sets: list[SpanSet]) -> SpanSet:
+    live = [x for x in sets if x[0].size]
+    if not live:
+        return empty_spans()
+    return _canon(np.concatenate([x[0] for x in live]),
+                  np.concatenate([x[1] for x in live]),
+                  np.concatenate([x[2] for x in live]))
+
+
+def _eval_near_ordered(sets: list[SpanSet], slop: int) -> SpanSet:
+    ad, as_, ae = sets[0]
+    if ad.size == 0:
+        return empty_spans()
+    alive = np.ones(ad.size, dtype=bool)
+    prev_end = ae.astype(np.int64).copy()
+    gap = np.zeros(ad.size, dtype=np.int64)
+    for d_i, s_i, e_i in sets[1:]:
+        if d_i.size == 0:
+            return empty_spans()
+        key_i = _pack(d_i, s_i)
+        j = np.searchsorted(key_i, _pack(ad, prev_end), side="left")
+        ok = j < d_i.size
+        jc = np.minimum(j, d_i.size - 1)
+        ok &= d_i[jc] == ad  # landed in the same doc
+        alive &= ok
+        # among same-(doc, start) ties searchsorted('left') lands on the
+        # smallest end (canonical lexsort) — the pinned greedy choice
+        gap = np.where(ok, gap + (s_i[jc] - prev_end), gap)
+        prev_end = np.where(ok, e_i[jc], prev_end)
+    m = alive & (gap <= slop)
+    if not m.any():
+        return empty_spans()
+    return _canon(ad[m], as_[m], prev_end[m])
+
+
+def _eval_near_unordered(sets: list[SpanSet], slop: int) -> SpanSet:
+    ad, as_, ae = sets[0]
+    if ad.size == 0:
+        return empty_spans()
+    alive = np.ones(ad.size, dtype=bool)
+    lo = as_.astype(np.int64).copy()
+    hi = ae.astype(np.int64).copy()
+    width_sum = (ae - as_).astype(np.int64)
+    for d_i, s_i, e_i in sets[1:]:
+        if d_i.size == 0:
+            return empty_spans()
+        key_i = _pack(d_i, s_i)
+        seg_lo = np.searchsorted(d_i, ad, side="left")
+        seg_hi = np.searchsorted(d_i, ad, side="right")
+        ok = seg_lo < seg_hi  # the clause has a span in this doc
+        alive &= ok
+        j = np.searchsorted(key_i, _pack(ad, as_), side="left")
+        seg_last = np.maximum(seg_lo, seg_hi - 1)
+        jc = np.minimum(np.clip(j, seg_lo, seg_last), d_i.size - 1)
+        jl = np.minimum(np.clip(j - 1, seg_lo, seg_last), d_i.size - 1)
+        dc = np.abs(s_i[jc] - as_)
+        dl = np.abs(s_i[jl] - as_)
+        qs = np.where(dl <= dc, s_i[jl], s_i[jc])  # nearest; tie -> smaller
+        # smallest end among the chosen start's run: re-probe 'left'
+        j2 = np.searchsorted(key_i, _pack(ad, qs), side="left")
+        j2 = np.clip(j2, 0, d_i.size - 1)
+        qe = e_i[j2]
+        lo = np.where(ok, np.minimum(lo, qs), lo)
+        hi = np.where(ok, np.maximum(hi, qe), hi)
+        width_sum = np.where(ok, width_sum + (qe - qs), width_sum)
+    m = alive & ((hi - lo) - width_sum <= slop)
+    if not m.any():
+        return empty_spans()
+    return _canon(ad[m], lo[m], hi[m])
+
+
+def _eval_not(inc: SpanSet, exc: SpanSet) -> SpanSet:
+    d, s, e = inc
+    if d.size == 0 or exc[0].size == 0:
+        return inc
+    xd, xs, xe = exc
+    # segmented running max of exclude ends over (doc, start) order: the
+    # packed key (doc << 32 | end) is dominated by the doc field, so a
+    # plain cumulative max restarts per doc segment (ends < 2^31)
+    acc = np.maximum.accumulate(_pack(xd, xe))
+    prefmax_end = (acc & np.uint64((1 << 32) - 1)).astype(np.int64)
+    key_x = _pack(xd, xs)
+    jr = np.searchsorted(key_x, _pack(d, e), side="left")
+    lo_d = np.searchsorted(xd, d, side="left")
+    has_prior = jr > lo_d  # some exclude in this doc starts before inc.end
+    pm = prefmax_end[np.maximum(jr, 1) - 1]
+    overlap = has_prior & (pm > s)
+    keep = ~overlap
+    if keep.all():
+        return inc
+    return d[keep], s[keep], e[keep]
+
+
+def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
+    """Evaluate a span tree to its canonical span set. ``leaf`` maps a
+    term to its SpanSet (``(p, p+1)`` per posting position, canonical
+    order — posting docs and per-doc positions are stored sorted)."""
+    if isinstance(node, SpanTerm):
+        return leaf(node.term)
+    if isinstance(node, SpanOrNode):
+        return _eval_or([eval_spans(c, leaf) for c in node.clauses])
+    if isinstance(node, SpanNearNode):
+        sets = [eval_spans(c, leaf) for c in node.clauses]
+        if len(sets) == 1:
+            return sets[0]
+        if node.in_order:
+            return _eval_near_ordered(sets, node.slop)
+        return _eval_near_unordered(sets, node.slop)
+    if isinstance(node, SpanNotNode):
+        return _eval_not(eval_spans(node.include, leaf),
+                         eval_spans(node.exclude, leaf))
+    raise TypeError(f"not a span node: {node!r}")

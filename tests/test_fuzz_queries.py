@@ -12,8 +12,10 @@ import pytest
 from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchNoDocs, MultiPhrase, Not, Or, Phrase,
-                               SpanFirst, Term, Within, prune_missing,
+                               Span, SpanFirst, Term, Within, prune_missing,
                                rewrite)
+from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
+                               SpanTerm)
 
 VOCAB = ["spark", "merge", "join", "scan", "filter", "window", "table",
          "hash", "batch", "vector", "stream", "agg", "query", "fast",
@@ -40,13 +42,35 @@ def _rand_phrase(rng: random.Random):
 
 
 def _rand_positional(rng: random.Random):
-    if rng.random() < 0.6:
+    r = rng.random()
+    if r < 0.45:
         n = rng.randint(2, 3)
         members = tuple(rng.sample(VOCAB[:12], n))
         return Within(members, window=rng.randint(2, 9),
                       ordered=rng.random() < 0.5)
-    return SpanFirst(rng.choice(VOCAB[:12]),
-                     end=rng.choice([1, 2, 5, 20]))
+    if r < 0.6:
+        return SpanFirst(rng.choice(VOCAB[:12]),
+                         end=rng.choice([1, 2, 5, 20]))
+    return Span(_rand_span_node(rng))
+
+
+def _rand_span_node(rng: random.Random, depth: int = 0):
+    """Random nested span tree over the corpus vocabulary (includes the
+    absent term so missing-leaf pruning is exercised)."""
+    r = rng.random()
+    if depth >= 2 or r < 0.4:
+        return SpanTerm(rng.choice(VOCAB[:12] + ["zzz_absent"]))
+    if r < 0.6:
+        kids = tuple(_rand_span_node(rng, depth + 1)
+                     for _ in range(rng.randint(2, 3)))
+        return SpanNearNode(kids, slop=rng.choice([0, 1, 3, 8]),
+                            in_order=rng.random() < 0.5)
+    if r < 0.85:
+        kids = tuple(_rand_span_node(rng, depth + 1)
+                     for _ in range(rng.randint(2, 3)))
+        return SpanOrNode(kids)
+    return SpanNotNode(_rand_span_node(rng, depth + 1),
+                       _rand_span_node(rng, depth + 1))
 
 
 def _rand_query(rng: random.Random, depth: int = 0):

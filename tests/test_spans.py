@@ -1,0 +1,182 @@
+"""Nested span algebra: unit tests of every combinator on hand-built
+position streams, engine-vs-oracle equality on the fixture corpus, and a
+dedicated seeded fuzz loop over pure span trees (the boolean fuzzer in
+test_fuzz_queries mixes Span in probabilistically; this one guarantees
+coverage of Near/Or/Not nesting)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparklucene.oracle import build_oracle_index, search_oracle
+from sparklucene.query import (MatchNoDocs, Span, Term, prune_missing,
+                               rewrite)
+from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
+                               SpanTerm, empty_spans, eval_spans,
+                               leaf_terms, prune, simplify)
+
+
+def _leaf_from(doc_positions: dict[str, dict[int, list[int]]]):
+    """leaf callback over {term: {doc: [pos...]}} (canonical order)."""
+    def leaf(t):
+        per = doc_positions.get(t)
+        if not per:
+            return empty_spans()
+        d, s = [], []
+        for doc in sorted(per):
+            for p in sorted(per[doc]):
+                d.append(doc)
+                s.append(p)
+        d = np.asarray(d, np.int64)
+        s = np.asarray(s, np.int64)
+        return d, s, s + 1
+    return leaf
+
+
+def _spans(node, positions):
+    d, s, e = eval_spans(node, _leaf_from(positions))
+    return list(zip(d.tolist(), s.tolist(), e.tolist()))
+
+
+T, N, O, X = SpanTerm, SpanNearNode, SpanOrNode, SpanNotNode
+
+
+def test_span_term_and_or():
+    pos = {"a": {1: [0, 5], 3: [2]}, "b": {1: [5]}}
+    assert _spans(T("a"), pos) == [(1, 0, 1), (1, 5, 6), (3, 2, 3)]
+    # union dedups the shared (1, 5, 6) span
+    assert _spans(O((T("a"), T("b"))), pos) == [
+        (1, 0, 1), (1, 5, 6), (3, 2, 3)]
+
+
+def test_near_ordered_gap_and_slop():
+    pos = {"a": {1: [0, 10]}, "b": {1: [3, 11]}}
+    # anchor 0: chase b at 3 (gap 2) -> only slop >= 2 matches;
+    # anchor 10: chase b at 11 (gap 0)
+    assert _spans(N((T("a"), T("b")), slop=0), pos) == [(1, 10, 12)]
+    assert _spans(N((T("a"), T("b")), slop=2), pos) == [
+        (1, 0, 4), (1, 10, 12)]
+
+
+def test_near_ordered_requires_order():
+    pos = {"a": {1: [5]}, "b": {1: [2]}}  # b before a only
+    assert _spans(N((T("a"), T("b")), slop=9), pos) == []
+    assert _spans(N((T("b"), T("a")), slop=9), pos) == [(1, 2, 6)]
+
+
+def test_near_unordered_either_order():
+    pos = {"a": {1: [5]}, "b": {1: [2]}}
+    got = _spans(N((T("a"), T("b")), slop=2, in_order=False), pos)
+    assert got == [(1, 2, 6)]  # covering (2, 6), gap = 4 - 2 = 2
+
+
+def test_near_unordered_nearest_tie_smaller_start():
+    # b at distance 2 on both sides of anchor a@5 -> pinned tie: smaller
+    pos = {"a": {1: [5]}, "b": {1: [3, 7]}}
+    assert _spans(N((T("a"), T("b")), slop=1, in_order=False), pos) == [
+        (1, 3, 6)]
+
+
+def test_span_not_overlap_and_survive():
+    inc = N((T("a"), T("b")), slop=3)
+    pos = {"a": {1: [0], 2: [0]}, "b": {1: [2], 2: [2]}, "x": {1: [1]}}
+    # doc 1's span (0,3) contains x@1 -> excluded; doc 2 has no x
+    assert _spans(X(inc, T("x")), pos) == [(2, 0, 3)]
+    # non-overlapping exclude (x at 5) survives
+    pos2 = {**pos, "x": {1: [5]}}
+    assert _spans(X(inc, T("x")), pos2) == [(1, 0, 3), (2, 0, 3)]
+
+
+def test_span_not_edge_touching_is_not_overlap():
+    # end-exclusive: exclude starting exactly at include.end doesn't kill
+    pos = {"a": {1: [0]}, "x": {1: [1]}}
+    assert _spans(X(T("a"), T("x")), pos) == [(1, 0, 1)]
+    # but same position does
+    pos2 = {"a": {1: [0]}, "x": {1: [0]}}
+    assert _spans(X(T("a"), T("x")), pos2) == []
+
+
+def test_nested_or_inside_near():
+    pos = {"a": {1: [0]}, "b": {2: [0]}, "c": {1: [2], 2: [2]}}
+    node = N((O((T("a"), T("b"))), T("c")), slop=1)
+    assert _spans(node, pos) == [(1, 0, 3), (2, 0, 3)]
+
+
+def test_near_over_near_widths():
+    # inner near produces a wide span; outer unordered subtracts widths
+    pos = {"a": {1: [0]}, "b": {1: [2]}, "c": {1: [4]}}
+    inner = N((T("a"), T("b")), slop=1)        # span (0, 3), width 3
+    outer = N((inner, T("c")), slop=1, in_order=False)
+    # covering (0,5) width 5; widths 3 + 1 = 4; gap 1 <= 1
+    assert _spans(outer, pos) == [(1, 0, 5)]
+    assert _spans(N((inner, T("c")), slop=0, in_order=False), pos) == []
+
+
+def test_simplify_and_prune():
+    node = N((O((T("a"),)), T("b")), slop=1)
+    assert simplify(node) == N((T("a"), T("b")), slop=1)
+    assert simplify(O(())) is None
+    assert prune(N((T("a"), T("gone")), slop=1), {"a"}) is None
+    assert prune(O((T("a"), T("gone"))), {"a"}) == T("a")
+    assert prune(X(T("a"), T("gone")), {"a"}) == T("a")
+    assert leaf_terms(X(N((T("a"), T("b")), 0), T("c"))) == ["a", "b", "c"]
+    assert leaf_terms(X(N((T("a"), T("b")), 0), T("c")),
+                      include_only=True) == ["a", "b"]
+
+
+def test_rewrite_degenerate_span():
+    assert rewrite(Span(O(()))) == MatchNoDocs()
+    assert rewrite(Span(O((T("a"),)))) == Term("a")
+    assert isinstance(prune_missing(rewrite(Span(N((T("a"), T("b")), 1))),
+                                    {"a"}), MatchNoDocs)
+
+
+@pytest.fixture(scope="module")
+def oidx(corpus_pdf):
+    return build_oracle_index(corpus_pdf)
+
+
+VOCAB = ["spark", "merge", "join", "scan", "filter", "window", "table",
+         "hash", "batch", "vector", "stream", "agg"]
+
+
+def _rand_node(rng: random.Random, depth: int = 0):
+    r = rng.random()
+    if depth >= 2 or r < 0.35:
+        return T(rng.choice(VOCAB + ["zzz_absent"]))
+    if r < 0.6:
+        kids = tuple(_rand_node(rng, depth + 1)
+                     for _ in range(rng.randint(2, 3)))
+        return N(kids, slop=rng.choice([0, 1, 3, 8, 15]),
+                 in_order=rng.random() < 0.5)
+    if r < 0.85:
+        kids = tuple(_rand_node(rng, depth + 1)
+                     for _ in range(rng.randint(2, 3)))
+        return O(kids)
+    return X(_rand_node(rng, depth + 1), _rand_node(rng, depth + 1))
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("mode", ["lucene8", "f64"])
+def test_fuzzed_span_trees_vs_oracle(oidx, seed, mode):
+    from tests.test_scorer import _scorer_from_oracle
+
+    present = set(oidx.tf["term"].unique())
+    rng = random.Random(7000 + seed)
+    n_checked = 0
+    for _ in range(20):
+        q = prune_missing(rewrite(Span(_rand_node(rng))), present)
+        if isinstance(q, MatchNoDocs):
+            continue
+        for k in (3, 10):
+            sp = _scorer_from_oracle(oidx, mode, prune=True)
+            dp, vp = sp.topk(q, k)
+            want = search_oracle(oidx, q, k, mode=mode)
+            assert dp.tolist() == want["doc_id"].tolist(), f"ids {q}"
+            assert (vp == want["score"].to_numpy()).all(), f"scores {q}"
+            n_checked += 1
+    assert n_checked >= 12
