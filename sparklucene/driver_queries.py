@@ -2092,6 +2092,200 @@ SELECT doc_id,
 FROM term_scores GROUP BY lang, doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""")
 
+    # ---- ExactStatsCache fan-out (round 4; u8:solr/core/.../search/
+    # stats/ExactStatsCache.java): merged global df/doc_count before
+    # scoring — distributed ranking equals one unrouted index, so the
+    # oracle computes WHOLE-CORPUS statistics and tags each hit with its
+    # shard (the doc's lang)
+    def fanout_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import routed_search
+        base = _routed_base(spark, sf_dir)
+        return routed_search(spark, base, q_ms, route=None, k=10,
+                             mode="f64", stats="global")
+    e["routed_search_global_stats"] = (fanout_global, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tsc} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT s.doc_id AS doc_id,
+       CAST(CAST(sum(CAST(s.s AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+       any_value(d.lang) AS route
+FROM term_scores s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY s.doc_id
+ORDER BY score DESC, s.doc_id ASC LIMIT 10""")
+
+    # ---- CompositeId hash-range router (round 4;
+    # u8:solr/solrj/.../common/cloud/CompositeIdRouter.java): ring hash
+    # (hash16(lang) << 16) | hash16(doc_id), 4 contiguous shard ranges,
+    # `_route_=en!` pruning to the 2^16-wide prefix window. The oracle
+    # recomputes the sha256-based ring position per doc in SQL, keeps
+    # only the shard(s) covering en's window, and scores each shard with
+    # its LOCAL statistics (Solr default)."""
+    def _hashed_base(spark: SparkSession, sf_dir: str) -> str:
+        from sparklucene.routing import RING, _hash32_col
+        n_shards = 4
+        hcol = _hash32_col("doc_id", "lang")
+        manifest = {}
+        # one tiny count-agg finds populated ring ranges (an empty shard
+        # is dir=None in the manifest — build_hashed_index's convention;
+        # build_index itself refuses an empty corpus)
+        shard_expr = F.shiftright(_hash32_col("doc_id", "lang")
+                                  * F.lit(n_shards), 32)
+        counts = {int(r[0]): int(r[1])
+                  for r in _t(spark, sf_dir, "documents")
+                  .groupBy(shard_expr.alias("s")).count().collect()}
+        for s in range(n_shards):
+            n_docs = counts.get(s, 0)
+            entry = {"dir": None, "n_docs": n_docs,
+                     "range": [-(-RING * s // n_shards) if s else 0,
+                               -(-RING * (s + 1) // n_shards)]}
+            if n_docs:
+                idx = index_for(
+                    spark, sf_dir, variant=f"hs4-{s}",
+                    transform=lambda c, s=s: c.filter(
+                        F.shiftright(_hash32_col("doc_id", "lang")
+                                     * F.lit(n_shards), 32) == s))
+                entry["dir"] = idx.paths.root
+            manifest[f"s{s}"] = entry
+        base = os.path.join("/tmp", "sparklucene-idx",
+                            os.path.basename(os.path.realpath(sf_dir))
+                            + "-hashed4")
+        os.makedirs(base, exist_ok=True)
+        tmp = os.path.join(base, "routes.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"router": "compositeId", "n_shards": n_shards,
+                        "id_col": "doc_id", "shard_key_col": "lang",
+                        "routes": manifest}, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(base, "routes.json"))
+        return base
+
+    def hashed_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import hashed_search
+        base = _hashed_base(spark, sf_dir)
+        return hashed_search(spark, base, q_ms, route_key="en", k=10,
+                             mode="f64")
+    _h16 = "(('0x' || substr(sha256({x}), 1, 4))::UBIGINT)"
+    _hdoc = (f"(({_h16.format(x='lang')}::BIGINT << 16) | "
+             f"{_h16.format(x='CAST(doc_id AS VARCHAR)')}::BIGINT)")
+    _enlo = f"({_h16.format(x=chr(39) + 'en' + chr(39))}::BIGINT << 16)"
+    e["hashed_search_route_key"] = (hashed_by_key, f"""WITH sharded AS (
+  SELECT d.*, ({_hdoc} * 4) >> 32 AS shard FROM documents d),
+covered AS (
+  SELECT DISTINCT s FROM (VALUES (({_enlo} * 4) >> 32),
+                                 ((({_enlo} | 65535) * 4) >> 32)) v(s)),
+docs_r AS (SELECT * FROM sharded WHERE shard IN (SELECT s FROM covered)),
+tok AS (
+  SELECT shard, doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM docs_r),
+tf AS (
+  SELECT shard, doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term NOT IN {stop} GROUP BY shard, doc_id, term),
+doclen AS (
+  SELECT d.shard, d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM docs_r d
+  LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS dl FROM tok
+             WHERE term NOT IN {stop} GROUP BY doc_id) t USING (doc_id)),
+meta AS (
+  SELECT shard, doc_id, dl, {quantize_length_sql('dl')}::BIGINT AS dlq
+  FROM doclen),
+gstats AS (
+  SELECT shard, count(*) FILTER (WHERE dl >= 1)::BIGINT AS doc_count,
+         sum(dl)::BIGINT AS sum_dl FROM meta GROUP BY shard),
+tstats AS (
+  SELECT shard, term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY shard, term),
+term_scores AS (
+  SELECT tf.shard, tf.doc_id, {tsc} AS s
+  FROM tf
+  JOIN tstats ts ON tf.shard = ts.shard AND tf.term = ts.term
+  JOIN meta m ON tf.shard = m.shard AND tf.doc_id = m.doc_id
+  JOIN gstats g ON tf.shard = g.shard
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id,
+       CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+       's' || CAST(shard AS VARCHAR) AS route
+FROM term_scores GROUP BY shard, doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # ---- time-routed alias (round 4; u8:solr/core/.../cloud/api/
+    # collections/TimeRoutedAlias.java): month buckets over the pinned
+    # derived timestamp 2025-01-01 + (doc_id % 90) days (the fixture
+    # convention — documents carry no timestamp column); a Feb 1 –
+    # Mar 31 window opens only the 2025-02/2025-03 buckets, scored with
+    # per-bucket LOCAL stats
+    _TS = ("timestampadd(DAY, CAST(doc_id % 90 AS INT), "
+           "timestamp'2025-01-01 00:00:00')")
+
+    def _tra_base(spark: SparkSession, sf_dir: str) -> str:
+        buckets = ("2025-01", "2025-02", "2025-03")
+        manifest = {}
+        for b in buckets:
+            idx = index_for(
+                spark, sf_dir, variant=f"tra-{b}",
+                transform=lambda c, b=b: c.filter(
+                    F.date_format(F.expr(_TS), "yyyy-MM") == b))
+            manifest[b] = {"dir": idx.paths.root,
+                           "n_docs": idx.stats["n_docs"]}
+        base = os.path.join("/tmp", "sparklucene-idx",
+                            os.path.basename(os.path.realpath(sf_dir))
+                            + "-tra")
+        os.makedirs(base, exist_ok=True)
+        tmp = os.path.join(base, "routes.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"router": "time", "ts_col": "ts",
+                        "interval": "month", "routes": manifest}, fh,
+                       sort_keys=True)
+        os.replace(tmp, os.path.join(base, "routes.json"))
+        return base
+
+    def tra_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datetime import date as _date
+
+        from sparklucene.routing import time_routed_search
+        base = _tra_base(spark, sf_dir)
+        return time_routed_search(spark, base, q_ms, _date(2025, 2, 1),
+                                  _date(2025, 3, 31), k=10, mode="f64")
+    e["time_routed_search_window"] = (tra_window, f"""WITH bucketed AS (
+  SELECT d.*, strftime(DATE '2025-01-01'
+         + ((doc_id % 90)::INT * INTERVAL 1 DAY), '%Y-%m') AS b
+  FROM documents d),
+docs_r AS (SELECT * FROM bucketed WHERE b IN ('2025-02', '2025-03')),
+tok AS (
+  SELECT b, doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM docs_r),
+tf AS (
+  SELECT b, doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term NOT IN {stop} GROUP BY b, doc_id, term),
+doclen AS (
+  SELECT d.b, d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM docs_r d
+  LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS dl FROM tok
+             WHERE term NOT IN {stop} GROUP BY doc_id) t USING (doc_id)),
+meta AS (
+  SELECT b, doc_id, dl, {quantize_length_sql('dl')}::BIGINT AS dlq
+  FROM doclen),
+gstats AS (
+  SELECT b, count(*) FILTER (WHERE dl >= 1)::BIGINT AS doc_count,
+         sum(dl)::BIGINT AS sum_dl FROM meta GROUP BY b),
+tstats AS (
+  SELECT b, term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY b, term),
+term_scores AS (
+  SELECT tf.b, tf.doc_id, {tsc} AS s
+  FROM tf
+  JOIN tstats ts ON tf.b = ts.b AND tf.term = ts.term
+  JOIN meta m ON tf.b = m.b AND tf.doc_id = m.doc_id
+  JOIN gstats g ON tf.b = g.b
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id,
+       CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score,
+       b AS route
+FROM term_scores GROUP BY b, doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     return e
 
 
