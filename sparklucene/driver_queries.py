@@ -1328,6 +1328,62 @@ ORDER BY doc_id""")
 SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'mergee') <= 1
 ORDER BY doc_id""")
 
+    # TOP_TERMS scoring rewrite (round 4; u8:lucene/core/.../search/
+    # MultiTermQuery.java TopTermsScoringBooleanQueryRewrite): instead of
+    # constant-score, keep the best-n expansions with per-term boosts and
+    # real BM25 ranking. Pinned selection spec on query.TopTerms; the
+    # oracle re-derives candidates + boosts from the term dictionary and
+    # scores (boost * idf * tf) / denom exactly like bm25.score_f64.
+    _avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    _idf_e = "ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5))"
+    _denom = f"(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {_avgdl}))"
+
+    def fuzzy_scored(spark, sf):
+        from sparklucene.query import TopTerms
+        return search(index_for(spark, sf),
+                      TopTerms(Fuzzy("mergee", max_edits=2), n=5),
+                      k=10, mode="f64")
+    e["fuzzy_query_scored"] = (fuzzy_scored, f"""WITH {corpus_ctes()},
+cand AS (
+  SELECT term, df,
+         1.0 - levenshtein(term, 'mergee')
+               / CAST(least(length('mergee'), length(term)) AS DOUBLE)
+           AS boost
+  FROM tstats WHERE levenshtein(term, 'mergee') <= 2),
+kept AS (
+  SELECT term, boost FROM cand
+  ORDER BY boost DESC, df DESC, term ASC LIMIT 5),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(((k.boost * {_idf_e}) * tf.tf) / {_denom} AS REAL) AS s
+  FROM tf JOIN kept k ON tf.term = k.term
+  JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g)
+SELECT doc_id,
+       CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def wildcard_scored(spark, sf):
+        from sparklucene.query import TopTerms
+        return search(index_for(spark, sf),
+                      TopTerms(Wildcard("mer*"), n=5), k=10, mode="f64")
+    # constant boosts -> selection degenerates to (df desc, term asc)
+    e["wildcard_query_scored"] = (wildcard_scored, f"""WITH {corpus_ctes()},
+kept AS (
+  SELECT term FROM tstats WHERE term LIKE 'mer%'
+  ORDER BY df DESC, term ASC LIMIT 5),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(((1.0 * {_idf_e}) * tf.tf) / {_denom} AS REAL) AS s
+  FROM tf JOIN kept k ON tf.term = k.term
+  JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g)
+SELECT doc_id,
+       CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     def termfreq(spark, sf):
         """termfreq() relevance ValueSource: per-doc tf of one term."""
         idx = index_for(spark, sf)

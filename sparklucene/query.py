@@ -367,6 +367,31 @@ class TermInSet(MultiTermQuery):
 
 
 @dataclass(frozen=True)
+class TopTerms(Query):
+    """TOP_TERMS scoring rewrite for a multi-term query — Lucene's
+    ``MultiTermQuery.TopTermsScoringBooleanQueryRewrite(n)``
+    (``u8:lucene/core/.../search/MultiTermQuery.java``): instead of
+    CONSTANT_SCORE, expand to the best ``n`` matching terms and keep
+    per-term BM25 scores, so fuzzy/wildcard users get real ranking.
+
+    Pinned selection spec (this engine's deterministic order — Lucene's
+    queue compares boost then raw term bytes; we pin a fully documented
+    tiebreak): candidate boost = ``1 - edit_distance /
+    min(len(query_term), len(candidate))`` for Fuzzy (FuzzyTermsEnum's
+    published formula), 1.0 for every other MultiTermQuery; keep the top
+    ``n`` by (boost desc, df desc, term asc); rewrite to
+    ``Or(Term(t, boost * self_boost) ...)`` in term-ascending clause
+    order (the scorer's deterministic f64 summation order)."""
+
+    query: MultiTermQuery
+    n: int = 10
+    boost: float = 1.0
+
+    def terms(self) -> list[str]:
+        return []  # empty until expansion, like MultiTermQuery
+
+
+@dataclass(frozen=True)
 class MultiPhrase(Query):
     """MultiPhraseQuery: each slot holds ALTERNATIVE terms at one
     position offset — a doc matches when some base position carries any

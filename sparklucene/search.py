@@ -35,7 +35,8 @@ from sparklucene.build import IndexPaths, load_stats
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered, Fuzzy,
                                MatchAllDocs, MatchNoDocs, MultiTermQuery,
                                Not, Or, Prefix, Query, Regexp, Term,
-                               TermInSet, TermRange, Wildcard, FIELD_SEP,
+                               TermInSet, TermRange, TopTerms, Wildcard,
+                               FIELD_SEP,
                                field_key, parse, prune_missing, qualify,
                                rewrite)
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
@@ -298,6 +299,52 @@ def _as_query(query: str | Query) -> Query:
     return parse(query) if isinstance(query, str) else rewrite(query)
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Plain Levenshtein (driver-side, expansion-list-bounded inputs)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expand_top_terms(q: TopTerms, index: Index, cap: int) -> Query:
+    """TOP_TERMS_SCORING_BOOLEAN rewrite (pinned spec on query.TopTerms):
+    expand the wrapped MultiTermQuery, boost Fuzzy candidates by the
+    published FuzzyTermsEnum similarity, keep the best n by
+    (boost desc, df desc, term asc), and emit a scoring Or of boosted
+    TermQuery clauses in term order."""
+    terms = index.expand_terms(q.query, cap)
+    if not terms:
+        return MatchNoDocs()
+    if isinstance(q.query, Fuzzy):
+        fk = field_key(q.query.field, "")
+        qt = q.query.term
+
+        def fuzz_boost(t: str) -> float:
+            body = t[len(fk):] if fk else t
+            d = _edit_distance(qt, body)
+            m = min(len(qt), len(body))
+            return 1.0 - d / m if m else (1.0 if d == 0 else 0.0)
+        boosts = {t: fuzz_boost(t) for t in terms}
+    else:
+        boosts = {t: 1.0 for t in terms}
+    dfs = {t: s.df for t, s in index.term_stats_for(terms).items()}
+    ranked = sorted(terms, key=lambda t: (-boosts[t], -dfs.get(t, 0), t))
+    kept = sorted(ranked[:max(q.n, 0)])
+    if not kept:
+        return MatchNoDocs()
+    return rewrite(Or(tuple(Term(t, boost=q.boost * boosts[t])
+                            for t in kept)))
+
+
 def _expand_multiterm(q: Query, index: Index, cap: int) -> Query:
     """Rewrite every MultiTermQuery node into
     ``ConstantScore(Or(expanded terms))`` — Lucene's
@@ -308,6 +355,8 @@ def _expand_multiterm(q: Query, index: Index, cap: int) -> Query:
         if not terms:
             return MatchNoDocs()
         return ConstantScore(Or(tuple(Term(t) for t in terms)), q.boost)
+    if isinstance(q, TopTerms):
+        return _expand_top_terms(q, index, cap)
     if isinstance(q, (And, Or)):
         clauses = tuple(_expand_multiterm(c, index, cap) for c in q.clauses)
         return rewrite(And(clauses) if isinstance(q, And)

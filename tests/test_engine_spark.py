@@ -224,3 +224,49 @@ def test_term_vectors_match_forward_analysis(built, corpus_pdf):
     for r in out.itertuples():
         assert int(r.df) == int(ts.loc[r.term, "df"])
         assert int(r.cf) == int(ts.loc[r.term, "cf"])
+
+
+def test_top_terms_scoring_rewrite(built, oidx):
+    """TopTerms (TOP_TERMS_SCORING_BOOLEAN rewrite): the engine result
+    equals the oracle scoring of the manually-selected boosted Or under
+    the pinned selection spec (boost desc, df desc, term asc)."""
+    from sparklucene.query import Fuzzy, Or, Term, TopTerms, Wildcard
+    from sparklucene.search import _edit_distance
+
+    idx, _, _ = built
+
+    # pinned Levenshtein helper sanity
+    assert _edit_distance("merge", "merge") == 0
+    assert _edit_distance("merge", "marge") == 1
+    assert _edit_distance("merge", "merged") == 1
+    assert _edit_distance("abc", "") == 3
+
+    for q, n in ((Fuzzy("part", max_edits=2), 2),
+                 (Wildcard("s*"), 3)):
+        cands = idx.expand_terms(q, 1024)
+        assert len(cands) > n  # truncation is actually exercised
+        if isinstance(q, Fuzzy):
+            boosts = {t: 1.0 - _edit_distance(q.term, t)
+                      / min(len(q.term), len(t)) for t in cands}
+        else:
+            boosts = {t: 1.0 for t in cands}
+        dfs = {t: s.df for t, s in idx.term_stats_for(cands).items()}
+        ranked = sorted(cands, key=lambda t: (-boosts[t], -dfs[t], t))
+        manual = Or(tuple(Term(t, boost=boosts[t])
+                          for t in sorted(ranked[:n])))
+        got = search(idx, TopTerms(q, n=n), k=10, mode="f64").toPandas()
+        want = search_oracle(oidx, manual, k=10, mode="f64")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert (got["score"].to_numpy()
+                == want["score"].to_numpy().astype("float64")).all()
+
+    # composes inside booleans, and ranking differs from constant-score
+    from sparklucene.query import And
+    both = And((TopTerms(Fuzzy("part", max_edits=1), n=3), Term("join")))
+    out = search(idx, both, k=5, mode="f64").toPandas()
+    assert len(out) > 0
+    cs = search(idx, Fuzzy("part", max_edits=2), k=10, mode="f64").toPandas()
+    tt = search(idx, TopTerms(Fuzzy("part", max_edits=2), n=2), k=10,
+                mode="f64").toPandas()
+    assert not np.allclose(np.sort(cs["score"].to_numpy())[::-1],
+                           np.sort(tt["score"].to_numpy())[::-1])
