@@ -173,11 +173,16 @@ def _span_node_sql(node, ctr: list[int], ctes: list[str]) -> str:
     via min-(s, e) QUALIFY, unordered nearest-by-start with the
     (abs distance, start, end) tie order, overlap NOT EXISTS for SpanNot.
     Returns the name of the CTE holding the node's span set."""
-    from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
-                                   SpanTerm)
+    from sparklucene.spans import (SpanFirstNode, SpanNearNode, SpanNotNode,
+                                   SpanOrNode, SpanTerm)
 
     ctr[0] += 1
     me = f"sp{ctr[0]}"
+    if isinstance(node, SpanFirstNode):
+        m = _span_node_sql(node.match, ctr, ctes)
+        ctes.append(f"""
+{me} AS (SELECT doc_id, s, e FROM {m} WHERE e <= {node.limit})""")
+        return me
     if isinstance(node, SpanTerm):
         ctes.append(f"""
 {me} AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tokp

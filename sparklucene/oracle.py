@@ -20,8 +20,8 @@ from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
                                Or, Phrase, Query, Span, SpanFirst, Term,
                                Within)
-from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
-                               SpanTerm, leaf_terms)
+from sparklucene.spans import (SpanFirstNode, SpanNearNode, SpanNotNode,
+                               SpanOrNode, SpanTerm, leaf_terms)
 
 
 @dataclass
@@ -269,6 +269,9 @@ def _span_eval_doc(node, pos_of: dict[str, list[int]]) -> list[tuple[int, int]]:
         exc = _span_eval_doc(node.exclude, pos_of)
         return [(s, e) for s, e in inc
                 if not any(xs < e and xe > s for xs, xe in exc)]
+    if isinstance(node, SpanFirstNode):
+        return [(s, e) for s, e in _span_eval_doc(node.match, pos_of)
+                if e <= node.limit]
     if isinstance(node, SpanNearNode):
         sets = [_span_eval_doc(c, pos_of) for c in node.clauses]
         if len(sets) == 1:

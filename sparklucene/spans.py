@@ -39,6 +39,8 @@ sloppy-phrase and Within specs):
   exclude span in the same doc overlaps it
   (``x.start < i.end and x.end > i.start`` — SpanNotQuery with
   pre = post = 0).
+* ``SpanFirstNode(match, limit)`` — spans of ``match`` with
+  ``end <= limit`` (SpanFirstQuery over an arbitrary sub-span).
 
 Scoring of a ``query.Span`` wrapper: freq = |root span set| per doc,
 weighted with the summed-idf phrase weight over the include-side leaf
@@ -84,7 +86,18 @@ class SpanNotNode:
     exclude: "SpanNode"
 
 
-SpanNode = Union[SpanTerm, SpanNearNode, SpanOrNode, SpanNotNode]
+@dataclass(frozen=True)
+class SpanFirstNode:
+    """SpanFirstQuery over an arbitrary sub-span (Lucene wraps any
+    SpanQuery, not just a term — ``u8:lucene/core/.../search/spans/
+    SpanFirstQuery.java``): keep spans with ``end <= limit``."""
+
+    match: "SpanNode"
+    limit: int
+
+
+SpanNode = Union[SpanTerm, SpanNearNode, SpanOrNode, SpanNotNode,
+                 SpanFirstNode]
 
 
 def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
@@ -106,6 +119,8 @@ def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
             walk(n.include)
             if not include_only:
                 walk(n.exclude)
+        elif isinstance(n, SpanFirstNode):
+            walk(n.match)
         else:
             raise TypeError(f"not a span node: {n!r}")
 
@@ -125,6 +140,8 @@ def map_terms(node: SpanNode, fn: Callable[[str], str]) -> SpanNode:
     if isinstance(node, SpanNotNode):
         return SpanNotNode(map_terms(node.include, fn),
                            map_terms(node.exclude, fn))
+    if isinstance(node, SpanFirstNode):
+        return SpanFirstNode(map_terms(node.match, fn), node.limit)
     raise TypeError(f"not a span node: {node!r}")
 
 
@@ -154,6 +171,11 @@ def simplify(node: SpanNode) -> SpanNode | None:
             return None
         exc = simplify(node.exclude)
         return inc if exc is None else SpanNotNode(inc, exc)
+    if isinstance(node, SpanFirstNode):
+        if node.limit <= 0:
+            return None
+        m = simplify(node.match)
+        return None if m is None else SpanFirstNode(m, node.limit)
     raise TypeError(f"not a span node: {node!r}")
 
 
@@ -182,6 +204,9 @@ def prune(node: SpanNode, present: set[str]) -> SpanNode | None:
             return None
         exc = prune(node.exclude, present)
         return inc if exc is None else SpanNotNode(inc, exc)
+    if isinstance(node, SpanFirstNode):
+        m = prune(node.match, present)
+        return None if m is None else SpanFirstNode(m, node.limit)
     raise TypeError(f"not a span node: {node!r}")
 
 
@@ -322,4 +347,8 @@ def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
     if isinstance(node, SpanNotNode):
         return _eval_not(eval_spans(node.include, leaf),
                          eval_spans(node.exclude, leaf))
+    if isinstance(node, SpanFirstNode):
+        d, st, en = eval_spans(node.match, leaf)
+        keep = en <= node.limit
+        return (d, st, en) if keep.all() else (d[keep], st[keep], en[keep])
     raise TypeError(f"not a span node: {node!r}")

@@ -15,9 +15,9 @@ import pytest
 from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import (MatchNoDocs, Span, Term, prune_missing,
                                rewrite)
-from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
-                               SpanTerm, empty_spans, eval_spans,
-                               leaf_terms, prune, simplify)
+from sparklucene.spans import (SpanFirstNode, SpanNearNode, SpanNotNode,
+                               SpanOrNode, SpanTerm, empty_spans,
+                               eval_spans, leaf_terms, prune, simplify)
 
 
 def _leaf_from(doc_positions: dict[str, dict[int, list[int]]]):
@@ -116,6 +116,23 @@ def test_near_over_near_widths():
     assert _spans(N((inner, T("c")), slop=0, in_order=False), pos) == []
 
 
+def test_span_first_over_subspan():
+    # SpanFirst over a Near: only matches whose END is inside the limit
+    pos = {"a": {1: [0, 10]}, "b": {1: [1, 11]}}
+    near = N((T("a"), T("b")), slop=0)
+    assert _spans(near, pos) == [(1, 0, 2), (1, 10, 12)]
+    assert _spans(SpanFirstNode(near, 5), pos) == [(1, 0, 2)]
+    assert _spans(SpanFirstNode(near, 2), pos) == [(1, 0, 2)]  # inclusive
+    assert _spans(SpanFirstNode(near, 1), pos) == []
+    # and over an Or, nested inside a Not
+    tree = X(SpanFirstNode(O((T("a"), T("b"))), 2), T("b"))
+    # first-2 spans: a@0 (0,1), b@1 (1,2); exclude overlaps b spans
+    assert _spans(tree, pos) == [(1, 0, 1)]
+    assert simplify(SpanFirstNode(T("a"), 0)) is None
+    assert prune(SpanFirstNode(T("gone"), 5), {"a"}) is None
+    assert leaf_terms(SpanFirstNode(N((T("a"), T("b")), 1), 4)) == ["a", "b"]
+
+
 def test_simplify_and_prune():
     node = N((O((T("a"),)), T("b")), slop=1)
     assert simplify(node) == N((T("a"), T("b")), slop=1)
@@ -153,10 +170,13 @@ def _rand_node(rng: random.Random, depth: int = 0):
                      for _ in range(rng.randint(2, 3)))
         return N(kids, slop=rng.choice([0, 1, 3, 8, 15]),
                  in_order=rng.random() < 0.5)
-    if r < 0.85:
+    if r < 0.8:
         kids = tuple(_rand_node(rng, depth + 1)
                      for _ in range(rng.randint(2, 3)))
         return O(kids)
+    if r < 0.9:
+        return SpanFirstNode(_rand_node(rng, depth + 1),
+                             rng.choice([1, 3, 10, 50]))
     return X(_rand_node(rng, depth + 1), _rand_node(rng, depth + 1))
 
 
