@@ -411,28 +411,16 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
         # mapInArrow: corpus rows arrive as Arrow record batches and stay
         # Arrow through tokenization — per-string Python objects are never
         # created (the old applyInPandas path converted every content
-        # string to a PyObject before our code even ran). The upstream
-        # sortWithinPartitions("drange", "doc_id") (a spillable Spark
-        # sort) makes drange groups CONTIGUOUS across the batch stream,
-        # so this consumer buffers one drange at a time — executor peak
-        # memory is one drange's rows, not the whole hash partition
-        # (which holds dranges-per-partition ~ n_dranges / parallelism).
+        # string to a PyObject before our code even ran). The Exchange
+        # below hashes dranges into ~n_dranges partitions, so a partition
+        # holds ≈1 drange (hash-collision tail: O(log n / log log n), a
+        # small constant in practice) — executor peak memory is a couple
+        # of dranges' rows, never dranges-per-partition ~ n / parallelism.
+        # Batches of a partition may interleave its (few) dranges, so
+        # buffer per drange and build each group when the stream ends;
+        # build_one sorts each group by doc_id itself.
         rows: list[dict] = []
-        buf: list[pa.RecordBatch] = []
-        cur: int | None = None
-
-        def flush():
-            nonlocal buf
-            if cur is None or not buf:
-                return
-            sub = pa.Table.from_batches(buf).combine_chunks()
-            buf = []
-            man = build_one(sub, cur)
-            rows.append({"drange": cur, "status": "built",
-                         "n_docs": man["n_docs"], "n_terms": man["n_terms"],
-                         "n_postings": man["n_postings"],
-                         "sum_dl": man["sum_dl"], "sha": man["sha"]})
-
+        bufs: dict[int, list[pa.RecordBatch]] = {}
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -441,19 +429,27 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
             starts = np.concatenate(([0], np.flatnonzero(np.diff(dr)) + 1))
             ends = np.concatenate((starts[1:], [dr.size]))
             for s, e in zip(starts, ends):
-                d = int(dr[s])
-                if cur is None:
-                    cur = d
-                elif d != cur:
-                    flush()
-                    cur = d
-                buf.append(b.slice(int(s), int(e - s)))
-        flush()
+                bufs.setdefault(int(dr[s]), []).append(
+                    b.slice(int(s), int(e - s)))
+        for d in sorted(bufs):
+            sub = pa.Table.from_batches(bufs.pop(d)).combine_chunks()
+            man = build_one(sub, d)
+            rows.append({"drange": d, "status": "built",
+                         "n_docs": man["n_docs"], "n_terms": man["n_terms"],
+                         "n_postings": man["n_postings"],
+                         "sum_dl": man["sum_dl"], "sha": man["sha"]})
         yield pa.RecordBatch.from_pylist(rows, schema=man_schema)
 
     num = int(todo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    built = (todo.repartition(num, "drange")
-             .sortWithinPartitions("drange", "doc_id")
+    # one task ≈ one drange: at 10^6 ranges this is 10^6 ~100 MB tasks —
+    # the right granularity for a 1000-executor cluster, and locally it
+    # removes the need for any Spark row sort before the consumer. The
+    # range count comes from a narrow max(drange) agg — doc ids are dense
+    # from 0, and the scan touches one int column (<1% of corpus bytes).
+    max_dr = todo.agg(F.max("drange")).first()[0]
+    n_parts = max(num, (int(max_dr) + 1 - len(done)) if max_dr is not None
+                  else 1)
+    built = (todo.repartition(n_parts, "drange")
              .mapInArrow(build_partition, schema=MANIFEST_SCHEMA)
              .toPandas())
     skipped = pd.DataFrame([{"drange": d, "status": "skipped", "n_docs": -1,
