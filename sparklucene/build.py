@@ -59,6 +59,7 @@ FORMAT_VERSION = 4
 POSTINGS_SCHEMA = (
     "term string, drange int, df_part long, cf_part long, doc_bytes binary, "
     "tf_bytes binary, norm_bytes binary, pos_bytes binary, "
+    "pay_bytes binary, "
     "block_last array<long>, block_max_tf array<int>, block_min_norm binary"
 )
 DOCMETA_SCHEMA = "drange int, doc_id long, dl long, norm int"
@@ -120,6 +121,7 @@ def _empty_postings() -> pa.Table:
         "tf_bytes": pa.array([], type=pa.binary()),
         "norm_bytes": pa.array([], type=pa.binary()),
         "pos_bytes": pa.array([], type=pa.binary()),
+        "pay_bytes": pa.array([], type=pa.binary()),
         "block_last": pa.array([], type=pa.list_(pa.int64())),
         "block_max_tf": pa.array([], type=pa.list_(pa.int32())),
         "block_min_norm": pa.array([], type=pa.binary()),
@@ -130,7 +132,8 @@ def _invert_stream(term_codes: np.ndarray, uniques: np.ndarray,
                    tdocs: np.ndarray, tpos: np.ndarray,
                    doc_ids: np.ndarray, norm_bytes: np.ndarray, drange: int,
                    store_positions: bool, prefix: str = "",
-                   stream_sorted: bool = True
+                   stream_sorted: bool = True,
+                   payloads: np.ndarray | None = None
                    ) -> tuple[pa.Table, int, int]:
     """One factorized token stream -> packed posting cells (vectorized
     sort/reduceat — the DWPT TermsHash analog). ``term_codes`` index into
@@ -165,6 +168,17 @@ def _invert_stream(term_codes: np.ndarray, uniques: np.ndarray,
     tstarts = np.concatenate((np.flatnonzero(tchange), [p_terms.size]))
     cells = encode_postings_batch(tstarts, p_docs, tfs, p_norms,
                                   sorted_pos if store_positions else None)
+    # payloads: ONE raw byte per stored occurrence, aligned with the
+    # position stream (Lucene keeps payloads in the .pos file too) — a
+    # per-term slice needs only the cumulative-tf boundaries
+    if payloads is not None:
+        pay_sorted = np.asarray(payloads, dtype=np.uint8)[order]
+        occ = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+        pbounds = occ[tstarts]
+        pay_out = [pay_sorted[pbounds[i]:pbounds[i + 1]].tobytes()
+                   for i in range(tstarts.size - 1)]
+    else:
+        pay_out = [b""] * (tstarts.size - 1)
     terms_out = np.asarray(uniques, dtype=object)[p_terms[tstarts[:-1]]]
     if prefix:
         terms_out = np.array([prefix + t for t in terms_out], dtype=object)
@@ -179,6 +193,7 @@ def _invert_stream(term_codes: np.ndarray, uniques: np.ndarray,
         "tf_bytes": pa.array([c.tf_bytes for c in cells], type=pa.binary()),
         "norm_bytes": pa.array([c.norm_bytes for c in cells], type=pa.binary()),
         "pos_bytes": pa.array([c.pos_bytes for c in cells], type=pa.binary()),
+        "pay_bytes": pa.array(pay_out, type=pa.binary()),
         "block_last": pa.array([c.block_last_doc.tolist() for c in cells],
                                type=pa.list_(pa.int64())),
         "block_max_tf": pa.array([c.block_max_tf.tolist() for c in cells],
@@ -215,10 +230,57 @@ def _analyze_column(col, doc_ids: np.ndarray, stopwords,
             tdocs, tpos, srt)
 
 
+def _apply_payloads(codes: np.ndarray, uniques: np.ndarray,
+                    tpos: np.ndarray, mode: str
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compute one payload byte per token of the analyzed stream.
+
+    Modes (the pinned payload-assignment spec — oracle contract):
+
+    * ``"delimited:<char>"`` — DelimitedPayloadTokenFilter semantics
+      (``u8:lucene/analysis/common/.../payloads/DelimitedPayloadToken
+      Filter.java`` with an integer encoder): a token ``foo<char>7``
+      indexes term ``foo`` with payload 7 (0-255); tokens without the
+      delimiter (or with a non-integer / out-of-range suffix) keep their
+      spelling and get payload 1. Splitting happens on the DISTINCT
+      vocabulary (O(V) Python, never per token); stripped spellings that
+      collide re-factorize into one term.
+    * ``"position_mix"`` — deterministic synthetic assigner for corpora
+      without in-band payloads: ``1 + ((position * 31 + len(term)) % 8)``
+      — position-dependent (so per-doc aggregation is non-trivial) and
+      recomputable in plain SQL (the DuckDB oracle mirrors it).
+
+    Returns (codes, uniques, payload_per_token) — codes/uniques are
+    re-factorized only in delimited mode.
+    """
+    if mode == "position_mix":
+        lens = np.fromiter((len(u) for u in uniques), dtype=np.int64,
+                           count=len(uniques))
+        pay = (1 + ((tpos.astype(np.int64) * 31 + lens[codes]) % 8))
+        return codes, uniques, pay.astype(np.uint8)
+    if mode.startswith("delimited:") and len(mode) == len("delimited:") + 1:
+        delim = mode[-1]
+        bases: list[str] = []
+        vals = np.ones(len(uniques), dtype=np.uint8)
+        for i, u in enumerate(uniques):
+            head, sep, tail = u.rpartition(delim)
+            if sep and head and tail.isdigit() and int(tail) <= 255:
+                bases.append(head)
+                vals[i] = int(tail)
+            else:
+                bases.append(u)
+        new_of_old, new_uniq = pd.factorize(pd.Series(bases), sort=True)
+        return (new_of_old.astype(np.int64)[codes],
+                np.asarray(new_uniq, dtype=object), vals[codes])
+    raise ValueError(f"unknown payload mode {mode!r}: expected "
+                     "'position_mix' or 'delimited:<char>'")
+
+
 def _invert_one_range(data, drange: int, stopwords,
                       store_positions: bool = True,
                       analyzer: AnalyzerConfig | None = None,
-                      extra_fields: tuple[Field, ...] = ()) -> tuple[
+                      extra_fields: tuple[Field, ...] = (),
+                      payload_mode: str | None = None) -> tuple[
         pa.Table, pa.Table, dict]:
     """Pure function: corpus rows of one doc range -> (postings, docmeta,
     manifest). ``data`` is a pyarrow Table (the mapInArrow fast path — no
@@ -233,13 +295,17 @@ def _invert_one_range(data, drange: int, stopwords,
         doc_ids = doc_ids[order]
     codes, uniques, tdocs, tpos, srt = _analyze_column(
         data.column("content"), doc_ids, stopwords, analyzer)
+    pay = None
+    if payload_mode is not None and codes.size:
+        codes, uniques, pay = _apply_payloads(codes, uniques, tpos,
+                                              payload_mode)
     # doc lengths (post-stop), incl. zero-token docs
     pos_of_doc = np.searchsorted(doc_ids, tdocs)
     dl = np.bincount(pos_of_doc, minlength=doc_ids.size).astype(np.int64)
     norm_bytes = int_to_byte4(dl)
     postings, n_postings, n_terms = _invert_stream(
         codes, uniques, tdocs, tpos, doc_ids, norm_bytes, drange,
-        store_positions, stream_sorted=srt)
+        store_positions, stream_sorted=srt, payloads=pay)
     field_meta: dict[str, dict] = {}
     if extra_fields:
         tables = [postings]
@@ -364,7 +430,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
            store_positions: bool = True,
            analyzer: AnalyzerConfig | None = None,
            lineage: dict | None = None,
-           extra_fields: tuple[Field, ...] = ()) -> pd.DataFrame:
+           extra_fields: tuple[Field, ...] = (),
+           payload_mode: str | None = None) -> pd.DataFrame:
     """Stage A: per-doc-range invert with per-partition checkpoints.
 
     ``lineage`` (e.g. ``{"batch_id": 7}``) is merged into every range
@@ -389,7 +456,7 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
     def build_one(sub: pa.Table, dr: int) -> dict:
         postings, docmeta, man = _invert_one_range(sub, dr, stop,
                                                    store_positions, analyzer,
-                                                   extra_fields)
+                                                   extra_fields, payload_mode)
         if lineage:
             man.update(lineage)
         _atomic_write(postings, os.path.join(partials_dir, f"postings-{dr:06d}.parquet"))
@@ -459,7 +526,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
 
 
 def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
-          n_term_buckets: int | None = None, salt: int = 0) -> dict:
+          n_term_buckets: int | None = None, salt: int = 0,
+          extra_meta: dict | None = None) -> dict:
     """Stage B: term-range segment merge + global stats.
 
     Final postings are range-partitioned and sorted by (term, drange):
@@ -547,6 +615,8 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
              "ts": time.time()}
     if field_acc:
         stats["fields"] = field_acc
+    if extra_meta:
+        stats.update(extra_meta)
     tmp = paths.stats_json + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(stats, fh, indent=1)
@@ -559,12 +629,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
                 salt: int = 0, stopwords=ENGLISH_STOP_WORDS,
                 store_positions: bool = True,
                 analyzer: AnalyzerConfig | None = None,
-                extra_fields: tuple[Field, ...] = ()) -> dict:
+                extra_fields: tuple[Field, ...] = (),
+                payloads: str | None = None) -> dict:
     """Full build: invert -> merge -> stats. Returns the stats dict.
 
     ``extra_fields`` index additional corpus columns alongside ``content``
     (SURVEY §1.2 multi-field schema) — per-field analyzers, norms, and
-    global stats; queried via ``Term(t, field="name")`` / edismax."""
+    global stats; queried via ``Term(t, field="name")`` / edismax.
+
+    ``payloads`` stores one payload byte per occurrence of the default
+    field (``'delimited:<char>'`` or ``'position_mix'`` — spec on
+    :func:`_apply_payloads`), queryable via ``query.PayloadScore``."""
     from sparklucene.plugins import resolve_analyzer
 
     analyzer = resolve_analyzer(analyzer)  # accepts registered names too
@@ -575,8 +650,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
         par = spark.sparkContext.defaultParallelism
         drange_size = max(64, 1 << int(np.ceil(np.log2(max(1, n / (4 * par))))))
     manifest = invert(corpus, paths, drange_size, stopwords, resume,
-                      store_positions, analyzer, extra_fields=extra_fields)
-    stats = merge(spark, paths, drange_size, salt=salt)
+                      store_positions, analyzer, extra_fields=extra_fields,
+                      payload_mode=payloads)
+    stats = merge(spark, paths, drange_size, salt=salt,
+                  extra_meta={"payloads": payloads} if payloads else None)
     stats["n_ranges"] = int(len(manifest))
     stats["n_ranges_skipped"] = int((manifest["status"] == "skipped").sum())
     return stats

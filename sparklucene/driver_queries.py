@@ -361,7 +361,7 @@ _INDEX_CACHE: dict[str, Index] = {}
 
 def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
               analyzer=None, extra_fields: tuple = (),
-              transform=None) -> Index:
+              transform=None, payloads: str | None = None) -> Index:
     """Build-once-per-corpus index handle (disk-cached across processes).
 
     ``variant``/``analyzer`` build alternate-analyzer indexes (stemmed,
@@ -487,7 +487,7 @@ def index_for(spark: SparkSession, sf_dir: str, variant: str = "",
                     if transform is not None:
                         corpus = transform(corpus)
                     build_index(spark, corpus, index_dir, analyzer=analyzer,
-                                extra_fields=extra_fields)
+                                extra_fields=extra_fields, payloads=payloads)
             finally:
                 stop.set()
                 beat.join(timeout=1.0)
@@ -2460,6 +2460,74 @@ FROM topk t JOIN snip s USING (doc_id)""")
     return e
 
 
+def _payload_entries() -> dict[str, tuple[Callable, str | None]]:
+    """PayloadScoreQuery (round 4; u8:lucene/queries/.../payloads/
+    PayloadScoreQuery.java + PayloadFunction): one payload byte per
+    stored occurrence (build_index(payloads="position_mix") — the pinned
+    assigner 1 + ((pos*31 + len(term)) % 8), recomputable in SQL), per-doc
+    factor = fn over the term's payload bytes, score = factor * BM25 or
+    the raw factor. The oracle re-derives payloads from raw token
+    positions on the pre-stop stream."""
+    from sparklucene.query import PayloadScore
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    _tokp = f"""
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+)"""
+
+    def _pay_run(term: str, fn: str, include: bool):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            idx = index_for(spark, sf_dir, variant="pay",
+                            payloads="position_mix")
+            return search(idx, PayloadScore(term, fn=fn,
+                                            include_span_score=include),
+                          k=10, mode="f64")
+        return run
+
+    # avg payload factor x BM25 (Lucene's default includeSpanScore mode);
+    # payload ints sum exactly in f64, so the avg is order-independent
+    _t = "merge"
+    _idf = (f"ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE term = "
+            f"'{_t}') + 0.5) / ((SELECT df FROM tstats WHERE term = '{_t}')"
+            " + 0.5))")
+    _avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    _denom = f"(a.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {_avgdl}))"
+    e["payload_score_avg_topk"] = (
+        _pay_run(_t, "avg", True), f"""WITH {corpus_ctes()},{_tokp},
+occ AS (
+  SELECT doc_id, CAST(1 + ((pos * 31 + {len(_t)}) % 8) AS DOUBLE) AS pay
+  FROM tokp WHERE term = '{_t}'
+),
+a AS (
+  SELECT doc_id, count(*)::BIGINT AS tf,
+         sum(pay) / CAST(count(*) AS DOUBLE) AS factor
+  FROM occ GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id,
+       CAST(CAST(a.factor * (({_idf} * a.tf) / {_denom}) AS REAL)
+            AS DOUBLE) AS score
+FROM a JOIN meta m ON a.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
+
+    # raw summed-payload ranking (includeSpanScore=false)
+    e["payload_score_sum_raw_topk"] = (
+        _pay_run(_t, "sum", False), f"""WITH {corpus_ctes()},{_tokp},
+occ AS (
+  SELECT doc_id, CAST(1 + ((pos * 31 + {len(_t)}) % 8) AS DOUBLE) AS pay
+  FROM tokp WHERE term = '{_t}'
+)
+SELECT doc_id, CAST(CAST(sum(pay) AS REAL) AS DOUBLE) AS score
+FROM occ GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
+    return e
+
+
 def _result_composition_entries() -> dict[str, tuple[Callable, str | None]]:
     """Search-result post-processing (SURVEY.md §2.5-2.7): grouping,
     function scoring, constant score, facet-on-results — the Solr
@@ -3679,6 +3747,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_similarity_entries())
     e.update(_routed_entries())
     e.update(_intervals_entries())
+    e.update(_payload_entries())
     e.update(_multimodal_entries())
     e.update(_result_composition_entries())
     e.update(_sql_surface_entries())

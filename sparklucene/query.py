@@ -249,6 +249,41 @@ class Span(Query):
         return leaf_terms(self.root, include_only=True)
 
 
+#: PayloadScore aggregation functions (Lucene's Max/Min/Average/Sum
+#: PayloadFunction classes — ``u8:lucene/queries/.../payloads/``)
+PAYLOAD_FNS = ("max", "min", "avg", "sum")
+
+
+@dataclass(frozen=True)
+class PayloadScore(Query):
+    """PayloadScoreQuery over a span term — Lucene's
+    ``u8:lucene/queries/.../payloads/PayloadScoreQuery.java`` wrapping a
+    SpanTermQuery (the dominant public use: per-occurrence boost bytes
+    written at index time, e.g. term importance / part-of-speech weights).
+
+    Pinned scoring spec (the oracle contract): the index stores one
+    payload byte per stored position (``build_index(payloads=...)``);
+    for each doc containing ``term``, ``factor = fn`` (max | min | avg |
+    sum) over that doc's payload bytes for the term; score = factor *
+    BM25(term, doc) when ``include_span_score`` (Lucene's default mode),
+    else the raw factor (constant-score payload ranking). Ties break by
+    doc_id ascending, like every other query."""
+
+    term: str
+    fn: str = "max"
+    include_span_score: bool = True
+    #: non-default indexed field (payloads are per-field streams)
+    field: str | None = None
+
+    def __post_init__(self):
+        if self.fn not in PAYLOAD_FNS:
+            raise ValueError(f"payload fn must be one of {PAYLOAD_FNS}, "
+                             f"got {self.fn!r}")
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
 @dataclass
 class MatchNoDocs(Query):
     _ignored: int = field(default=0)
@@ -440,6 +475,11 @@ def qualify(q: Query) -> Query:
             return q
         from sparklucene.spans import map_terms
         return Span(map_terms(q.root, lambda t: field_key(q.field, t)))
+    if isinstance(q, PayloadScore):
+        if q.field is None:
+            return q
+        return PayloadScore(field_key(q.field, q.term), q.fn,
+                            q.include_span_score)
     if isinstance(q, (And, Or)):
         clauses = tuple(qualify(c) for c in q.clauses)
         return (And(clauses) if isinstance(q, And)
@@ -502,6 +542,8 @@ def rewrite(q: Query) -> Query:
         return q
     if isinstance(q, SpanFirst):
         return MatchNoDocs() if q.end <= 0 else q
+    if isinstance(q, PayloadScore):
+        return q
     if isinstance(q, Span):
         from sparklucene.spans import SpanTerm, simplify
         root = simplify(q.root)
@@ -584,6 +626,8 @@ def prune_missing(q: Query, present: set[str]) -> Query:
         return q if all(t in present for t in q.members) else MatchNoDocs()
     if isinstance(q, SpanFirst):
         return q if q.match in present else MatchNoDocs()
+    if isinstance(q, PayloadScore):
+        return q if q.term in present else MatchNoDocs()
     if isinstance(q, Span):
         from sparklucene.spans import prune as span_prune
         root = span_prune(q.root, present)

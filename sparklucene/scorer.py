@@ -42,8 +42,8 @@ from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
 from sparklucene.norms import LENGTH_TABLE
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, Span, SpanFirst, Term,
-                               Within)
+                               Or, PayloadScore, Phrase, Query, Span,
+                               SpanFirst, Term, Within)
 from sparklucene.spans import empty_spans, eval_spans, leaf_terms
 
 
@@ -62,6 +62,7 @@ class RangeCell:
     block_max_tf: np.ndarray
     block_min_norm: np.ndarray
     pos_bytes: bytes = b""
+    pay_bytes: bytes = b""
     _docs: np.ndarray | None = field(default=None, repr=False)
     _tfs: np.ndarray | None = field(default=None, repr=False)
 
@@ -77,6 +78,11 @@ class RangeCell:
     def positions(self) -> np.ndarray:
         """Flat absolute positions (segments of lengths tfs)."""
         return decode_positions(self.pos_bytes, self.decode()[1])
+
+    def payloads(self) -> np.ndarray:
+        """Flat payload bytes — ONE per occurrence, aligned with the
+        position stream (segments of lengths tfs)."""
+        return np.frombuffer(self.pay_bytes, dtype=np.uint8)
 
 
 @dataclass
@@ -712,6 +718,58 @@ class RangeScorer:
         nb = all_nv[first][np.searchsorted(und, pdocs)]
         return pdocs, self._phrase_weighted(q, pfreq, nb)
 
+    def _payload_scores(self, q: PayloadScore
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """PayloadScoreQuery matcher — the pinned spec lives on the
+        PayloadScore dataclass: per-doc ``factor = fn`` over the term's
+        payload bytes; score = factor * term BM25 (include_span_score)
+        or the raw factor. Payload segments align to the UNFILTERED
+        posting list, so aggregation happens before any doc masking."""
+        cell = self.cells.get(q.term)
+        if cell is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs, tfs = cell.decode()
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        if not cell.pay_bytes:
+            raise ValueError(
+                "PayloadScore requires an index built with payloads=... "
+                f"(term {q.term!r} has no payload stream)")
+        pay = cell.payloads().astype(np.float64)
+        seg = np.concatenate(([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+        if q.fn == "max":
+            factor = np.maximum.reduceat(pay, seg)
+        elif q.fn == "min":
+            factor = np.minimum.reduceat(pay, seg)
+        else:
+            factor = np.add.reduceat(pay, seg)
+            if q.fn == "avg":
+                factor = factor / tfs.astype(np.float64)
+        norms = cell.norms()
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            keep = ~np.isin(docs, self._neg_mask_docs, assume_unique=True)
+            docs, tfs = docs[keep], tfs[keep]
+            norms, factor = norms[keep], factor[keep]
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        self.metrics.docs_scored += int(docs.size)
+        if not q.include_span_score:
+            return docs, factor.astype(np.float32)
+        if self.mode == "f64":
+            # one final float32 cast over the whole f64 product — the
+            # same expression order the DuckDB oracle uses
+            ts = self.stats.term_stats[q.term]
+            N, S = self.stats.stats_for(q.term)
+            w = bm25.idf(ts.df, N)
+            tf64 = tfs.astype(np.float64)
+            d64 = LENGTH_TABLE[norms].astype(np.float64)
+            denom = tf64 + bm25.K1 * (1.0 - bm25.B
+                                      + bm25.B * d64 / (S / float(N)))
+            return docs, (factor * (w * tf64 / denom)).astype(np.float32)
+        base = self._score_arrays(q.term, tfs, norms)
+        self.metrics.docs_scored -= int(docs.size)  # counted once above
+        return docs, (factor * base.astype(np.float64)).astype(np.float32)
+
     def _spanfirst_scores(self, q: SpanFirst
                           ) -> tuple[np.ndarray, np.ndarray]:
         """SpanFirst matcher — the pinned spec lives on the SpanFirst
@@ -751,6 +809,8 @@ class RangeScorer:
             return self._within_scores(c)
         if isinstance(c, SpanFirst):
             return self._spanfirst_scores(c)
+        if isinstance(c, PayloadScore):
+            return self._payload_scores(c)
         if isinstance(c, Span):
             return self._span_scores(c)
         if isinstance(c, And):

@@ -495,6 +495,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                 block_max_tf=np.asarray(r.block_max_tf, dtype=np.int32),
                 block_min_norm=np.frombuffer(bytes(r.block_min_norm), dtype=np.uint8),
                 pos_bytes=bytes(r.pos_bytes) if r.pos_bytes is not None else b"",
+                pay_bytes=(bytes(pb) if (pb := getattr(r, "pay_bytes", None))
+                           is not None else b""),
             )
         deleted = bdel.value if range_deleted is None else range_deleted
         if extra is not None:
@@ -713,6 +715,8 @@ def search_batch(index: Index, queries, k: int = 10,
                                              dtype=np.uint8),
                 pos_bytes=(bytes(r.pos_bytes)
                            if r.pos_bytes is not None else b""),
+                pay_bytes=(bytes(pb) if (pb := getattr(r, "pay_bytes", None))
+                           is not None else b""),
             )
         out = []
         deleted = bdel.value
