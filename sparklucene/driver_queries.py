@@ -173,8 +173,9 @@ def _span_node_sql(node, ctr: list[int], ctes: list[str]) -> str:
     via min-(s, e) QUALIFY, unordered nearest-by-start with the
     (abs distance, start, end) tie order, overlap NOT EXISTS for SpanNot.
     Returns the name of the CTE holding the node's span set."""
-    from sparklucene.spans import (SpanFirstNode, SpanNearNode, SpanNotNode,
-                                   SpanOrNode, SpanTerm)
+    from sparklucene.spans import (SpanContainingNode, SpanFirstNode,
+                                   SpanNearNode, SpanNotNode, SpanOrNode,
+                                   SpanTerm, SpanWithinNode)
 
     ctr[0] += 1
     me = f"sp{ctr[0]}"
@@ -182,6 +183,22 @@ def _span_node_sql(node, ctr: list[int], ctes: list[str]) -> str:
         m = _span_node_sql(node.match, ctr, ctes)
         ctes.append(f"""
 {me} AS (SELECT doc_id, s, e FROM {m} WHERE e <= {node.limit})""")
+        return me
+    if isinstance(node, SpanContainingNode):
+        big = _span_node_sql(node.big, ctr, ctes)
+        little = _span_node_sql(node.little, ctr, ctes)
+        ctes.append(f"""
+{me} AS (SELECT b.doc_id, b.s, b.e FROM {big} b
+  WHERE EXISTS (SELECT 1 FROM {little} l
+    WHERE l.doc_id = b.doc_id AND l.s >= b.s AND l.e <= b.e))""")
+        return me
+    if isinstance(node, SpanWithinNode):
+        little = _span_node_sql(node.little, ctr, ctes)
+        big = _span_node_sql(node.big, ctr, ctes)
+        ctes.append(f"""
+{me} AS (SELECT l.doc_id, l.s, l.e FROM {little} l
+  WHERE EXISTS (SELECT 1 FROM {big} b
+    WHERE b.doc_id = l.doc_id AND b.s <= l.s AND b.e >= l.e))""")
         return me
     if isinstance(node, SpanTerm):
         ctes.append(f"""
@@ -2385,6 +2402,22 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
                     _ST("hash"))
     e["span_not_exclusion"] = (
         _bm25(Span(_not_tree), k=10), span_topk_sql(_not_tree, k=10))
+
+    # SpanContaining / SpanWithin (round 4; u8:lucene/core/.../search/
+    # spans/{SpanContainingQuery,SpanWithinQuery}.java): enclosure tests
+    # between two span trees. Containing keeps the windows ('merge ..
+    # join' within slop 6) that enclose a 'hash' occurrence; Within keeps
+    # the 'scan' occurrences enclosed by a wide 'fast .. key' window.
+    from sparklucene.spans import (SpanContainingNode as _SC,
+                                   SpanWithinNode as _SW)
+    _cont_tree = _SC(_SN((_ST("merge"), _ST("join")), slop=6, in_order=True),
+                     _ST("hash"))
+    e["span_containing_topk"] = (
+        _bm25(Span(_cont_tree), k=10), span_topk_sql(_cont_tree, k=10))
+    _within_tree = _SW(_ST("scan"),
+                       _SN((_ST("fast"), _ST("key")), slop=8, in_order=True))
+    e["span_within_topk"] = (
+        _bm25(Span(_within_tree), k=10), span_topk_sql(_within_tree, k=10))
 
     # SpanFirstQuery slice (u8:lucene/core/.../spans/SpanFirstQuery.java):
     # 'merge' within the first 5 pre-stop token positions; freq =

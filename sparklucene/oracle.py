@@ -20,8 +20,9 @@ from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
                                Or, Phrase, Query, Span, SpanFirst, Term,
                                Within)
-from sparklucene.spans import (SpanFirstNode, SpanNearNode, SpanNotNode,
-                               SpanOrNode, SpanTerm, leaf_terms)
+from sparklucene.spans import (SpanContainingNode, SpanFirstNode,
+                               SpanNearNode, SpanNotNode, SpanOrNode,
+                               SpanTerm, SpanWithinNode, leaf_terms)
 
 
 @dataclass
@@ -272,6 +273,16 @@ def _span_eval_doc(node, pos_of: dict[str, list[int]]) -> list[tuple[int, int]]:
     if isinstance(node, SpanFirstNode):
         return [(s, e) for s, e in _span_eval_doc(node.match, pos_of)
                 if e <= node.limit]
+    if isinstance(node, SpanContainingNode):
+        big = _span_eval_doc(node.big, pos_of)
+        little = _span_eval_doc(node.little, pos_of)
+        return [(s, e) for s, e in big
+                if any(ls >= s and le <= e for ls, le in little)]
+    if isinstance(node, SpanWithinNode):
+        little = _span_eval_doc(node.little, pos_of)
+        big = _span_eval_doc(node.big, pos_of)
+        return [(s, e) for s, e in little
+                if any(bs <= s and be >= e for bs, be in big)]
     if isinstance(node, SpanNearNode):
         sets = [_span_eval_doc(c, pos_of) for c in node.clauses]
         if len(sets) == 1:

@@ -41,6 +41,11 @@ sloppy-phrase and Within specs):
   pre = post = 0).
 * ``SpanFirstNode(match, limit)`` — spans of ``match`` with
   ``end <= limit`` (SpanFirstQuery over an arbitrary sub-span).
+* ``SpanContainingNode(big, little)`` — spans of ``big`` that enclose
+  at least one ``little`` span (``little.start >= big.start`` and
+  ``little.end <= big.end``, same doc); result spans come from ``big``.
+* ``SpanWithinNode(little, big)`` — spans of ``little`` enclosed by at
+  least one ``big`` span; result spans come from ``little``.
 
 Scoring of a ``query.Span`` wrapper: freq = |root span set| per doc,
 weighted with the summed-idf phrase weight over the include-side leaf
@@ -96,8 +101,32 @@ class SpanFirstNode:
     limit: int
 
 
+@dataclass(frozen=True)
+class SpanContainingNode:
+    """SpanContainingQuery (``u8:lucene/core/.../search/spans/
+    SpanContainingQuery.java``): keep spans of ``big`` that contain at
+    least one span of ``little`` (``little.start >= big.start`` and
+    ``little.end <= big.end``, same doc). The result spans — and hence
+    freq — come from the ``big`` side; both sides are required, so both
+    sides' leaf terms weigh."""
+
+    big: "SpanNode"
+    little: "SpanNode"
+
+
+@dataclass(frozen=True)
+class SpanWithinNode:
+    """SpanWithinQuery (``u8:lucene/core/.../search/spans/
+    SpanWithinQuery.java``): keep spans of ``little`` that are enclosed
+    by at least one span of ``big``. Result spans come from the
+    ``little`` side; both sides required and weighted."""
+
+    little: "SpanNode"
+    big: "SpanNode"
+
+
 SpanNode = Union[SpanTerm, SpanNearNode, SpanOrNode, SpanNotNode,
-                 SpanFirstNode]
+                 SpanFirstNode, SpanContainingNode, SpanWithinNode]
 
 
 def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
@@ -121,6 +150,12 @@ def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
                 walk(n.exclude)
         elif isinstance(n, SpanFirstNode):
             walk(n.match)
+        elif isinstance(n, SpanContainingNode):
+            walk(n.big)
+            walk(n.little)
+        elif isinstance(n, SpanWithinNode):
+            walk(n.little)
+            walk(n.big)
         else:
             raise TypeError(f"not a span node: {n!r}")
 
@@ -142,6 +177,12 @@ def map_terms(node: SpanNode, fn: Callable[[str], str]) -> SpanNode:
                            map_terms(node.exclude, fn))
     if isinstance(node, SpanFirstNode):
         return SpanFirstNode(map_terms(node.match, fn), node.limit)
+    if isinstance(node, SpanContainingNode):
+        return SpanContainingNode(map_terms(node.big, fn),
+                                  map_terms(node.little, fn))
+    if isinstance(node, SpanWithinNode):
+        return SpanWithinNode(map_terms(node.little, fn),
+                              map_terms(node.big, fn))
     raise TypeError(f"not a span node: {node!r}")
 
 
@@ -176,6 +217,16 @@ def simplify(node: SpanNode) -> SpanNode | None:
             return None
         m = simplify(node.match)
         return None if m is None else SpanFirstNode(m, node.limit)
+    if isinstance(node, SpanContainingNode):
+        big, little = simplify(node.big), simplify(node.little)
+        if big is None or little is None:  # both sides required
+            return None
+        return SpanContainingNode(big, little)
+    if isinstance(node, SpanWithinNode):
+        little, big = simplify(node.little), simplify(node.big)
+        if big is None or little is None:
+            return None
+        return SpanWithinNode(little, big)
     raise TypeError(f"not a span node: {node!r}")
 
 
@@ -207,6 +258,16 @@ def prune(node: SpanNode, present: set[str]) -> SpanNode | None:
     if isinstance(node, SpanFirstNode):
         m = prune(node.match, present)
         return None if m is None else SpanFirstNode(m, node.limit)
+    if isinstance(node, SpanContainingNode):
+        big, little = prune(node.big, present), prune(node.little, present)
+        if big is None or little is None:
+            return None
+        return SpanContainingNode(big, little)
+    if isinstance(node, SpanWithinNode):
+        little, big = prune(node.little, present), prune(node.big, present)
+        if big is None or little is None:
+            return None
+        return SpanWithinNode(little, big)
     raise TypeError(f"not a span node: {node!r}")
 
 
@@ -329,6 +390,52 @@ def _eval_not(inc: SpanSet, exc: SpanSet) -> SpanSet:
     return d[keep], s[keep], e[keep]
 
 
+def _eval_containing(big: SpanSet, little: SpanSet) -> SpanSet:
+    """Big spans that enclose >= 1 little span. Containment needs
+    ``little.start >= big.start`` and ``little.end <= big.end`` (the
+    implied ``little.start < big.end`` follows from start < end on int
+    positions). Vectorized: suffix-min of little ends per doc in
+    (doc, start) order — packing ``(2^31 - doc)`` as the dominant field
+    of the REVERSED array makes np.maximum.accumulate restart per doc
+    (the mirror of _eval_not's prefix-max trick)."""
+    d, s, e = big
+    xd, xs, xe = little
+    if d.size == 0 or xd.size == 0:
+        return empty_spans()
+    mask = np.uint64((1 << 32) - 1)
+    revd = xd[::-1].astype(np.uint64)
+    reve = xe[::-1].astype(np.uint64)
+    pk = ((np.uint64(1 << 31) - revd) << _POS_BITS) | (mask - reve)
+    acc = np.maximum.accumulate(pk)
+    sufmin_end = (mask - (acc & mask)).astype(np.int64)[::-1]
+    j = np.searchsorted(_pack(xd, xs), _pack(d, s), side="left")
+    ok = j < xd.size
+    jc = np.minimum(j, xd.size - 1)
+    ok &= (xd[jc] == d) & (sufmin_end[jc] <= e)
+    if ok.all():
+        return big
+    return d[ok], s[ok], e[ok]
+
+
+def _eval_within(little: SpanSet, big: SpanSet) -> SpanSet:
+    """Little spans enclosed by >= 1 big span: exists big with
+    ``big.start <= little.start`` and ``big.end >= little.end`` in the
+    same doc — prefix-max of big ends per doc (same packed accumulate
+    as _eval_not), probed at the last big span with start <= s."""
+    d, s, e = little
+    bd, bs, be = big
+    if d.size == 0 or bd.size == 0:
+        return empty_spans()
+    acc = np.maximum.accumulate(_pack(bd, be))
+    prefmax_end = (acc & np.uint64((1 << 32) - 1)).astype(np.int64)
+    j = np.searchsorted(_pack(bd, bs), _pack(d, s), side="right") - 1
+    lo_d = np.searchsorted(bd, d, side="left")
+    ok = (j >= lo_d) & (prefmax_end[np.maximum(j, 0)] >= e)
+    if ok.all():
+        return little
+    return d[ok], s[ok], e[ok]
+
+
 def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
     """Evaluate a span tree to its canonical span set. ``leaf`` maps a
     term to its SpanSet (``(p, p+1)`` per posting position, canonical
@@ -351,4 +458,10 @@ def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
         d, st, en = eval_spans(node.match, leaf)
         keep = en <= node.limit
         return (d, st, en) if keep.all() else (d[keep], st[keep], en[keep])
+    if isinstance(node, SpanContainingNode):
+        return _eval_containing(eval_spans(node.big, leaf),
+                                eval_spans(node.little, leaf))
+    if isinstance(node, SpanWithinNode):
+        return _eval_within(eval_spans(node.little, leaf),
+                            eval_spans(node.big, leaf))
     raise TypeError(f"not a span node: {node!r}")

@@ -15,8 +15,9 @@ import pytest
 from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import (MatchNoDocs, Span, Term, prune_missing,
                                rewrite)
-from sparklucene.spans import (SpanFirstNode, SpanNearNode, SpanNotNode,
-                               SpanOrNode, SpanTerm, empty_spans,
+from sparklucene.spans import (SpanContainingNode, SpanFirstNode,
+                               SpanNearNode, SpanNotNode, SpanOrNode,
+                               SpanTerm, SpanWithinNode, empty_spans,
                                eval_spans, leaf_terms, prune, simplify)
 
 
@@ -133,6 +134,58 @@ def test_span_first_over_subspan():
     assert leaf_terms(SpanFirstNode(N((T("a"), T("b")), 1), 4)) == ["a", "b"]
 
 
+def test_span_containing_and_within():
+    C, W = SpanContainingNode, SpanWithinNode
+    # big = ordered near a..b windows; little = c occurrences
+    pos = {"a": {1: [0, 10], 2: [0]}, "b": {1: [4, 14], 2: [4]},
+           "c": {1: [2, 20], 2: [8]}}
+    big = N((T("a"), T("b")), slop=4)
+    assert _spans(big, pos) == [(1, 0, 5), (1, 10, 15), (2, 0, 5)]
+    # doc 1: window (0,5) contains c@2; (10,15) has no c inside;
+    # doc 2: c@8 is outside (0,5)
+    assert _spans(C(big, T("c")), pos) == [(1, 0, 5)]
+    # Within is the mirror: which c occurrences fall inside a window
+    assert _spans(W(T("c"), big), pos) == [(1, 2, 3)]
+    # boundary: containment is inclusive on both edges
+    pos2 = {"a": {1: [0]}, "b": {1: [2]}, "c": {1: [0, 2]}}
+    big2 = N((T("a"), T("b")), slop=2)
+    assert _spans(big2, pos2) == [(1, 0, 3)]
+    assert _spans(C(big2, T("c")), pos2) == [(1, 0, 3)]
+    assert _spans(W(T("c"), big2), pos2) == [(1, 0, 1), (1, 2, 3)]
+    # a little span straddling the big end does NOT count
+    pos3 = {"a": {1: [0]}, "b": {1: [1]}, "c": {1: [1]}}
+    w2 = N((T("a"), T("c")), slop=0)  # (1, 0, 2) — ends past big (0, 2)?
+    assert _spans(C(N((T("a"), T("b")), slop=0), w2), pos3) == [(1, 0, 2)]
+    # structural: both sides required
+    assert prune(C(T("a"), T("gone")), {"a"}) is None
+    assert prune(W(T("gone"), T("a")), {"a"}) is None
+    assert simplify(C(O(()), T("a"))) is None
+    assert leaf_terms(C(N((T("a"), T("b")), 0), T("c"))) == ["a", "b", "c"]
+    assert leaf_terms(W(T("c"), T("a"))) == ["c", "a"]
+
+
+def test_span_containing_multi_doc_vectorized():
+    """Exercise the packed suffix-min / prefix-max paths across doc
+    boundaries (the dominance-reset trick must not leak across docs)."""
+    C, W = SpanContainingNode, SpanWithinNode
+    rng = random.Random(42)
+    docs = list(range(12))
+    pos = {"a": {}, "b": {}, "c": {}}
+    for d in docs:
+        pos["a"][d] = sorted(rng.sample(range(30), 4))
+        pos["b"][d] = sorted(rng.sample(range(30), 4))
+        pos["c"][d] = sorted(rng.sample(range(30), 3))
+    big = N((T("a"), T("b")), slop=6)
+    for tree in (C(big, T("c")), W(T("c"), big)):
+        got = _spans(tree, pos)
+        # brute-force mirror per doc
+        want = []
+        for d in docs:
+            per = {t: {d: pos[t][d]} for t in pos}
+            want.extend((d, s, e) for d2, s, e in _spans(tree, per))
+        assert got == sorted(set(want)), tree
+
+
 def test_simplify_and_prune():
     node = N((O((T("a"),)), T("b")), slop=1)
     assert simplify(node) == N((T("a"), T("b")), slop=1)
@@ -174,9 +227,15 @@ def _rand_node(rng: random.Random, depth: int = 0):
         kids = tuple(_rand_node(rng, depth + 1)
                      for _ in range(rng.randint(2, 3)))
         return O(kids)
-    if r < 0.9:
+    if r < 0.86:
         return SpanFirstNode(_rand_node(rng, depth + 1),
                              rng.choice([1, 3, 10, 50]))
+    if r < 0.91:
+        return SpanContainingNode(_rand_node(rng, depth + 1),
+                                  _rand_node(rng, depth + 1))
+    if r < 0.96:
+        return SpanWithinNode(_rand_node(rng, depth + 1),
+                              _rand_node(rng, depth + 1))
     return X(_rand_node(rng, depth + 1), _rand_node(rng, depth + 1))
 
 
