@@ -847,6 +847,27 @@ FROM meta m JOIN documents d ON m.doc_id = d.doc_id
 WHERE m.doc_id IN (5, 123, 321)
 ORDER BY m.doc_id""")
 
+    # -- TermsComponent (round 4; Solr /terms handler —
+    # u8:solr/core/.../handler/component/TermsComponent.java): term
+    # dictionary enumeration with prefix/regex/mincount/limit and both
+    # sort orders; runs on the vocab-sized termstats only (no postings)
+    def terms_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.search import terms_enum
+        return terms_enum(index_for(spark, sf_dir), prefix="s",
+                          sort="index", limit=15)
+    e["terms_component_prefix_index"] = (terms_prefix, f"""WITH {corpus_ctes()}
+SELECT term, df FROM tstats WHERE term LIKE 's%'
+ORDER BY term ASC LIMIT 15""")
+
+    def terms_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.search import terms_enum
+        return terms_enum(index_for(spark, sf_dir), regex=".*a.*",
+                          mincount=5, sort="count", limit=10, ttf=True)
+    e["terms_component_regex_count"] = (terms_regex, f"""WITH {corpus_ctes()}
+SELECT term, df, cf FROM tstats
+WHERE regexp_matches(term, '^(?:.*a.*)$') AND df >= 5
+ORDER BY df DESC, term ASC LIMIT 10""")
+
     def index_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         """FIXTURES.md §6.2: index-derived aggregates must equal the
         from-scratch recomputation (sum df == distinct (term,doc) pairs,

@@ -902,6 +902,56 @@ def term_vectors(index: Index, corpus: DataFrame,
             .orderBy("doc_id", "term"))
 
 
+def terms_enum(index: Index, field: str | None = None,
+               prefix: str | None = None, regex: str | None = None,
+               lower: str | None = None, upper: str | None = None,
+               include_lower: bool = True, include_upper: bool = False,
+               mincount: int = 1, maxcount: int | None = None,
+               limit: int = 10, sort: str = "count",
+               ttf: bool = False) -> DataFrame:
+    """Solr TermsComponent (``/terms`` handler — u8:solr/core/.../handler/
+    component/TermsComponent.java): enumerate the term dictionary with
+    ``terms.prefix`` / ``terms.regex`` / ``terms.lower``/``upper`` bounds,
+    ``terms.mincount``/``maxcount`` df filters, ``terms.limit`` and
+    ``terms.sort=count|index`` (count: df desc then term asc — pinned tie
+    order; index: term asc). ``ttf`` additionally returns the collection
+    frequency (``terms.ttf``).
+
+    Runs entirely on the vocab-sized termstats dictionary — never the
+    postings. On a cold handle the prefix/range predicates push into the
+    term-sorted Parquet scan (min/max row-group skipping, the FST-seek
+    analog); once the handle has cached the dictionary they filter the
+    in-memory columnar copy. Ordered limit compiles to
+    TakeOrderedAndProject (no global sort).
+    """
+    term = F.col("term")
+    fk = field_key(field, "") if field else ""
+    pred = term.startswith(fk) if fk else ~term.contains(FIELD_SEP)
+    if prefix:
+        pred = pred & term.startswith(fk + prefix)
+    if regex is not None:
+        # TermsComponent regex matches the full (raw) term
+        pred = pred & term.rlike(f"^{fk}(?:{regex})$")
+    if lower is not None:
+        lo = fk + lower
+        pred = pred & (term >= lo if include_lower else term > lo)
+    if upper is not None:
+        hi = fk + upper
+        pred = pred & (term <= hi if include_upper else term < hi)
+    out = index.termstats().filter(pred)
+    if mincount > 1:
+        out = out.filter(F.col("df") >= mincount)
+    if maxcount is not None:
+        out = out.filter(F.col("df") <= maxcount)
+    if fk:
+        out = out.withColumn(
+            "term", F.expr(f"substring(term, {len(fk) + 1})"))
+    cols = ["term", "df", "cf"] if ttf else ["term", "df"]
+    order = ([F.desc("df"), F.asc("term")] if sort == "count"
+             else [F.asc("term")])
+    return out.select(*cols).orderBy(*order).limit(limit)
+
+
 def _hydrate(topk: DataFrame, corpus: DataFrame | None) -> DataFrame:
     if corpus is None:
         return topk

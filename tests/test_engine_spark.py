@@ -226,6 +226,44 @@ def test_term_vectors_match_forward_analysis(built, corpus_pdf):
         assert int(r.cf) == int(ts.loc[r.term, "cf"])
 
 
+def test_terms_enum_matches_dictionary(built, corpus_pdf):
+    """TermsComponent: every filter/sort combination equals an
+    independent pandas recomputation over the forward-analyzed corpus."""
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, TOKEN_RE
+    from sparklucene.search import terms_enum
+
+    idx, _, _ = built
+    df_count: dict[str, int] = {}
+    cf_count: dict[str, int] = {}
+    for _, row in corpus_pdf.iterrows():
+        toks = [t for t in TOKEN_RE.findall(row["content"].lower())
+                if t not in ENGLISH_STOP_WORDS]
+        for t in set(toks):
+            df_count[t] = df_count.get(t, 0) + 1
+        for t in toks:
+            cf_count[t] = cf_count.get(t, 0) + 1
+
+    # prefix + index sort
+    got = terms_enum(idx, prefix="s", sort="index", limit=12).toPandas()
+    want = sorted(t for t in df_count if t.startswith("s"))[:12]
+    assert got["term"].tolist() == want
+    assert got["df"].tolist() == [df_count[t] for t in want]
+
+    # bounds (lower inclusive, upper exclusive) + mincount + count sort + ttf
+    got = terms_enum(idx, lower="m", upper="n", mincount=3, sort="count",
+                     limit=8, ttf=True).toPandas()
+    cand = [t for t in df_count
+            if "m" <= t < "n" and df_count[t] >= 3]
+    want = sorted(cand, key=lambda t: (-df_count[t], t))[:8]
+    assert got["term"].tolist() == want
+    assert got["cf"].tolist() == [cf_count[t] for t in want]
+
+    # maxcount caps df; regex anchors to the full term
+    got = terms_enum(idx, regex="m.rge", maxcount=10**9, limit=5).toPandas()
+    assert set(got["term"]) <= {t for t in df_count if len(t) == 5
+                                and t[0] == "m" and t[2:] == "rge"}
+
+
 def test_top_terms_scoring_rewrite(built, oidx):
     """TopTerms (TOP_TERMS_SCORING_BOOLEAN rewrite): the engine result
     equals the oracle scoring of the manually-selected boosted Or under
