@@ -957,6 +957,99 @@ FROM documents""")
 SELECT lang, source, count(*)::BIGINT AS cnt FROM documents
 GROUP BY lang, source HAVING count(*) >= 3 ORDER BY lang, source""")
 
+    # -- JSON Facet API nested subfacets (round 4; Solr JSON Facet —
+    # u8:solr/solrj/.../json/TermsFacetMap.java + docs/json-facet-api):
+    # top-3 lang buckets by count, each with an avg(n_chars) metric and a
+    # nested top-2 source subfacet. One flat row per (lang, source)
+    # bucket pair. Both rank passes are windowed topN — no collect, no
+    # cross join; the lang bucket table (<= 3 rows) broadcasts into the
+    # subfacet join.
+    def json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        langs = (docs.groupBy("lang")
+                 .agg(F.count("*").alias("lang_cnt"),
+                      F.sum("n_chars").cast("long").alias("sum_chars"))
+                 .withColumn("avg_chars",
+                             F.col("sum_chars") / F.col("lang_cnt").cast("double"))
+                 .withColumn("rk", F.row_number().over(
+                     Window.orderBy(F.desc("lang_cnt"), F.asc("lang"))))
+                 .filter(F.col("rk") <= 3).drop("rk", "sum_chars"))
+        srcs = (docs.join(F.broadcast(langs.select("lang")), "lang")
+                .groupBy("lang", "source")
+                .agg(F.count("*").alias("src_cnt"))
+                .withColumn("rk", F.row_number().over(
+                    Window.partitionBy("lang")
+                    .orderBy(F.desc("src_cnt"), F.asc("source"))))
+                .filter(F.col("rk") <= 2).drop("rk"))
+        return (srcs.join(F.broadcast(langs), "lang")
+                .select("lang", "lang_cnt", "avg_chars", "source", "src_cnt")
+                .orderBy(F.desc("lang_cnt"), F.asc("lang"),
+                         F.desc("src_cnt"), F.asc("source")))
+    e["json_facet_nested_terms"] = (json_facet_nested, """
+WITH langs AS (
+  SELECT lang, count(*)::BIGINT AS lang_cnt,
+         sum(n_chars)::BIGINT / CAST(count(*) AS DOUBLE) AS avg_chars
+  FROM documents GROUP BY lang
+  ORDER BY lang_cnt DESC, lang ASC LIMIT 3),
+srcs AS (
+  SELECT d.lang, d.source, count(*)::BIGINT AS src_cnt
+  FROM documents d JOIN langs USING (lang)
+  GROUP BY d.lang, d.source
+  QUALIFY row_number() OVER (PARTITION BY d.lang
+                             ORDER BY count(*) DESC, d.source ASC) <= 2)
+SELECT s.lang, l.lang_cnt, l.avg_chars, s.source, s.src_cnt
+FROM srcs s JOIN langs l USING (lang)
+ORDER BY l.lang_cnt DESC, s.lang ASC, s.src_cnt DESC, s.source ASC""")
+
+    # facet.interval (arbitrary [lo,hi) intervals incl. the open tail) +
+    # facet.prefix/offset bucket pagination + facet.missing, the
+    # remaining Solr term/range facet options. Missing-bucket fixture: no
+    # column in the synthetic table is nullable, so a pinned derived rule
+    # (source of every n_chars % 7 == 0 doc treated as absent) creates
+    # the missing bucket identically on both sides.
+    def facet_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        iv = (F.when(F.col("n_chars") < 300, "[0,300)")
+              .when(F.col("n_chars") < 1200, "[300,1200)")
+              .otherwise("[1200,*)"))
+        return (docs.groupBy(iv.alias("interval"))
+                .agg(F.count("*").alias("cnt")).orderBy("interval"))
+    e["facet_interval_nchars"] = (facet_interval, """
+SELECT CASE WHEN n_chars < 300 THEN '[0,300)'
+            WHEN n_chars < 1200 THEN '[300,1200)'
+            ELSE '[1200,*)' END AS interval,
+       count(*)::BIGINT AS cnt
+FROM documents GROUP BY 1 ORDER BY interval""")
+
+    def facet_prefix_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from pyspark.sql import Window
+        return (docs.filter(F.col("source").startswith("w"))
+                .groupBy("source").agg(F.count("*").alias("cnt"))
+                .withColumn("rk", F.row_number().over(
+                    Window.orderBy(F.desc("cnt"), F.asc("source"))))
+                .filter((F.col("rk") > 1) & (F.col("rk") <= 4))
+                .drop("rk"))
+    e["facet_prefix_offset_page"] = (facet_prefix_page, """
+SELECT source, cnt FROM (
+  SELECT source, count(*)::BIGINT AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rk
+  FROM documents WHERE source LIKE 'w%' GROUP BY source)
+WHERE rk > 1 AND rk <= 4""")
+
+    def facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = F.when(F.col("n_chars") % 7 == 0, F.lit(None)).otherwise(
+            F.col("source"))
+        return (docs.select(src.alias("source"))
+                .groupBy("source").agg(F.count("*").alias("cnt"))
+                .orderBy(F.asc_nulls_last("source")))
+    e["facet_missing_bucket"] = (facet_missing, """
+SELECT CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END AS source,
+       count(*)::BIGINT AS cnt
+FROM documents GROUP BY 1 ORDER BY source ASC NULLS LAST""")
+
     def stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         # stddev from exact integer power sums so both engines compute the
