@@ -1179,6 +1179,43 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""")
             _t(spark, sf, "orders").select("o_custkey"), ["o_custkey"])
     e["stream_unique"] = (uniq, "SELECT DISTINCT o_custkey FROM orders")
 
+    # nodes()/GatherNodesStream (round 4; u8:solr/solrj/.../io/graph/
+    # GatherNodesStream.java): 2-round BFS over the typed customer ->
+    # order -> part edge graph from 4 root customers. The oracle unrolls
+    # the same walk as fixed-depth anti-joined CTEs.
+    def gather(spark, sf):
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = (orders.select(
+                    F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                    F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"))
+                 .unionByName(li.select(
+                    F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+                    F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"))))
+        roots = (_t(spark, sf, "customer")
+                 .filter(F.col("c_custkey") <= 4)
+                 .select(F.concat(F.lit("c:"),
+                                  F.col("c_custkey")).alias("node")))
+        return st.gather_nodes(edges, roots, rounds=2)
+    e["graph_gather_nodes_2hop"] = (gather, """
+WITH edges AS (
+  SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem),
+l0 AS (SELECT DISTINCT 'c:' || c_custkey AS node FROM customer
+       WHERE c_custkey <= 4),
+l1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN l0 ON e.src = l0.node
+       WHERE e.dst NOT IN (SELECT node FROM l0)),
+l2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       JOIN l1 ON e.src = l1.node
+       WHERE e.dst NOT IN (SELECT node FROM l0)
+         AND e.dst NOT IN (SELECT node FROM l1))
+SELECT node, 0::BIGINT AS level FROM l0
+UNION ALL SELECT node, 1::BIGINT FROM l1
+UNION ALL SELECT node, 2::BIGINT FROM l2
+ORDER BY level, node""")
+
     def merge_sorted(spark, sf):
         orders = _t(spark, sf, "orders")
         a = orders.filter(F.col("o_orderstatus") == "F")

@@ -117,6 +117,40 @@ def parallel_stream(df: DataFrame, n: int, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def gather_nodes(edges: DataFrame, roots: DataFrame, rounds: int,
+                 from_col: str = "src", to_col: str = "dst") -> DataFrame:
+    """GatherNodesStream / ``nodes()`` (public knowledge:
+    ``u8:solr/solrj/.../io/graph/GatherNodesStream.java``): breadth-first
+    edge walk from a root node set for a FIXED number of gather rounds.
+
+    Pinned spec: returns every node reachable in <= ``rounds`` hops with
+    its minimal hop distance as ``level`` (roots at level 0 — Solr's
+    returnRoot=true shape); a node discovered at two levels keeps the
+    smaller one (Solr's per-traversal dedup).
+
+    ``roots`` is a one-column DataFrame named ``node``. Scale shape: the
+    round count is an operator constant (a plan literal, never
+    data-proportional), so the loop unrolls into ``rounds`` join stages.
+    Each round is one equi-join of the edge table against the current
+    frontier plus an anti-join against the seen set — all shuffles are
+    keyed by node id; Catalyst broadcasts the frontier side automatically
+    when it is small (AQE), which is the common fan-out case. Nothing is
+    collected to the driver.
+    """
+    seen = roots.select(F.col("node")).distinct() \
+        .withColumn("level", F.lit(0).cast("long"))
+    frontier = seen.select("node")
+    for lvl in range(1, rounds + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", from_col),
+                          from_col)
+               .select(F.col(to_col).alias("node")).distinct()
+               .join(seen.select("node"), "node", "left_anti")
+               .withColumn("level", F.lit(lvl).cast("long")))
+        seen = seen.unionByName(nxt)
+        frontier = nxt.select("node")
+    return seen.orderBy("level", "node")
+
+
 def significant_terms(index, corpus: DataFrame, query, k: int = 10,
                       min_doc_freq: int = 1, min_term_length: int = 1
                       ) -> DataFrame:

@@ -312,3 +312,23 @@ def test_cluster_results_deterministic(spark, docs, embeddings):
     b = cluster_results(idx, q, embeddings.repartition(5), k_docs=20,
                         n_clusters=3, iters=2).toPandas()
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_gather_nodes_min_level_and_cycles(spark):
+    """GatherNodesStream BFS: a node reachable at two depths keeps the
+    smaller level; cycles terminate (fixed rounds); roots stay level 0."""
+    from sparklucene.streams import gather_nodes
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),   # c reachable at 1 and 2
+         ("c", "a"),                            # cycle back to the root
+         ("c", "d")],
+        "src string, dst string")
+    roots = spark.createDataFrame([("a",)], "node string")
+    got = {(r["node"], r["level"])
+           for r in gather_nodes(edges, roots, rounds=3).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 1), ("d", 2)}
+    # rounds=1 stops the walk at the first frontier
+    got1 = {(r["node"], r["level"])
+            for r in gather_nodes(edges, roots, rounds=1).collect()}
+    assert got1 == {("a", 0), ("b", 1), ("c", 1)}
