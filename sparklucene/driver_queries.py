@@ -1400,6 +1400,84 @@ FROM dots d JOIN norms n USING (doc_id) CROSS JOIN seedn sn
 WHERE d.doc_id != 5
 ORDER BY cosine DESC, d.doc_id ASC LIMIT 10""")
 
+    # -- shortestPath() / ShortestPathStream (round 4; u8:solr/solrj/...
+    # /io/graph/ShortestPathStream.java): level-synchronous BFS from a
+    # customer node to a part node over the directed c->o->p edge graph,
+    # returning ALL tied shortest paths. The oracle unrolls the same BFS
+    # as fixed-depth anti-joined CTEs and keeps only the minimum level
+    # that reaches the target (at sf0.01 the pinned endpoints have three
+    # tied 2-hop paths; at smaller SFs the target may be absent, in which
+    # case both sides are empty).
+    def spath(spark, sf):
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        edges = (orders.select(
+                    F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+                    F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"))
+                 .unionByName(li.select(
+                    F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+                    F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"))))
+        return st.shortest_path(edges, "c:102", "p:1784", max_depth=3)
+    e["graph_shortest_path"] = (spath, """
+WITH edges AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst
+  FROM orders
+  UNION
+  SELECT DISTINCT 'o:' || l_orderkey, 'p:' || l_partkey FROM lineitem),
+p0 AS (SELECT 'c:102' AS node, 'c:102' AS path),
+v0 AS (SELECT node FROM p0),
+p1 AS (SELECT e.dst AS node, p0.path || '->' || e.dst AS path
+       FROM edges e JOIN p0 ON e.src = p0.node
+       WHERE e.dst NOT IN (SELECT node FROM v0)),
+v1 AS (SELECT node FROM v0 UNION SELECT node FROM p1),
+p2 AS (SELECT e.dst AS node, p1.path || '->' || e.dst AS path
+       FROM edges e JOIN p1 ON e.src = p1.node
+       WHERE e.dst NOT IN (SELECT node FROM v1)),
+v2 AS (SELECT node FROM v1 UNION SELECT node FROM p2),
+p3 AS (SELECT e.dst AS node, p2.path || '->' || e.dst AS path
+       FROM edges e JOIN p2 ON e.src = p2.node
+       WHERE e.dst NOT IN (SELECT node FROM v2)),
+hits AS (
+  SELECT path, 1::BIGINT AS level FROM p1 WHERE node = 'p:1784'
+  UNION ALL SELECT path, 2::BIGINT FROM p2 WHERE node = 'p:1784'
+  UNION ALL SELECT path, 3::BIGINT FROM p3 WHERE node = 'p:1784')
+SELECT path, level FROM hits
+WHERE level = (SELECT min(level) FROM hits)
+ORDER BY path""")
+
+    # -- scoreNodes() / ScoreNodesStream (round 4; u8:solr/solrj/.../io/
+    # graph/ScoreNodesStream.java): annotate a node-count stream with
+    # nodeScore = count * ln(doc_count / df), df resolved from the term
+    # dictionary (the reference batches TermsComponent lookups; here the
+    # dictionary is a relation so the lookup is a broadcast join). The
+    # node stream is the distinct-doc term counts of the docs matching
+    # Term('merge') — a gather-style frequency aggregation.
+    def snodes(spark, sf):
+        idx = index_for(spark, sf)
+        corpus = load_corpus(spark, sf)
+        from sparklucene.analysis import make_tokenize_udf
+        from sparklucene.search import matches
+        tok = make_tokenize_udf()
+        fg = matches(idx, Term("merge")).select("doc_id")
+        nodes = (corpus.join(fg, "doc_id", "left_semi")
+                 .select(F.explode(F.array_distinct(tok(F.col("content"))))
+                         .alias("node"))
+                 .groupBy("node").agg(F.count("*").alias("count")))
+        return (st.score_nodes(nodes, idx.termstats(),
+                               int(idx.stats["doc_count"]))
+                .limit(12))
+    e["graph_score_nodes"] = (snodes, f"""WITH {corpus_ctes()},
+fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+nodes AS (
+  SELECT t.term AS node, count(DISTINCT t.doc_id)::BIGINT AS count
+  FROM tf t JOIN fg USING (doc_id) GROUP BY t.term)
+SELECT n.node, n.count,
+       CAST(CAST(CAST(n.count AS DOUBLE)
+                 * ln(CAST(g.doc_count AS DOUBLE) / CAST(ts.df AS DOUBLE))
+                 AS REAL) AS DOUBLE) AS node_score
+FROM nodes n JOIN tstats ts ON n.node = ts.term CROSS JOIN gstats g
+ORDER BY node_score DESC, n.node ASC LIMIT 12""")
+
     return e
 
 

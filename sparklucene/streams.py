@@ -200,3 +200,96 @@ def significant_terms(index, corpus: DataFrame, query, k: int = 10,
                      / (F.col("fg_n") * F.col("bg_df")).cast("double"))
                     .alias("score"))
             .orderBy(F.desc("score"), F.asc("term")).limit(k))
+
+
+def shortest_path(edges: DataFrame, from_node: str, to_node: str,
+                  max_depth: int, from_col: str = "src",
+                  to_col: str = "dst") -> DataFrame:
+    """ShortestPathStream / ``shortestPath()`` (public knowledge:
+    ``u8:solr/solrj/.../io/graph/ShortestPathStream.java``): level-
+    synchronous BFS over a directed edge relation from ``from_node``
+    toward ``to_node``, bounded by ``max_depth`` hops.
+
+    Pinned spec (the reference's iterative-join semantics): a node first
+    reached at level L is never re-expanded at a deeper level (per-
+    traversal visited set — cycle and explosion control), but EVERY
+    distinct shortest path of length L that reaches the target in the
+    same iteration is emitted (Solr returns all tied shortest paths, one
+    tuple per path). If the target is unreachable within ``max_depth``
+    the result is empty. Output: one row per path — ``path`` is the
+    '->'-joined node string from root to target, ``level`` its hop count.
+
+    Scale shape: each BFS round is one equi-join of the (deduplicated)
+    edge table against the current frontier keyed by node id, plus an
+    anti-join against the visited set — all shuffles keyed, nothing
+    data-proportional on the driver. The per-round found/exhausted test
+    is a count() action (a scalar), mirroring the reference's own
+    per-iteration driver barrier. Rounds are bounded by the operator
+    constant ``max_depth``. Paths are carried as a string column whose
+    width is bounded by max_depth * node-id width (plan literal bounds,
+    not data bounds).
+    """
+    e = (edges.select(F.col(from_col).alias("_sp_src"),
+                      F.col(to_col).alias("_sp_dst")).distinct())
+    spark = edges.sparkSession
+    frontier = (spark.createDataFrame([(from_node, from_node)],
+                                      "node string, path string"))
+    if from_node == to_node:
+        return frontier.withColumn("level", F.lit(0).cast("long")) \
+            .select("path", "level")
+    visited = frontier.select("node")
+    out_schema = "path string, level bigint"
+    for lvl in range(1, max_depth + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "_sp_src"),
+                      "_sp_src")
+               .select(F.col("_sp_dst").alias("node"),
+                       F.concat(F.col("path"), F.lit("->"),
+                                F.col("_sp_dst")).alias("path"))
+               .join(visited, "node", "left_anti"))
+        nxt = nxt.localCheckpoint(eager=True)  # cut the growing lineage
+        hits = nxt.filter(F.col("node") == to_node)
+        if hits.limit(1).count() > 0:
+            return (hits.select("path",
+                                F.lit(lvl).cast("long").alias("level"))
+                    .orderBy("path"))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt.select("node").distinct()) \
+            .distinct()
+        frontier = nxt
+    return spark.createDataFrame([], out_schema)
+
+
+def score_nodes(nodes: DataFrame, termstats: DataFrame, doc_count: int,
+                node_col: str = "node", count_col: str = "count",
+                ) -> DataFrame:
+    """ScoreNodesStream / ``scoreNodes()`` (public knowledge:
+    ``u8:solr/solrj/.../io/graph/ScoreNodesStream.java``): annotate a
+    node-tuple stream (typically the output of ``nodes()`` with a
+    ``count(*)`` aggregation) with a tf-idf relevance score so graph
+    recommendations rank by informativeness rather than raw frequency.
+
+    Pinned spec: nodeScore = count * ln(doc_count / df), rounded through
+    float32 (the engine's cross-engine determinism contract for
+    transcendental results — JVM log and other libms differ in the last
+    double bit), where df is the node term's document frequency in the
+    index's term dictionary (the reference issues a TermsComponent
+    lookup per node batch; here the dictionary IS a relation so the
+    lookup is a join). Nodes absent from the dictionary are dropped
+    (df=0 has no defined idf — the reference only emits nodes it could
+    resolve). Ties order by node asc.
+
+    Scale shape: the node stream is operator-output-sized (k-bounded by
+    the upstream gather), so Catalyst broadcasts it against the term
+    dictionary; df never leaves the cluster un-aggregated.
+    """
+    ts = termstats.select(F.col("term").alias(node_col),
+                          F.col("df").alias("_sn_df"))
+    return (nodes.join(ts, node_col)
+            .select(node_col, F.col(count_col),
+                    (F.col(count_col).cast("double")
+                     * F.log(F.lit(float(doc_count)) /
+                             F.col("_sn_df").cast("double")))
+                    .cast("float").cast("double")
+                    .alias("node_score"))
+            .orderBy(F.desc("node_score"), F.asc(node_col)))

@@ -332,3 +332,57 @@ def test_gather_nodes_min_level_and_cycles(spark):
     got1 = {(r["node"], r["level"])
             for r in gather_nodes(edges, roots, rounds=1).collect()}
     assert got1 == {("a", 0), ("b", 1), ("c", 1)}
+
+
+def test_shortest_path_all_tied_paths(spark):
+    """ShortestPathStream: all tied shortest paths are emitted; longer
+    paths to the target are not; cycles terminate; visited nodes are
+    never re-expanded."""
+    from sparklucene.streams import shortest_path
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"),            # two level-1 branches
+         ("b", "z"), ("c", "z"),            # two tied 2-hop paths to z
+         ("a", "d"), ("d", "e"), ("e", "z"),  # a longer 3-hop path
+         ("z", "a")],                        # cycle back
+        "src string, dst string")
+    got = shortest_path(edges, "a", "z", max_depth=4).collect()
+    assert [(r["path"], r["level"]) for r in got] == \
+        [("a->b->z", 2), ("a->c->z", 2)]
+
+
+def test_shortest_path_edge_cases(spark):
+    from sparklucene.streams import shortest_path
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "src string, dst string")
+    # depth bound cuts the search
+    assert shortest_path(edges, "a", "c", max_depth=1).count() == 0
+    # unreachable target -> empty
+    assert shortest_path(edges, "c", "a", max_depth=5).count() == 0
+    # from == to -> the zero-hop path
+    r = shortest_path(edges, "a", "a", max_depth=3).collect()
+    assert [(x["path"], x["level"]) for x in r] == [("a", 0)]
+    # duplicate edges collapse: still one path per distinct route
+    dup = spark.createDataFrame([("a", "b"), ("a", "b"), ("b", "c")],
+                                "src string, dst string")
+    r2 = shortest_path(dup, "a", "c", max_depth=3).collect()
+    assert [(x["path"], x["level"]) for x in r2] == [("a->b->c", 2)]
+
+
+def test_score_nodes_idf_annotation(spark):
+    """ScoreNodesStream: nodeScore = count * ln(N/df); dictionary-miss
+    nodes dropped; ties order by node asc."""
+    import math
+
+    from sparklucene.streams import score_nodes
+
+    nodes = spark.createDataFrame(
+        [("rare", 2), ("common", 10), ("missing", 5)],
+        "node string, count bigint")
+    ts = spark.createDataFrame(
+        [("rare", 3), ("common", 80)], "term string, df bigint")
+    got = score_nodes(nodes, ts, doc_count=100).collect()
+    assert [r["node"] for r in got] == ["rare", "common"]
+    assert got[0]["node_score"] == pytest.approx(2 * math.log(100 / 3))
+    assert got[1]["node_score"] == pytest.approx(10 * math.log(100 / 80))
