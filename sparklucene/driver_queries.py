@@ -34,8 +34,9 @@ from sparklucene.analysis import TOKEN_RE_SQL, stoplist_sql
 from sparklucene.build import FORMAT_VERSION, build_index, load_stats
 from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
-from sparklucene.query import (And, DisMax, Not, Or, Phrase, Query,
-                               SpanFirst, Term, Within, analyze_phrase)
+from sparklucene.query import (And, DisMax, MatchAllDocs, Not, Or, Phrase,
+                               Query, SpanFirst, Term, Within,
+                               analyze_phrase)
 from sparklucene.search import Index, matches, search, search_after, total_hits
 
 # ---------------------------------------------------------------------------
@@ -3991,6 +3992,58 @@ GROUP BY 1, 2 ORDER BY cell_row, cell_col""")
     return e
 
 
+def _monitor_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Reverse search — the lucene/monitor module (round 4;
+    u8:lucene/monitor/.../Monitor.java, TermFilteredPresearcher.java):
+    five registered standing queries (term, conjunction, boolean with
+    exclusion, exact phrase, match-all) matched against every document.
+    The engine runs presearch (anchor-term equi-join incl. the ANYTOKEN)
+    + exact verify; the oracle evaluates each query brute-force as SQL
+    predicates over raw tokens — phrase adjacency on PRE-stop positions,
+    matching the engine's stop-gap phrase semantics."""
+    from sparklucene.monitor import monitor_match
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def mon(spark, sf):
+        docs = _t(spark, sf, "documents")
+        qs = {
+            "q_term": Term("merge"),
+            "q_and": And((Term("merge"), Term("join"))),
+            "q_not": Not(Or((Term("hash"), Term("scan"))),
+                         Term("parallel")),
+            "q_phrase": Phrase(((0, "merge"), (1, "join"))),
+            "q_all": MatchAllDocs(),
+        }
+        return monitor_match(docs, qs)
+
+    stop = stoplist_sql()
+    e["monitor_match_docs"] = (mon, f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) t),
+tfm AS (SELECT DISTINCT doc_id, term FROM tokp WHERE term NOT IN {stop})
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'q_term' AS query_id FROM tfm WHERE term = 'merge'
+  UNION ALL
+  SELECT doc_id, 'q_and' FROM tfm WHERE term IN ('merge', 'join')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+  UNION ALL
+  SELECT DISTINCT doc_id, 'q_not' FROM tfm
+  WHERE term IN ('hash', 'scan')
+    AND doc_id NOT IN (SELECT doc_id FROM tfm WHERE term = 'parallel')
+  UNION ALL
+  SELECT DISTINCT t0.doc_id, 'q_phrase'
+  FROM tokp t0 JOIN tokp t1
+    ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = 'merge' AND t1.term = 'join'
+  UNION ALL
+  SELECT doc_id, 'q_all' FROM documents
+) m ORDER BY doc_id, query_id""")
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -4016,6 +4069,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_streaming_entries())
     e.update(_scalar_fn_entries())
     e.update(_spatial_entries())
+    e.update(_monitor_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy. After round 3 every entry has at
     # least one driver-green row, so round 4 rotates the window onto
