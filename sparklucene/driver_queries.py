@@ -4044,6 +4044,62 @@ SELECT doc_id, query_id FROM (
     return e
 
 
+def _ltr_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Learning-to-rank rerank (round 4; u8:solr/contrib/ltr/...):
+    first-pass BM25 top-50 for ``merge OR join``, three declared features
+    (original score, min-max-normalized n_chars, a term-match flag), a
+    linear model re-scoring the window, top-10 returned with the feature
+    vector. The oracle recomputes the first pass brute-force (the same
+    f64 BM25 parity contract as every search entry), extracts the same
+    features in SQL, and applies the identical fixed-order float64
+    expression tree."""
+    from sparklucene.ltr import (FieldValue, LinearModel, OriginalScore,
+                                 TermMatch, ltr_rerank)
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def ltr(spark, sf):
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        feats = (OriginalScore("orig"),
+                 FieldValue("len_norm", norm=(0.0, 5000.0), col="n_chars"),
+                 TermMatch("has_fast", term="fast"))
+        model = LinearModel((("orig", 1.0), ("len_norm", -2.0),
+                             ("has_fast", 0.5)))
+        return ltr_rerank(idx, Or((Term("join"), Term("merge"))), feats,
+                          model, k=10, rerank_k=50, attrs=attrs)
+
+    score = bm25.score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count",
+                           "g.sum_dl")
+    e["ltr_linear_rerank"] = (ltr, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {score} AS s
+  FROM tf
+  JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id
+  CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')
+),
+first AS (
+  SELECT doc_id,
+         CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS orig_score
+  FROM term_scores GROUP BY doc_id
+  ORDER BY orig_score DESC, doc_id ASC LIMIT 50
+),
+feats AS (
+  SELECT f.doc_id, f.orig_score, f.orig_score AS orig,
+         (CAST(d.n_chars AS DOUBLE) - 0.0) / 5000.0 AS len_norm,
+         CASE WHEN EXISTS (SELECT 1 FROM tf
+                           WHERE tf.doc_id = f.doc_id AND tf.term = 'fast')
+              THEN 1.0 ELSE 0.0 END AS has_fast
+  FROM first f JOIN documents d USING (doc_id)
+)
+SELECT doc_id, orig_score, orig, len_norm, has_fast,
+       0.0 + (1.0 * orig) + (-2.0 * len_norm) + (0.5 * has_fast)
+       AS ltr_score
+FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 10""")
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -4070,6 +4126,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_scalar_fn_entries())
     e.update(_spatial_entries())
     e.update(_monitor_entries())
+    e.update(_ltr_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy. After round 3 every entry has at
     # least one driver-green row, so round 4 rotates the window onto

@@ -1,0 +1,80 @@
+"""LTR rerank (solr/contrib/ltr analog): feature extraction shapes and
+model-score determinism — SURVEY.md §2 rerank/LTR slice."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.ltr import (FieldValue, LinearModel, OriginalScore,
+                             TermMatch, extract_features, ltr_rerank)
+from sparklucene.query import Or, Term
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    from sparklucene.driver_queries import index_for
+    return index_for(spark, SF)
+
+
+def _attrs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "n_chars")
+
+
+def test_feature_extraction(spark, idx):
+    feats = (OriginalScore("orig"),
+             FieldValue("len_norm", norm=(0.0, 5000.0), col="n_chars"),
+             TermMatch("has_fast", term="fast"))
+    out = extract_features(idx, Or((Term("join"), Term("merge"))), feats,
+                           rerank_k=20, attrs=_attrs(spark)).toPandas()
+    assert len(out) == 20
+    assert set(out.columns) == {"doc_id", "orig_score", "orig", "len_norm",
+                                "has_fast"}
+    # OriginalScore passes the first-pass score through unchanged
+    assert (out["orig"] == out["orig_score"]).all()
+    # normalizer constants, not data-derived: 0 <= len_norm (docs <= 5000
+    # chars in the fixture keeps it <= 1, but the bound is NOT clamped)
+    assert (out["len_norm"] >= 0).all()
+    # term-match flag is exactly 0/1 and agrees with a direct probe
+    assert set(out["has_fast"].unique()) <= {0.0, 1.0}
+    from sparklucene.search import matches
+    fast_ids = {r["doc_id"]
+                for r in matches(idx, Term("fast")).collect()}
+    for _, r in out.iterrows():
+        assert (r["has_fast"] == 1.0) == (r["doc_id"] in fast_ids)
+
+
+def test_linear_rerank_changes_order_deterministically(spark, idx):
+    q = Or((Term("join"), Term("merge")))
+    feats = (OriginalScore("orig"),
+             FieldValue("len_norm", norm=(0.0, 5000.0), col="n_chars"))
+    # weight that punishes length hard enough to reorder
+    model = LinearModel((("orig", 1.0), ("len_norm", -2.0)))
+    a = ltr_rerank(idx, q, feats, model, k=10, rerank_k=50,
+                   attrs=_attrs(spark)).toPandas()
+    assert len(a) == 10
+    # ltr_score equals the model applied to the feature columns
+    expect = 1.0 * a["orig"] + (-2.0) * a["len_norm"]
+    assert (a["ltr_score"] == expect).all()
+    # deterministic across a repartitioned attrs input
+    b = ltr_rerank(idx, q, feats, model, k=10, rerank_k=50,
+                   attrs=_attrs(spark).repartition(7)).toPandas()
+    assert a.values.tolist() == b.values.tolist()
+    # the rerank window bound matters: identity model == first pass
+    ident = LinearModel((("orig", 1.0),))
+    c = ltr_rerank(idx, q, (OriginalScore("orig"),), ident, k=10,
+                   rerank_k=50).toPandas()
+    from sparklucene.search import search
+    d = search(idx, q, k=10, mode="f64").toPandas()
+    assert c["doc_id"].tolist() == d["doc_id"].tolist()
+
+
+def test_model_validation(spark, idx):
+    with pytest.raises(ValueError, match="undeclared"):
+        ltr_rerank(idx, Term("merge"), (OriginalScore("orig"),),
+                   LinearModel((("nope", 1.0),)), k=5, rerank_k=10)
+    with pytest.raises(ValueError, match="attrs"):
+        extract_features(idx, Term("merge"),
+                         (FieldValue("f", col="n_chars"),), 5)
