@@ -124,7 +124,8 @@ class ScoreMetrics:
 class RangeScorer:
     def __init__(self, cells: dict[str, RangeCell], stats: GlobalStats,
                  mode: str = "lucene8", prune: bool = True,
-                 deleted: np.ndarray | None = None):
+                 deleted: np.ndarray | None = None,
+                 allowed: np.ndarray | None = None):
         self.cells = cells
         self.stats = stats
         self.mode = mode
@@ -133,6 +134,13 @@ class RangeScorer:
         self.prune = prune and not callable(mode)
         self.deleted = (np.asarray(deleted, dtype=np.int64)
                         if deleted is not None else np.empty(0, np.int64))
+        #: include-set (FILTER / frange doc set): when not None, only
+        #: these doc ids may match. Applied in _filtered alongside the
+        #: exclusion mask, BEFORE any pruning decision — masking docs
+        #: only lowers true scores, so block upper bounds stay valid
+        #: (the same argument that makes deletions prune-safe).
+        self.allowed = (np.asarray(allowed, dtype=np.int64)
+                        if allowed is not None else None)
         self.metrics = ScoreMetrics()
         self._neg_mask_docs: np.ndarray | None = None
         self._after: tuple[float, int] | None = None
@@ -220,12 +228,27 @@ class RangeScorer:
         """
         self._after = after
         q, neg_query = self._split_neg(q)
-        self._neg_mask_docs = self.deleted  # live-docs mask (deletions)
+        deleted = self.deleted
+        if self.allowed is not None:
+            # FILTER include-set (frange / fq doc set): convert to an
+            # exclusion over this range's posting universe — only docs
+            # present in some cell can ever match, so the complement
+            # within the decoded universe is a complete exclusion set.
+            # One uniform mask keeps every scoring path (WAND, phrase,
+            # boolean) filter-aware without per-path plumbing, and the
+            # decode cost is already paid (docs_total metrics below).
+            universe = [c.decode()[0] for c in self.cells.values()]
+            alldocs = (np.unique(np.concatenate(universe)) if universe
+                       else np.empty(0, np.int64))
+            excl = alldocs[~np.isin(alldocs, self.allowed,
+                                    assume_unique=True)]
+            deleted = np.union1d(deleted, excl)
+        self._neg_mask_docs = deleted  # live-docs mask (deletions+filter)
         if neg_query is not None:
             # evaluate the excluded doc set generically (phrases excluded
             # by phrase match, not by their terms — ReqExclScorer semantics)
             self._neg_mask_docs = np.unique(np.concatenate(
-                (self.deleted, self._clause_scores(neg_query)[0])))
+                (deleted, self._clause_scores(neg_query)[0])))
         for t in self._pos_terms(q):
             cell = self.cells.get(t)
             if cell is not None:

@@ -383,7 +383,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
            after: tuple[float, int] | None = None,
            max_expansions: int = 1024,
            highlight: bool = False,
-           stats_override: "GlobalStats | None" = None) -> DataFrame:
+           stats_override: "GlobalStats | None" = None,
+           doc_filter: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 search -> DataFrame(doc_id, score [, corpus cols]).
 
     ``score`` is the float32 engine score widened to double (exact).
@@ -411,6 +412,13 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     terms' token positions in each winner, decoded in a second k-bounded
     round (Solr HighlightComponent's user surface); with ``hydrate`` a
     ``snippet`` column (token window around the first match) is added too.
+    ``doc_filter`` is a doc-id INCLUDE set (one ``doc_id`` column) — only
+    these docs may match, scores unchanged (Lucene filter context /
+    Solr ``fq={!frange}``; see :func:`frange_docs`). It is cogrouped with
+    the postings per doc-range — never collected or broadcast — so the
+    filter may be arbitrarily large (the FunctionRangeQuery doc set IS
+    data-proportional). Pruning stays exact: filtering only removes
+    candidates, so block upper bounds remain upper bounds.
     """
     from sparklucene.plugins import resolve_mode
 
@@ -442,7 +450,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         return _hydrate(empty, hydrate)
     if isinstance(q, MatchAllDocs) or (
             isinstance(q, Not) and isinstance(q.positive, MatchAllDocs)):
-        out = _matchall_search(index, q, k, mode, None, exclude_docs, after)
+        out = _matchall_search(index, q, k, mode, None, exclude_docs,
+                               after, doc_filter)
         if highlight:  # MatchAll has no matched terms
             out = out.withColumn("highlights", F.expr(_EMPTY_HL))
         return _hydrate(out, hydrate)
@@ -482,7 +491,8 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     postings = postings.repartition(nparts, "drange")
 
     def _score_cells(pdf_postings: pd.DataFrame,
-                     range_deleted: np.ndarray | None) -> pd.DataFrame:
+                     range_deleted: np.ndarray | None,
+                     allowed: np.ndarray | None = None) -> pd.DataFrame:
         if len(pdf_postings) == 0:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "score": pd.Series(dtype=np.float64)})
@@ -502,13 +512,36 @@ def search(index: Index, query: str | Query, k: int | None = 10,
         if extra is not None:
             deleted = np.union1d(deleted, extra)
         scorer = RangeScorer(cells, gstats, mode=mode, prune=prune,
-                             deleted=deleted)
+                             deleted=deleted, allowed=allowed)
         docs, scores = scorer.topk(q, k if k is not None else (1 << 31),
                                    after=after)
         return pd.DataFrame({"doc_id": docs.astype(np.int64),
                              "score": scores.astype(np.float64)})
 
-    if del_cogroup:
+    if doc_filter is not None:
+        # FILTER include-set: cogrouped with the postings per doc-range
+        # (the same shape as distributed live-docs). Huge deletes fold
+        # into the allowed set by anti-join so one cogroup carries both.
+        allow = doc_filter.select(
+            F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        if del_cogroup:
+            allow = allow.join(index.deletes_df(), "doc_id", "left_anti")
+        drs = int(index.stats["drange_size"])
+        allowdf = (allow.withColumn(
+                       "drange", (F.col("doc_id") / F.lit(drs)).cast("int"))
+                   .repartition(nparts, "drange"))
+
+        def score_allowed(key, pdf_postings: pd.DataFrame,
+                          pdf_allow: pd.DataFrame) -> pd.DataFrame:
+            al = np.unique(pdf_allow["doc_id"].to_numpy(dtype=np.int64))
+            return _score_cells(
+                pdf_postings,
+                np.empty(0, np.int64) if del_cogroup else None, al)
+
+        candidates = (postings.groupby("drange")
+                      .cogroup(allowdf.groupby("drange"))
+                      .applyInPandas(score_allowed, schema=RESULT_SCHEMA))
+    elif del_cogroup:
         # distributed live-docs: the deletes table is keyed by the SAME
         # doc-range expression as the postings and cogrouped in, so each
         # range scorer sees exactly its own slice — no driver collect,
@@ -577,7 +610,8 @@ def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
 def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
                      hydrate: DataFrame | None,
                      exclude_docs: list[int] | None,
-                     after: tuple[float, int] | None) -> DataFrame:
+                     after: tuple[float, int] | None,
+                     doc_filter: DataFrame | None = None) -> DataFrame:
     """MatchAllDocsQuery execution: the doc universe comes from the
     docmeta table (the scorer only ever sees postings for query terms).
     Handles ``MatchAllDocs`` and ``Not(MatchAllDocs, neg)`` — deletions
@@ -592,6 +626,11 @@ def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
     score = float(np.float32(ma.boost))
     base = (index.docmeta().select("doc_id")
             .withColumn("score", F.lit(score).cast("double")))
+    if doc_filter is not None:
+        # q=*:* fq={!frange ...}: the result IS the filtered doc set
+        base = base.join(
+            doc_filter.select(F.col("doc_id").cast("long").alias("doc_id")),
+            "doc_id", "left_semi")
     if index.deleted_count() > DELETES_BROADCAST_BOUND:
         # huge deletes: anti-join the persisted table directly (no collect)
         base = base.join(index.deletes_df(), "doc_id", "left_anti")
@@ -619,6 +658,34 @@ def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
         return _hydrate(base, hydrate)
     return _hydrate(base.orderBy(F.desc("score"), F.asc("doc_id")).limit(k),
                     hydrate)
+
+
+def frange_docs(attrs: DataFrame, value, lower: float | None = None,
+                upper: float | None = None, incl: bool = True,
+                incu: bool = True) -> DataFrame:
+    """FunctionRangeQuery doc-set builder (public knowledge:
+    ``u8:solr/core/.../search/function/FunctionRangeQuery.java``, the
+    ``{!frange l= u= incl= incu=}func`` qparser): docs whose FUNCTION
+    value (any Catalyst expression over a doc-attribute relation) lies in
+    [l, u], bounds inclusive per ``incl``/``incu``, either bound
+    optional. Returns the doc_id set to pass as ``search(doc_filter=)``
+    — filter context, so scores are unaffected (matching the reference's
+    non-scoring fq semantics).
+
+    Scale shape: one narrow filter over the attribute relation — the
+    predicate pushes into the attrs scan; the set is then cogrouped with
+    the postings, never collected.
+    """
+    col = F.expr(value) if isinstance(value, str) else value
+    conds = []
+    if lower is not None:
+        conds.append(col >= F.lit(lower) if incl else col > F.lit(lower))
+    if upper is not None:
+        conds.append(col <= F.lit(upper) if incu else col < F.lit(upper))
+    out = attrs
+    for c in conds:
+        out = out.filter(c)
+    return out.select("doc_id")
 
 
 BATCH_SCHEMA = "query string, doc_id long, score double"
