@@ -1479,6 +1479,34 @@ SELECT n.node, n.count,
 FROM nodes n JOIN tstats ts ON n.node = ts.term CROSS JOIN gstats g
 ORDER BY node_score DESC, n.node ASC LIMIT 12""")
 
+    # -- timeseries() / TimeSeriesStream (round 4; u8:solr/solrj/.../io/
+    # stream/TimeSeriesStream.java): monthly buckets over 2001 (the data
+    # ends 2001-08, so the trailing buckets are genuinely gap-filled).
+    # The oracle builds the same calendar with generate_series and
+    # left-joins the month aggregation.
+    def tseries(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return st.timeseries(
+            orders, "o_orderdate", "2001-01-01", "2002-01-01", 1, "MONTH",
+            {"n_orders": (F.count("*"), 0),
+             "sum_price": (_dec_sum("o_totalprice"), 0.0)})
+    e["stream_timeseries_gapfill"] = (tseries, """
+WITH cal AS (
+  SELECT unnest(generate_series(TIMESTAMP '2001-01-01',
+                                TIMESTAMP '2001-12-01',
+                                INTERVAL 1 MONTH)) AS bucket_start),
+agg AS (
+  SELECT date_trunc('month', o_orderdate) AS b, count(*)::BIGINT AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    AND o_orderdate < TIMESTAMP '2002-01-01'
+  GROUP BY 1)
+SELECT bucket_start, coalesce(a.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(a.sum_price, 0.0) AS sum_price
+FROM cal LEFT JOIN agg a ON a.b = cal.bucket_start
+ORDER BY bucket_start""")
+
     return e
 
 
@@ -4100,6 +4128,55 @@ FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 10""")
     return e
 
 
+def _frange_entries() -> dict[str, tuple[Callable, str | None]]:
+    """FunctionRangeQuery / ``{!frange}`` (round 4; u8:solr/core/.../
+    search/function/FunctionRangeQuery.java): a non-scoring doc-set
+    filter by a function over doc attributes, cogrouped into the range
+    scorer (filter context — scores unchanged). Two entries: a scoring
+    boolean under an attribute-range fq, and ``q=*:*`` under a computed-
+    function fq (the classic frange shape)."""
+    from sparklucene.search import frange_docs
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def fr_scored(spark, sf):
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        flt = frange_docs(attrs, F.col("n_chars"), lower=500, upper=2500,
+                          incl=True, incu=False)
+        return search(idx, Or((Term("join"), Term("merge"))), k=10,
+                      mode="f64", doc_filter=flt)
+
+    score = bm25.score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count",
+                           "g.sum_dl")
+    e["frange_filtered_search"] = (fr_scored, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {score} AS s
+  FROM tf
+  JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id
+  CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')
+    AND tf.doc_id IN (SELECT doc_id FROM documents
+                      WHERE n_chars >= 500 AND n_chars < 2500)
+)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    def fr_matchall(spark, sf):
+        from sparklucene.query import MatchAllDocs as MA
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        flt = frange_docs(attrs, F.col("n_chars") % 10, lower=0, upper=2)
+        return search(idx, MA(), k=15, mode="f64", doc_filter=flt)
+
+    e["frange_matchall_function"] = (fr_matchall, """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE (n_chars % 10) >= 0 AND (n_chars % 10) <= 2
+ORDER BY score DESC, doc_id ASC LIMIT 15""")
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -4127,6 +4204,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_spatial_entries())
     e.update(_monitor_entries())
     e.update(_ltr_entries())
+    e.update(_frange_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy. After round 3 every entry has at
     # least one driver-green row, so round 4 rotates the window onto

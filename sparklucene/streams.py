@@ -293,3 +293,77 @@ def score_nodes(nodes: DataFrame, termstats: DataFrame, doc_count: int,
                     .cast("float").cast("double")
                     .alias("node_score"))
             .orderBy(F.desc("node_score"), F.asc(node_col)))
+
+
+def timeseries(df: DataFrame, ts_col: str, start: str, end: str,
+               gap: int, unit: str,
+               metrics: dict[str, tuple[Column, object]]) -> DataFrame:
+    """TimeSeriesStream / ``timeseries()`` (public knowledge:
+    ``u8:solr/solrj/.../io/stream/TimeSeriesStream.java``, backed by the
+    JSON range facet): bucketed metrics over a time column with
+    gap-filling — EVERY bucket in [start, end) appears exactly once,
+    empty buckets carry each metric's fill value (the facet's zero
+    buckets; mincount=0 semantics).
+
+    Pinned spec: buckets are anchored at ``start`` with width ``gap``
+    ``unit`` (MONTH | DAY | HOUR); rows with ts outside [start, end) are
+    ignored; the final bucket may be partial (range-facet behavior);
+    output is (bucket_start timestamp, *metrics) sorted bucket asc.
+    For MONTH gaps ``start`` must sit on a month boundary (the reference
+    allows arbitrary date-math anchors; the month-arithmetic bucket
+    index below needs the boundary — DAY/HOUR anchors are free).
+
+    ``metrics`` maps output column -> (aggregate Column, fill value).
+
+    Scale shape: the bucket index is one narrow integer expression (no
+    UDF), the aggregation is partial+final hash agg on the bucket id,
+    and the calendar is an operator-constant relation (bucket count is a
+    plan literal) broadcast for the zero-fill outer join — nothing
+    data-proportional leaves the cluster.
+    """
+    from datetime import datetime, timedelta
+
+    t0 = datetime.fromisoformat(start)
+    t1 = datetime.fromisoformat(end)
+    if t1 <= t0:
+        raise ValueError("end must be after start")
+    unit = unit.upper()
+    ts = F.col(ts_col)
+    if unit == "MONTH":
+        if t0.day != 1 or t0.hour or t0.minute or t0.second:
+            raise ValueError("MONTH gaps need a month-boundary start")
+        base = t0.year * 12 + (t0.month - 1)
+        idx = ((F.year(ts) * 12 + (F.month(ts) - 1)) - base) \
+            .cast("long") / F.lit(gap)
+        idx = F.floor(idx)
+        starts = []
+        m = 0
+        while True:
+            y, mo = divmod(base + m, 12)
+            b = datetime(y, mo + 1, 1)
+            if b >= t1:
+                break
+            starts.append(b)
+            m += gap
+    else:
+        secs = {"DAY": 86400, "HOUR": 3600}[unit] * gap
+        # both epoch conversions happen Spark-side so the session
+        # timezone cancels (python .timestamp() would re-interpret the
+        # naive anchor in the driver's OS zone)
+        idx = F.floor((F.unix_timestamp(ts) - F.unix_timestamp(F.lit(t0)))
+                      / F.lit(secs))
+        starts, b = [], t0
+        while b < t1:
+            starts.append(b)
+            b = b + timedelta(seconds=secs)
+    spark = df.sparkSession
+    cal = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(starts)],
+        "_ts_idx long, bucket_start timestamp")
+    agg = (df.filter((ts >= F.lit(t0)) & (ts < F.lit(t1)))
+           .groupBy(idx.alias("_ts_idx"))
+           .agg(*[c.alias(n) for n, (c, _) in metrics.items()]))
+    out = F.broadcast(cal).join(agg, "_ts_idx", "left")
+    fills = [F.coalesce(F.col(n), F.lit(fill)).alias(n)
+             for n, (_, fill) in metrics.items()]
+    return out.select("bucket_start", *fills).orderBy("bucket_start")

@@ -386,3 +386,40 @@ def test_score_nodes_idf_annotation(spark):
     assert [r["node"] for r in got] == ["rare", "common"]
     assert got[0]["node_score"] == pytest.approx(2 * math.log(100 / 3))
     assert got[1]["node_score"] == pytest.approx(10 * math.log(100 / 80))
+
+
+def test_timeseries_gapfill_and_units(spark):
+    """TimeSeriesStream: anchored buckets, zero-filled gaps, out-of-range
+    rows ignored, DAY/HOUR/MONTH units, multi-unit gaps."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparklucene.streams import timeseries
+
+    rows = [(datetime(2020, 1, 1, 5), 10.0),
+            (datetime(2020, 1, 1, 6), 20.0),
+            (datetime(2020, 1, 3, 0), 30.0),
+            (datetime(2019, 12, 31, 23), 99.0),   # before start: ignored
+            (datetime(2020, 1, 5, 0), 99.0)]      # at end: ignored
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    m = {"n": (F.count("*"), 0),
+         "s": (F.sum("v").cast("double"), 0.0)}
+    got = timeseries(df, "ts", "2020-01-01", "2020-01-05", 1, "DAY", m) \
+        .collect()
+    assert [(r["bucket_start"].day, r["n"], r["s"]) for r in got] == \
+        [(1, 2, 30.0), (2, 0, 0.0), (3, 1, 30.0), (4, 0, 0.0)]
+    # 2-day gap: partial trailing bucket still appears
+    got2 = timeseries(df, "ts", "2020-01-01", "2020-01-05", 2, "DAY", m) \
+        .collect()
+    assert [(r["n"], r["s"]) for r in got2] == [(2, 30.0), (1, 30.0)]
+    # hourly
+    goth = timeseries(df, "ts", "2020-01-01 05:00:00",
+                      "2020-01-01 08:00:00", 1, "HOUR", m).collect()
+    assert [(r["n"]) for r in goth] == [1, 1, 0]
+    # month boundary enforcement
+    import pytest as pt
+    with pt.raises(ValueError, match="month-boundary"):
+        timeseries(df, "ts", "2020-01-15", "2020-03-01", 1, "MONTH", m)
+    with pt.raises(ValueError, match="after start"):
+        timeseries(df, "ts", "2020-01-01", "2020-01-01", 1, "DAY", m)
