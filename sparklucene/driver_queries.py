@@ -4177,6 +4177,37 @@ ORDER BY score DESC, doc_id ASC LIMIT 15""")
     return e
 
 
+def _update_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Atomic updates (round 4; u8:solr/core/.../update/processor/
+    AtomicUpdateDocumentMerger.java): the stored-doc merge half — set
+    replaces a field, inc adds to a numeric one, NULL update cells leave
+    the field untouched, docs outside the batch pass through. The
+    reindex half (update_index) is covered by streaming==batch-style
+    equality tests (filesystem mutation is not SQL-expressible)."""
+    from sparklucene.updates import apply_atomic_updates
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    def atomic(spark, sf):
+        docs = _t(spark, sf, "documents") \
+            .select("doc_id", "lang", "source", "n_chars")
+        updates = spark.createDataFrame(
+            [(1, "xx", 100), (3, "xx", -50), (5, None, 100)],
+            "doc_id long, lang string, n_chars long")
+        return apply_atomic_updates(
+            docs, updates, {"lang": "set", "n_chars": "inc"}) \
+            .orderBy("doc_id")
+
+    e["atomic_update_merge"] = (atomic, """
+WITH up AS (SELECT * FROM (VALUES (1, 'xx', 100), (3, 'xx', -50),
+                                  (5, NULL, 100))
+            AS t(doc_id, lang_u, inc_u))
+SELECT d.doc_id, coalesce(u.lang_u, d.lang) AS lang, d.source,
+       (d.n_chars + coalesce(u.inc_u, 0))::BIGINT AS n_chars
+FROM documents d LEFT JOIN up u USING (doc_id)
+ORDER BY d.doc_id""")
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -4205,6 +4236,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_monitor_entries())
     e.update(_ltr_entries())
     e.update(_frange_entries())
+    e.update(_update_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy. After round 3 every entry has at
     # least one driver-green row, so round 4 rotates the window onto
