@@ -285,6 +285,16 @@ class AnalyzerConfig:
     #: shingles of consecutive kept tokens (pinned spec: no filler tokens
     #: for stop-word holes; shingle position = first word's position).
     shingle: tuple[int, int] | None = None
+    #: ReversedWildcardFilter (u8:solr/core/.../analysis/
+    #: ReversedWildcardFilterFactory.java, withOriginal=false form):
+    #: every token is REPLACED by its character reversal. Index a
+    #: reversed EXTRA field and rewrite leading-wildcard queries onto it
+    #: (query.reverse_wildcards) — a leading wildcard then becomes a
+    #: PREFIX seek on the reversed sorted dictionary instead of a full
+    #: dictionary scan (the reference's leading-wildcard acceleration;
+    #: at 100 TB the difference is row-group pruning vs a full
+    #: term-dictionary pass). Runs LAST in the chain.
+    reverse_tokens: bool = False
 
     def token_regex(self) -> re.Pattern:
         if self.tokenizer == "standard":
@@ -386,6 +396,12 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
             lambda t: _edge_ngrams(t, *cfg.edge_ngram))
     if cfg.shingle:
         flat, docs, pos = _with_shingles(flat, docs, pos, *cfg.shingle)
+    if cfg.reverse_tokens:
+        # per-token substitution over the DISTINCT vocabulary — stream
+        # (doc, pos) order is untouched, so stream_sorted stays valid
+        codes, uniques = pd.factorize(pd.Series(flat))
+        rev = np.array([u[::-1] for u in uniques], dtype=object)
+        flat = rev[codes]
     return flat, docs, pos
 
 

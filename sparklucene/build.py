@@ -441,7 +441,8 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
     """
     os.makedirs(paths.manifest_dir, exist_ok=True)
     done = _completed_dranges(paths) if resume else set()
-    cols = ["doc_id", "content"] + sorted({f.source for f in extra_fields})
+    cols = ["doc_id", "content"] + sorted(
+        {f.source for f in extra_fields} - {"doc_id", "content"})
     sharded = with_drange(corpus.select(*cols), drange_size)
     todo = sharded.filter(~F.col("drange").isin(sorted(done))) if done else sharded
     partials_dir, manifest_dir = paths.partials, paths.manifest_dir

@@ -36,7 +36,7 @@ from sparklucene.corpus import load_corpus
 from sparklucene.norms import LENGTH_TABLE, quantize_length_sql
 from sparklucene.query import (And, DisMax, MatchAllDocs, Not, Or, Phrase,
                                Query, SpanFirst, Term, Within,
-                               analyze_phrase)
+                               analyze_phrase, parse)
 from sparklucene.search import Index, matches, search, search_after, total_hits
 
 # ---------------------------------------------------------------------------
@@ -1133,6 +1133,32 @@ FROM documents GROUP BY ROLLUP(lang, source) HAVING count(*) >= 5""")
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")
+
+    # -- Multi-select faceting via tagged-filter exclusion (round 4;
+    # u8:solr/core/.../search/facet/FacetRequest.java domain
+    # excludeTags / u8:solr/core/.../request/SimpleFacets.java `{!ex=}`):
+    # the lang facet is computed over the query domain with the TAGGED
+    # lang filter excluded (every other filter still applies) — the UI
+    # pattern where selecting a facet value must not collapse that
+    # facet's own counts. Domain = docs matching Term('merge') AND
+    # n_chars >= 300; the lang='en' selection is tagged and excluded.
+    def facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        docs = _t(spark, sf_dir, "documents")
+        base = matches(idx, Term("merge"), mode="f64").select("doc_id")
+        fq_len = docs.filter(F.col("n_chars") >= 300).select("doc_id")
+        # lang facet domain: q + untagged filters only (lang fq excluded)
+        domain = base.join(fq_len, "doc_id", "left_semi")
+        return (domain.join(docs.select("doc_id", "lang"), "doc_id")
+                .groupBy("lang").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("lang")))
+    e["facet_multiselect_exclude_tag"] = (facet_multiselect, f"""
+WITH {corpus_ctes()}
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+  AND d.n_chars >= 300
+GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC""")
 
     return e
 
@@ -3479,6 +3505,40 @@ WHERE lang IN (SELECT DISTINCT d2.lang
                FROM tf JOIN documents d2 USING (doc_id)
                WHERE tf.term = 'dup')""")
 
+    # -- JoinUtil ScoreMode.Total / Avg (round 4; u8:lucene/join/.../
+    # JoinUtil.java ScoreMode): parent key scored by the SUM and AVG of
+    # its joined child hits' BM25 scores (ScoreMode.Max is
+    # block_join_parent_rollup above). The f64 sum over per-doc f32
+    # scores is exact (24-bit mantissas, tiny exponent spread, few
+    # thousand addends), so it is summation-order-independent and the
+    # oracle reproduces it bit-for-bit.
+    def join_score_modes(spark, sf):
+        idx = index_for(spark, sf)
+        hits = matches(idx, Or((Term("join"), Term("merge"))), mode="f64")
+        parents = load_corpus(spark, sf).select("doc_id", "repo")
+        return (hits.join(parents, "doc_id")
+                .groupBy("repo")
+                .agg(F.sum("score").alias("score_total"),
+                     (F.sum("score") / F.count("*")).alias("score_avg"),
+                     F.count("*").alias("n_children"))
+                .orderBy(F.desc("score_total"), F.asc("repo")).limit(8))
+    e["join_score_mode_total_avg"] = (join_score_modes, f"""
+WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id)
+SELECT d.source AS repo, sum(ds.score) AS score_total,
+       sum(ds.score) / count(*) AS score_avg,
+       count(*)::BIGINT AS n_children
+FROM doc_scores ds JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY score_total DESC, repo ASC LIMIT 8""")
+
     return e
 
 
@@ -4017,6 +4077,24 @@ FROM pts
 WHERE lat >= -90.0 AND lat <= 90.0 AND lon >= -180.0 AND lon <= 180.0
 GROUP BY 1, 2 ORDER BY cell_row, cell_col""")
 
+    # -- {!geofilt pt= d=} (round 4; u8:solr/core/.../search/
+    # SpatialFilterQParser.java): radius filter — keep docs within d km
+    # of the point, nearest first. The distance is rounded to 3 decimals
+    # on BOTH sides before the comparison (the module's float-
+    # determinism contract), so the boundary is engine-independent.
+    def geofilt(spark, sf):
+        pts = _pts(spark, sf)
+        d = F.round(geodist_km(F.col("lat"), F.col("lon"), 10.5, 20.25), 3)
+        return (pts.select("doc_id", d.alias("dist_km"))
+                .filter(F.col("dist_km") <= 3000.0)
+                .orderBy(F.asc("dist_km"), F.asc("doc_id")))
+    e["spatial_geofilt_radius"] = (geofilt, f"""WITH {_PTS_SQL}
+SELECT doc_id,
+       round({geodist_sql('lat', 'lon', '10.5', '20.25')}, 3) AS dist_km
+FROM pts
+WHERE round({geodist_sql('lat', 'lon', '10.5', '20.25')}, 3) <= 3000.0
+ORDER BY dist_km ASC, doc_id ASC""")
+
     return e
 
 
@@ -4208,6 +4286,88 @@ ORDER BY d.doc_id""")
     return e
 
 
+def _parser_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Classic QueryParser surface end-to-end (round 4;
+    u8:lucene/queryparser/.../classic/QueryParser.jj): query STRINGS with
+    occurs + prefix wildcard + negation, and boosts + term ranges, parsed
+    by ``query.parse`` and executed by the engine; oracles re-derive the
+    dictionary expansions and the boosted/constant-score sums."""
+    e: dict[str, tuple[Callable, str | None]] = {}
+    tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                            "g.sum_dl")
+
+    def mixed(spark, sf):
+        q = parse("+merge +jo* -parallel")
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["parser_classic_mixed"] = (mixed, f"""WITH {corpus_ctes()},
+cs AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'jo%'),
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'merge'
+    AND tf.doc_id IN (SELECT doc_id FROM cs)
+    AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'parallel'))
+SELECT doc_id,
+       CAST(CAST(CAST(1.0 AS DOUBLE) + sum(CAST(s AS DOUBLE)) AS REAL)
+            AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    idf_e = "ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5))"
+    avgdl_e = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
+    denom_e = f"(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl_e}))"
+    boosted2 = f"CAST(((2.0 * {idf_e}) * tf.tf) / {denom_e} AS REAL)"
+
+    def range_boost(spark, sf):
+        q = parse("+merge^2 +[scan TO spark]")
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["parser_range_boost"] = (range_boost, f"""WITH {corpus_ctes()},
+rs AS (SELECT DISTINCT doc_id FROM tf
+       WHERE term >= 'scan' AND term <= 'spark'),
+term_scores AS (
+  SELECT tf.doc_id, {boosted2} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'merge'
+    AND tf.doc_id IN (SELECT doc_id FROM rs))
+SELECT doc_id,
+       CAST(CAST(CAST(1.0 AS DOUBLE) + sum(CAST(s AS DOUBLE)) AS REAL)
+            AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- ReversedWildcardFilter (round 4; u8:solr/core/.../analysis/
+    # ReversedWildcardFilterFactory.java): '*ge' is a full-dictionary
+    # scan on the forward vocabulary; reversed onto a reverse-token
+    # field it becomes Prefix('eg') — a sorted-dictionary SEEK. The
+    # oracle evaluates the equivalent forward LIKE '%ge' (same doc
+    # set by construction), proving the rewrite is semantics-preserving.
+    def rev_wild(spark, sf):
+        from sparklucene.analysis import AnalyzerConfig
+        from sparklucene.build import Field
+        from sparklucene.query import reverse_wildcards
+        idx = index_for(
+            spark, sf, variant="rev",
+            extra_fields=(Field("rev", "content",
+                                AnalyzerConfig(reverse_tokens=True)),))
+        q = reverse_wildcards(parse("*ge vector"), "rev")
+        return search(idx, q, k=10, mode="f64")
+    e["reversed_leading_wildcard"] = (rev_wild, f"""WITH {corpus_ctes()},
+uni AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tf WHERE term LIKE '%ge'
+  UNION ALL
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'vector')
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM uni GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -4237,6 +4397,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_ltr_entries())
     e.update(_frange_entries())
     e.update(_update_entries())
+    e.update(_parser_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy. After round 3 every entry has at
     # least one driver-green row, so round 4 rotates the window onto

@@ -668,26 +668,82 @@ def analyze_phrase(text: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
 
 _PART_RE = None
 _QUOTED_RE = None
+_RANGE_RE = None
+_FUZZY_RE = None
+_BOOST_RE = None
+
+
+def _parse_simple_token(tok: str, field: str | None, boost: float,
+                        stopwords) -> list[Query]:
+    """One unquoted, unranged token -> query node(s). Pinned spec
+    (classic QueryParser through-analyzer behavior):
+
+    * ``term~`` / ``term~N`` -> Fuzzy (bare ``~`` = 2 edits, Lucene's
+      FuzzyQuery.defaultMaxEdits); pattern lowercased only (Lucene's
+      lowercaseExpandedTerms — multi-term patterns bypass the analyzer).
+    * ``*``/``?`` anywhere -> Wildcard; a pure trailing-star pattern
+      becomes Prefix (PrefixQuery is the rewrite Lucene picks there).
+    * otherwise the token runs through the full analysis chain
+      (lowercase + stop filter) and may yield 0..n Terms. Field-
+      qualified terms are lowercased but NOT stop-filtered: the parser
+      cannot know a non-default field's analyzer, and the engine's
+      extra fields are keyword-style (documented pin).
+    """
+    global _FUZZY_RE
+    import re as _re
+    if _FUZZY_RE is None:
+        _FUZZY_RE = _re.compile(r"^([^~]+)~(\d)?$")
+    fm = _FUZZY_RE.match(tok)
+    if fm:
+        edits = int(fm.group(2)) if fm.group(2) is not None else 2
+        return [Fuzzy(fm.group(1).lower(), max_edits=edits, boost=boost,
+                      field=field)]
+    if "*" in tok or "?" in tok:
+        low = tok.lower()
+        if low.endswith("*") and "?" not in low and "*" not in low[:-1] \
+                and len(low) > 1:
+            return [Prefix(low[:-1], boost=boost, field=field)]
+        return [Wildcard(low, boost=boost, field=field)]
+    if field is not None:
+        return [Term(tok.lower(), boost=boost, field=field)]
+    return [Term(t, boost=boost)
+            for t in tokenize_text(tok, stopwords)]
 
 
 def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
-    """Parse a (small) classic-syntax query string into the AST.
+    """Parse a classic-syntax query string into the AST (the Lucene
+    classic QueryParser surface, ``u8:lucene/queryparser/.../classic/
+    QueryParser.jj``, flat form — no parenthesized sub-clauses).
 
-    Terms are passed through the same analysis chain as documents
-    (lowercase + stop filter); terms that analyze to nothing vanish,
-    exactly like Lucene's analyzer-in-the-query-parser behavior.
-    Quoted segments (``"a b"``, ``+"a b"``, ``-"a b"``) become Phrase
-    queries with stop-gap position offsets.
+    Supported: ``+``/``-``/bare occurs, ``AND``/``OR``/``NOT`` rewrite,
+    quoted phrases (``"a b"``, ``"a b"~N`` slop) with stop-gap offsets,
+    ``field:token`` / ``field:"a b"`` qualification, trailing-``*``
+    prefixes, ``*``/``?`` wildcards, ``term~``/``term~N`` fuzzy,
+    ``[a TO b]`` / ``{a TO b}`` term ranges (``*`` = open endpoint,
+    mixed brackets allowed), and ``token^2.5`` boosts. Terms pass
+    through the same analysis chain as documents (lowercase + stop
+    filter); terms that analyze to nothing vanish, exactly like
+    Lucene's analyzer-in-the-query-parser behavior; multi-term patterns
+    (prefix/wildcard/fuzzy/range) are lowercased only.
     """
     import re as _re
 
-    global _PART_RE, _QUOTED_RE
+    global _PART_RE, _QUOTED_RE, _RANGE_RE, _BOOST_RE
     if _PART_RE is None:
-        _PART_RE = _re.compile(r'([+-]?)"([^"]*)"(~(\d+))?|(\S+)')
-        _QUOTED_RE = _re.compile(r'([+-]?"[^"]*"(?:~\d+)?)')
-    # operator rewrites must never touch quoted segments: '"fast AND key"'
-    # must keep its stopword gap ((0,'fast'),(2,'key')), so split out the
-    # quoted spans first and rewrite only the unquoted remainder
+        _PART_RE = _re.compile(
+            r'([+-]?)(?:(\w+):)?"([^"]*)"(~(\d+))?'
+            r'|([+-]?)(?:(\w+):)?([\[{][^\]}]*[\]}])'
+            r'|(\S+)')
+        _QUOTED_RE = _re.compile(
+            r'([+-]?(?:\w+:)?"[^"]*"(?:~\d+)?'
+            r'|[+-]?(?:\w+:)?[\[{][^\]}]*[\]}])')
+        _RANGE_RE = _re.compile(
+            r'^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$')
+        _BOOST_RE = _re.compile(r'^(.+)\^(\d+(?:\.\d+)?)$')
+    # operator rewrites must never touch quoted/range segments:
+    # '"fast AND key"' must keep its stopword gap ((0,'fast'),(2,'key')),
+    # and '[a TO b]' must keep its TO — split those spans out first and
+    # rewrite only the plain remainder
     parts = _QUOTED_RE.split(query)
     raw = "".join(
         p if i % 2 else
@@ -697,23 +753,46 @@ def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
     should: list[Query] = []
     neg: list[Query] = []
     for m in _PART_RE.finditer(raw):
-        prefix, quoted, _tilde, slop, tok = m.groups()
+        (qpre, qfield, quoted, _tilde, slop,
+         rpre, rfield, rng, tok) = m.groups()
         if quoted is not None:
-            bucket = {"+": must, "-": neg}.get(prefix, should)
+            bucket = {"+": must, "-": neg}.get(qpre, should)
             ph = analyze_phrase(quoted, stopwords)
-            if slop and isinstance(ph, Phrase):
-                ph = Phrase(ph.slots, slop=int(slop))
+            if isinstance(ph, Phrase):
+                if slop:
+                    ph = Phrase(ph.slots, slop=int(slop))
+                if qfield:
+                    ph = Phrase(ph.slots, slop=ph.slop, field=qfield)
             if not isinstance(ph, MatchNoDocs):
                 bucket.append(ph)
+            continue
+        if rng is not None:
+            bucket = {"+": must, "-": neg}.get(rpre, should)
+            rm = _RANGE_RE.match(rng)
+            if rm is None:
+                raise ValueError(f"malformed range clause {rng!r}")
+            op, lo, hi, cl = rm.groups()
+            bucket.append(TermRange(
+                lo=None if lo == "*" else lo.lower(),
+                hi=None if hi == "*" else hi.lower(),
+                include_lo=(op == "["), include_hi=(cl == "]"),
+                field=rfield))
             continue
         bucket = should
         if tok.startswith("+"):
             bucket, tok = must, tok[1:]
         elif tok.startswith("-"):
             bucket, tok = neg, tok[1:]
-        analyzed = tokenize_text(tok, stopwords)
-        for t in analyzed:
-            bucket.append(Term(t))
+        boost = 1.0
+        bm = _BOOST_RE.match(tok)
+        if bm:
+            tok, boost = bm.group(1), float(bm.group(2))
+        field = None
+        if ":" in tok:
+            head, _, rest = tok.partition(":")
+            if rest and _re.fullmatch(r"\w+", head):
+                field, tok = head, rest
+        bucket.extend(_parse_simple_token(tok, field, boost, stopwords))
     if must and should:
         # classic semantics: required clauses dominate; SHOULD become optional
         pos: Query = And(tuple(must) + tuple(should))
@@ -726,3 +805,41 @@ def parse(query: str, stopwords=ENGLISH_STOP_WORDS) -> Query:
     if neg:
         pos = Not(pos, Or(tuple(neg)))
     return rewrite(pos)
+
+
+def reverse_wildcards(q: Query, rev_field: str) -> Query:
+    """ReversedWildcardFilter query-side rewrite (public knowledge:
+    ``u8:solr/core/.../analysis/ReversedWildcardFilterFactory.java`` +
+    the SolrQueryParserBase.getWildcardQuery hook): a Wildcard or Prefix
+    pattern that STARTS with a wildcard is re-targeted at ``rev_field``
+    (a field indexed with ``AnalyzerConfig(reverse_tokens=True)``) with
+    the pattern reversed — the reversed pattern leads with literal
+    characters, so the dictionary expansion becomes a sorted-term PREFIX
+    seek instead of a full vocabulary scan. Patterns whose reversal
+    still leads with a wildcard (e.g. ``*mid*``) are left unchanged.
+    Composable: booleans/DisMax/Not/Filtered/ConstantScore recurse.
+    """
+    if isinstance(q, Wildcard) and q.pattern[:1] in ("*", "?"):
+        rp = q.pattern[::-1]
+        if rp[:1] not in ("*", "?"):
+            if rp.endswith("*") and "?" not in rp[:-1] \
+                    and "*" not in rp[:-1] and len(rp) > 1:
+                return Prefix(rp[:-1], boost=q.boost, field=rev_field)
+            return Wildcard(rp, boost=q.boost, field=rev_field)
+        return q
+    if isinstance(q, (And, Or, DisMax)):
+        clauses = tuple(reverse_wildcards(c, rev_field) for c in q.clauses)
+        if isinstance(q, Or):
+            return Or(clauses, q.min_should_match)
+        if isinstance(q, DisMax):
+            return DisMax(clauses, q.tiebreak)
+        return And(clauses)
+    if isinstance(q, Not):
+        return Not(reverse_wildcards(q.positive, rev_field),
+                   reverse_wildcards(q.negative, rev_field))
+    if isinstance(q, Filtered):
+        return Filtered(reverse_wildcards(q.positive, rev_field),
+                        reverse_wildcards(q.filter, rev_field))
+    if isinstance(q, ConstantScore):
+        return ConstantScore(reverse_wildcards(q.child, rev_field), q.boost)
+    return q
