@@ -134,3 +134,50 @@ def test_fuzzed_trees_pruned_exhaustive_oracle(oidx, seed, mode):
                 f"oracle scores {q}"
             n_checked += 1
     assert n_checked >= 30  # the generator must produce real queries
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzzed_trees_with_include_filter(oidx, seed):
+    """doc_filter (frange include-set) path: for random query trees and
+    random allowed sets, the filtered scorer (pruned AND exhaustive)
+    equals brute force (unfiltered full ranking -> python-side include
+    filter -> re-top-k), and composes with deletions."""
+    from tests.test_scorer import _scorer_from_oracle
+
+    present = set(oidx.tf["term"].unique())
+    all_docs = sorted(int(d) for d in oidx.doc_ids)
+    rng = random.Random(2000 + seed)
+    n_checked = 0
+    for _ in range(15):
+        try:
+            q = rewrite(_rand_query(rng))
+        except ValueError:
+            continue
+        q = prune_missing(q, present)
+        if isinstance(q, MatchNoDocs):
+            continue
+        size = rng.choice([1, len(all_docs) // 4, len(all_docs) // 2,
+                           len(all_docs) - 1])
+        allowed = np.array(sorted(rng.sample(all_docs, size)),
+                           dtype=np.int64)
+        deleted = (np.array(sorted(rng.sample(all_docs, 3)), np.int64)
+                   if rng.random() < 0.5 else None)
+        k = rng.choice([3, 10])
+        sp = _scorer_from_oracle(oidx, "f64", prune=True,
+                                 deleted=deleted, allowed=allowed)
+        se = _scorer_from_oracle(oidx, "f64", prune=False,
+                                 deleted=deleted, allowed=allowed)
+        dp, vp = sp.topk(q, k)
+        de, ve = se.topk(q, k)
+        assert dp.tolist() == de.tolist(), f"filter+prune ids {q}"
+        assert (vp == ve).all(), f"filter+prune scores {q}"
+        # brute force: full unfiltered ranking -> include filter -> top-k
+        full = _scorer_from_oracle(oidx, "f64", prune=False,
+                                   deleted=deleted)
+        df_, vf = full.topk(q, 1 << 20)
+        ok = np.isin(df_, allowed)
+        df_, vf = df_[ok][:k], vf[ok][:k]
+        assert dp.tolist() == df_.tolist(), f"filter vs brute ids {q}"
+        assert (vp == vf).all(), f"filter vs brute scores {q}"
+        n_checked += 1
+    assert n_checked >= 10

@@ -17,7 +17,8 @@ from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
 from sparklucene.scorer import GlobalStats, RangeCell, RangeScorer, TermStats
 
 
-def _scorer_from_oracle(oidx, mode="lucene8", prune=True):
+def _scorer_from_oracle(oidx, mode="lucene8", prune=True, deleted=None,
+                        allowed=None):
     cells = {}
     for term, g in oidx.tf.groupby("term"):
         g = g.sort_values("doc_id")
@@ -35,7 +36,8 @@ def _scorer_from_oracle(oidx, mode="lucene8", prune=True):
         doc_count=oidx.doc_count, sum_dl=oidx.sum_dl,
         term_stats={t: TermStats(df=int(g), cf=int(cf_by_term[t]))
                     for t, g in oidx.tf.groupby("term").size().items()})
-    return RangeScorer(cells, stats, mode=mode, prune=prune)
+    return RangeScorer(cells, stats, mode=mode, prune=prune,
+                       deleted=deleted, allowed=allowed)
 
 
 @pytest.fixture(scope="module")
