@@ -2731,6 +2731,35 @@ FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
 ORDER BY score DESC, doc_id ASC
 LIMIT 10""")
 
+    # SpanPositionRangeQuery (round 4; u8:lucene/core/.../search/spans/
+    # SpanPositionRangeQuery.java — SpanFirst's parent): spans fully
+    # inside [start, end) in the pre-stop position stream; freq = number
+    # of qualifying spans, single-term phrase weight.
+    def span_pos_range(spark, sf):
+        from sparklucene.query import Span
+        from sparklucene.spans import SpanPositionRangeNode, SpanTerm
+        q = Span(SpanPositionRangeNode(SpanTerm(_sft), start=3, end=40))
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    e["span_position_range_topk"] = (span_pos_range, f"""
+WITH {corpus_ctes()},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS tfp FROM tokp
+  WHERE term = '{_sft}' AND pos >= 3 AND pos + 1 <= 40 GROUP BY doc_id
+)
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST(({_sf_idf} * pf.tfp)
+            / (pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {_sf_avgdl}))
+            AS REAL) AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
+
     # highlighting round (Solr HighlightComponent user surface,
     # u8:solr/core/.../handler/component/HighlightComponent.java):
     # matched-term positions decoded for the <= k winners only; snippet =
@@ -4252,6 +4281,39 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""")
 SELECT doc_id, 1.0 AS score FROM documents
 WHERE (n_chars % 10) >= 0 AND (n_chars % 10) <= 2
 ORDER BY score DESC, doc_id ASC LIMIT 15""")
+
+    # -- {!boost b=} / FunctionScoreQuery / ExternalFileField (round 4):
+    # final score = BM25 × (1 + (n_chars % 100)/100), the multiplicative
+    # popularity-boost shape. Exhaustive scoring (an arbitrary multiplier
+    # breaks impact monotonicity — the reference pays the same); the
+    # f64 product is a single op, so the oracle matches bit-for-bit.
+    def boosted(spark, sf):
+        from sparklucene.search import boost_by
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        fac = (F.lit(1.0)
+               + (F.col("n_chars") % 100).cast("double") / F.lit(100.0))
+        return boost_by(idx, Or((Term("join"), Term("merge"))), attrs,
+                        fac, k=10, mode="f64")
+
+    score = bm25.score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count",
+                           "g.sum_dl")
+    e["boost_by_external_field"] = (boosted, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {score} AS s
+  FROM tf
+  JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id
+  CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')
+),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS bm25
+  FROM term_scores GROUP BY doc_id)
+SELECT ds.doc_id,
+       ds.bm25 * (1.0 + CAST(d.n_chars % 100 AS DOUBLE) / 100.0) AS score
+FROM doc_scores ds JOIN documents d USING (doc_id)
+ORDER BY score DESC, ds.doc_id ASC LIMIT 10""")
     return e
 
 

@@ -22,7 +22,8 @@ from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                Within)
 from sparklucene.spans import (SpanContainingNode, SpanFirstNode,
                                SpanNearNode, SpanNotNode, SpanOrNode,
-                               SpanTerm, SpanWithinNode, leaf_terms)
+                               SpanPositionRangeNode, SpanTerm,
+                               SpanWithinNode, leaf_terms)
 
 
 @dataclass
@@ -273,6 +274,9 @@ def _span_eval_doc(node, pos_of: dict[str, list[int]]) -> list[tuple[int, int]]:
     if isinstance(node, SpanFirstNode):
         return [(s, e) for s, e in _span_eval_doc(node.match, pos_of)
                 if e <= node.limit]
+    if isinstance(node, SpanPositionRangeNode):
+        return [(s, e) for s, e in _span_eval_doc(node.match, pos_of)
+                if s >= node.start and e <= node.end]
     if isinstance(node, SpanContainingNode):
         big = _span_eval_doc(node.big, pos_of)
         little = _span_eval_doc(node.little, pos_of)

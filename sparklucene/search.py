@@ -660,6 +660,36 @@ def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
                     hydrate)
 
 
+def boost_by(index: Index, query: str | Query, attrs: DataFrame,
+             factor, k: int = 10, mode: str = "lucene8",
+             default: float = 0.0) -> DataFrame:
+    """BoostQParser / FunctionScoreQuery over a stored doc attribute
+    (public knowledge: ``u8:solr/core/.../search/BoostQParserPlugin.java``,
+    ``u8:lucene/queries/.../function/FunctionScoreQuery.java``, and the
+    ExternalFileField use-case ``u8:solr/core/.../schema/
+    ExternalFileField.java``): final score = query score × function
+    value, where the function is any Catalyst expression over ``attrs``
+    (keyed by doc_id). Docs missing from ``attrs`` take ``default``
+    (ExternalFileField's defVal).
+
+    Scale shape: the full match set stays distributed (an arbitrary
+    multiplier breaks impact monotonicity, so WAND cannot prune — the
+    reference's FunctionScoreQuery pays the same exhaustive cost); the
+    factor join is keyed by doc_id and the final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    col = F.expr(factor) if isinstance(factor, str) else factor
+    hits = matches(index, query, mode=mode)
+    fac = attrs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       col.cast("double").alias("_boost_f"))
+    return (hits.join(fac, "doc_id", "left")
+            .select("doc_id",
+                    (F.col("score")
+                     * F.coalesce(F.col("_boost_f"),
+                                  F.lit(float(default)))).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def frange_docs(attrs: DataFrame, value, lower: float | None = None,
                 upper: float | None = None, incl: bool = True,
                 incu: bool = True) -> DataFrame:

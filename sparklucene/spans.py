@@ -102,6 +102,18 @@ class SpanFirstNode:
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeNode:
+    """SpanPositionRangeQuery (``u8:lucene/core/.../search/spans/
+    SpanPositionRangeQuery.java`` — SpanFirstQuery's parent class): keep
+    spans fully inside the position window [start, end): ``span.start >=
+    start`` and ``span.end <= end``. SpanFirst == start=0."""
+
+    match: "SpanNode"
+    start: int
+    end: int
+
+
+@dataclass(frozen=True)
 class SpanContainingNode:
     """SpanContainingQuery (``u8:lucene/core/.../search/spans/
     SpanContainingQuery.java``): keep spans of ``big`` that contain at
@@ -126,7 +138,8 @@ class SpanWithinNode:
 
 
 SpanNode = Union[SpanTerm, SpanNearNode, SpanOrNode, SpanNotNode,
-                 SpanFirstNode, SpanContainingNode, SpanWithinNode]
+                 SpanFirstNode, SpanPositionRangeNode, SpanContainingNode,
+                 SpanWithinNode]
 
 
 def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
@@ -148,7 +161,7 @@ def leaf_terms(node: SpanNode, include_only: bool = False) -> list[str]:
             walk(n.include)
             if not include_only:
                 walk(n.exclude)
-        elif isinstance(n, SpanFirstNode):
+        elif isinstance(n, (SpanFirstNode, SpanPositionRangeNode)):
             walk(n.match)
         elif isinstance(n, SpanContainingNode):
             walk(n.big)
@@ -177,6 +190,9 @@ def map_terms(node: SpanNode, fn: Callable[[str], str]) -> SpanNode:
                            map_terms(node.exclude, fn))
     if isinstance(node, SpanFirstNode):
         return SpanFirstNode(map_terms(node.match, fn), node.limit)
+    if isinstance(node, SpanPositionRangeNode):
+        return SpanPositionRangeNode(map_terms(node.match, fn),
+                                     node.start, node.end)
     if isinstance(node, SpanContainingNode):
         return SpanContainingNode(map_terms(node.big, fn),
                                   map_terms(node.little, fn))
@@ -217,6 +233,12 @@ def simplify(node: SpanNode) -> SpanNode | None:
             return None
         m = simplify(node.match)
         return None if m is None else SpanFirstNode(m, node.limit)
+    if isinstance(node, SpanPositionRangeNode):
+        if node.end <= node.start:
+            return None
+        m = simplify(node.match)
+        return None if m is None else SpanPositionRangeNode(
+            m, node.start, node.end)
     if isinstance(node, SpanContainingNode):
         big, little = simplify(node.big), simplify(node.little)
         if big is None or little is None:  # both sides required
@@ -258,6 +280,10 @@ def prune(node: SpanNode, present: set[str]) -> SpanNode | None:
     if isinstance(node, SpanFirstNode):
         m = prune(node.match, present)
         return None if m is None else SpanFirstNode(m, node.limit)
+    if isinstance(node, SpanPositionRangeNode):
+        m = prune(node.match, present)
+        return None if m is None else SpanPositionRangeNode(
+            m, node.start, node.end)
     if isinstance(node, SpanContainingNode):
         big, little = prune(node.big, present), prune(node.little, present)
         if big is None or little is None:
@@ -457,6 +483,10 @@ def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
     if isinstance(node, SpanFirstNode):
         d, st, en = eval_spans(node.match, leaf)
         keep = en <= node.limit
+        return (d, st, en) if keep.all() else (d[keep], st[keep], en[keep])
+    if isinstance(node, SpanPositionRangeNode):
+        d, st, en = eval_spans(node.match, leaf)
+        keep = (st >= node.start) & (en <= node.end)
         return (d, st, en) if keep.all() else (d[keep], st[keep], en[keep])
     if isinstance(node, SpanContainingNode):
         return _eval_containing(eval_spans(node.big, leaf),

@@ -16,6 +16,7 @@ from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import (MatchNoDocs, Span, Term, prune_missing,
                                rewrite)
 from sparklucene.spans import (SpanContainingNode, SpanFirstNode,
+                               SpanPositionRangeNode,
                                SpanNearNode, SpanNotNode, SpanOrNode,
                                SpanTerm, SpanWithinNode, empty_spans,
                                eval_spans, leaf_terms, prune, simplify)
@@ -227,9 +228,13 @@ def _rand_node(rng: random.Random, depth: int = 0):
         kids = tuple(_rand_node(rng, depth + 1)
                      for _ in range(rng.randint(2, 3)))
         return O(kids)
-    if r < 0.86:
+    if r < 0.84:
         return SpanFirstNode(_rand_node(rng, depth + 1),
                              rng.choice([1, 3, 10, 50]))
+    if r < 0.86:
+        lo = rng.choice([0, 2, 5])
+        return SpanPositionRangeNode(_rand_node(rng, depth + 1), lo,
+                                     lo + rng.choice([1, 5, 30]))
     if r < 0.91:
         return SpanContainingNode(_rand_node(rng, depth + 1),
                                   _rand_node(rng, depth + 1))
@@ -259,3 +264,23 @@ def test_fuzzed_span_trees_vs_oracle(oidx, seed, mode):
             assert (vp == want["score"].to_numpy()).all(), f"scores {q}"
             n_checked += 1
     assert n_checked >= 12
+
+
+def test_span_position_range():
+    """SpanPositionRangeQuery: spans fully inside [start, end); SpanFirst
+    == start=0; simplify/prune traversals handle the node."""
+    pos = {"a": {1: [0, 5, 10]}, "b": {1: [1, 6, 11]}}
+    P = SpanPositionRangeNode
+    assert _spans(P(T("a"), 0, 6), pos) == [(1, 0, 1), (1, 5, 6)]
+    assert _spans(P(T("a"), 3, 11), pos) == [(1, 5, 6), (1, 10, 11)]
+    # over a sub-span: the whole near span must sit inside the window
+    near = N((T("a"), T("b")), slop=0)
+    assert _spans(P(near, 4, 8), pos) == [(1, 5, 7)]
+    assert _spans(P(near, 4, 7), pos) == [(1, 5, 7)]
+    assert _spans(P(near, 6, 8), pos) == []
+    # SpanFirst equivalence at start=0
+    assert _spans(P(near, 0, 7), pos) == _spans(SpanFirstNode(near, 7), pos)
+    # structural traversals
+    assert simplify(P(T("a"), 5, 5)) is None
+    assert prune(P(T("gone"), 0, 5), {"a"}) is None
+    assert leaf_terms(P(N((T("a"), T("b")), 1), 0, 4)) == ["a", "b"]
