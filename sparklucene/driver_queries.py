@@ -1533,6 +1533,44 @@ SELECT bucket_start, coalesce(a.n_orders, 0)::BIGINT AS n_orders,
 FROM cal LEFT JOIN agg a ON a.b = cal.bucket_start
 ORDER BY bucket_start""")
 
+    # -- features() / FeaturesSelectionStream (round 4; u8:solr/solrj/
+    # .../io/stream/FeaturesSelectionStream.java + u8:solr/core/.../
+    # search/IGainTermsQParserPlugin.java): top terms by information
+    # gain for the binary class lang='en'. The oracle mirrors the exact
+    # entropy expression tree (0·log2 0 guards, empty-complement guard,
+    # float32 rounding for the transcendental result).
+    def feats(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return st.features_selection(docs, F.col("lang") == "en", k=15,
+                                     min_df=5)
+
+    def _h(x):
+        x1 = f"(1.0 - {x})"
+        return (f"-((CASE WHEN {x} <= 0.0 THEN 0.0 "
+                f"ELSE {x} * log2({x}) END) + "
+                f"(CASE WHEN {x1} <= 0.0 THEN 0.0 "
+                f"ELSE {x1} * log2({x1}) END))")
+
+    _n, _p = "CAST(t.n AS DOUBLE)", "CAST(t.p AS DOUBLE)"
+    _df, _pdf = "CAST(c.df AS DOUBLE)", "CAST(c.pos_df AS DOUBLE)"
+    _ig = (f"{_h(f'({_p} / {_n})')}"
+           f" - ({_df} / {_n}) * {_h(f'({_pdf} / {_df})')}"
+           f" - (CASE WHEN {_n} - {_df} <= 0.0 THEN 0.0 "
+           f"ELSE (({_n} - {_df}) / {_n}) * "
+           f"{_h(f'(({_p} - {_pdf}) / ({_n} - {_df}))')} END)")
+    e["stream_features_igain"] = (feats, f"""WITH {corpus_ctes()},
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n, sum(pos)::BIGINT AS p FROM lab),
+tcounts AS (
+  SELECT tf.term, count(*)::BIGINT AS df, sum(l.pos)::BIGINT AS pos_df
+  FROM tf JOIN lab l USING (doc_id)
+  GROUP BY tf.term HAVING count(*) >= 5)
+SELECT c.term, c.df, c.pos_df,
+       CAST(CAST(({_ig}) AS REAL) AS DOUBLE) AS ig
+FROM tcounts c CROSS JOIN tot t
+ORDER BY ig DESC, c.term ASC LIMIT 15""")
+
     return e
 
 

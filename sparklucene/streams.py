@@ -367,3 +367,71 @@ def timeseries(df: DataFrame, ts_col: str, start: str, end: str,
     fills = [F.coalesce(F.col(n), F.lit(fill)).alias(n)
              for n, (_, fill) in metrics.items()]
     return out.select("bucket_start", *fills).orderBy("bucket_start")
+
+
+def features_selection(docs: DataFrame, is_positive, k: int = 10,
+                       min_df: int = 1, text_col: str = "text",
+                       stopwords=None) -> DataFrame:
+    """FeaturesSelectionStream / ``features()`` (public knowledge:
+    ``u8:solr/solrj/.../io/stream/FeaturesSelectionStream.java`` backed
+    by ``u8:solr/core/.../search/IGainTermsQParserPlugin.java``): rank
+    terms by information gain for separating a binary class — the
+    feature-selection half of the reference's text-classification
+    pipeline (``features()`` -> ``train()``).
+
+    Pinned spec (standard binary information gain over binary term
+    presence, the IGain parser's model): with N training docs, P
+    positives, and per term t: n_t docs containing t, p_t positives
+    containing t,
+
+        H(x)  = -(x·log2 x + (1-x)·log2(1-x)),  0·log2 0 := 0
+        IG(t) = H(P/N) - (n_t/N)·H(p_t/n_t)
+                       - ((N-n_t)/N)·H((P-p_t)/(N-n_t))
+
+    rounded through float32 (the engine's transcendental-determinism
+    contract). Output: (term, df, pos_df, ig) — ig desc, term asc, top
+    ``k``; terms in fewer than ``min_df`` docs are dropped.
+
+    ``is_positive`` is a boolean Column over ``docs`` (the classQ).
+
+    Scale shape: one Arrow-vectorized tokenize pass, one partial+final
+    groupBy(term) counting (df, pos_df) with a conditional sum, the two
+    global counts broadcast as a 1-row cross join, and the IG expression
+    narrow — no UDF in the aggregation, no driver-side data.
+    """
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, make_tokenize_udf
+
+    tok = make_tokenize_udf(stopwords if stopwords is not None
+                            else ENGLISH_STOP_WORDS)
+    labeled = docs.select(F.col(text_col).alias("_fs_text"),
+                          is_positive.cast("int").alias("_fs_pos"))
+    totals = labeled.agg(F.count("*").alias("n"),
+                         F.sum("_fs_pos").alias("p"))
+    terms = (labeled.select(
+                "_fs_pos",
+                F.explode(F.array_distinct(tok(F.col("_fs_text"))))
+                .alias("term"))
+             .groupBy("term")
+             .agg(F.count("*").alias("df"),
+                  F.sum("_fs_pos").alias("pos_df"))
+             .filter(F.col("df") >= min_df))
+
+    def h(x):  # binary entropy, 0 log 0 = 0
+        x1 = F.lit(1.0) - x
+        t0 = F.when(x <= 0.0, F.lit(0.0)).otherwise(x * F.log2(x))
+        t1 = F.when(x1 <= 0.0, F.lit(0.0)).otherwise(x1 * F.log2(x1))
+        return -(t0 + t1)
+
+    n = F.col("n").cast("double")
+    p = F.col("p").cast("double")
+    df_ = F.col("df").cast("double")
+    pdf = F.col("pos_df").cast("double")
+    # a term present in EVERY doc has an empty complement: its weight is
+    # 0, but the inner ratio would be 0/0 — guard the whole addend
+    compl = F.when(n - df_ <= 0.0, F.lit(0.0)) \
+        .otherwise(((n - df_) / n) * h((p - pdf) / (n - df_)))
+    ig = h(p / n) - (df_ / n) * h(pdf / df_) - compl
+    return (terms.crossJoin(F.broadcast(totals))
+            .select("term", "df", "pos_df",
+                    ig.cast("float").cast("double").alias("ig"))
+            .orderBy(F.desc("ig"), F.asc("term")).limit(k))

@@ -423,3 +423,34 @@ def test_timeseries_gapfill_and_units(spark):
         timeseries(df, "ts", "2020-01-15", "2020-03-01", 1, "MONTH", m)
     with pt.raises(ValueError, match="after start"):
         timeseries(df, "ts", "2020-01-01", "2020-01-01", 1, "DAY", m)
+
+
+def test_features_selection_information_gain(spark):
+    """features(): a perfectly class-separating term gets IG = H(P/N);
+    a class-independent term gets IG = 0; all-docs terms are guarded."""
+    from pyspark.sql import functions as F
+
+    from sparklucene.streams import features_selection
+
+    # 4 docs: 2 positive (class en). 'sep' appears exactly in positives;
+    # 'noise' in one of each class; 'everywhere' in all docs.
+    docs = spark.createDataFrame([
+        (0, "sep noise everywhere", "en"),
+        (1, "sep everywhere", "en"),
+        (2, "noise everywhere", "fr"),
+        (3, "everywhere", "fr"),
+    ], "doc_id long, text string, lang string")
+    got = {r["term"]: r for r in
+           features_selection(docs, F.col("lang") == "en", k=10,
+                              min_df=1, stopwords=frozenset()).collect()}
+    # H(0.5) = 1 bit; 'sep' separates perfectly
+    assert got["sep"]["ig"] == pytest.approx(1.0)
+    assert got["sep"]["df"] == 2 and got["sep"]["pos_df"] == 2
+    # 'noise': P(t)=0.5 with H(0.5|t)=1 both sides -> IG 0
+    assert got["noise"]["ig"] == pytest.approx(0.0)
+    # 'everywhere': empty complement guarded, IG 0 (no separation)
+    assert got["everywhere"]["ig"] == pytest.approx(0.0)
+    # ranking: sep first
+    order = [r for r in sorted(got.values(),
+                               key=lambda r: (-r["ig"], r["term"]))]
+    assert order[0]["term"] == "sep"
