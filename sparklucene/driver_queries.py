@@ -4468,6 +4468,98 @@ ORDER BY score DESC, doc_id ASC LIMIT 10""")
     return e
 
 
+def _classify_entries() -> dict[str, tuple[Callable, str | None]]:
+    """Lucene classification module (u8:lucene/classification/.../
+    SimpleNaiveBayesClassifier.java, KNearestNeighborClassifier.java):
+    train on the labeled 80% split (doc_id % 5 != 0), classify the 20%
+    holdout. Exact pinned specs in classify.py; the oracles re-derive
+    every class statistic from raw tokens in SQL."""
+    e: dict[str, tuple[Callable, str | None]] = {}
+
+    splits = """
+tr AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 != 0),
+te AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+ttf AS (SELECT f.doc_id, f.term, CAST(f.tf AS DOUBLE) AS tf, tr.lang AS label
+        FROM tf f JOIN tr USING (doc_id)),
+qtf AS (SELECT f.doc_id, f.term, CAST(f.tf AS DOUBLE) AS tf
+        FROM tf f JOIN te USING (doc_id))"""
+
+    def nb(spark, sf):
+        from sparklucene.classify import naive_bayes_classify
+        docs = _t(spark, sf, "documents")
+        train = docs.filter(F.col("doc_id") % 5 != 0)
+        test = docs.filter(F.col("doc_id") % 5 == 0)
+        return naive_bayes_classify(train, test)
+    e["classify_naive_bayes"] = (nb, f"""WITH {corpus_ctes()},{splits},
+cls_cf AS (SELECT label, term, sum(tf) AS cf FROM ttf GROUP BY label, term),
+cls_tot AS (SELECT label, sum(cf) AS tokens_c FROM cls_cf GROUP BY label),
+cls_docs AS (SELECT lang AS label, count(*)::DOUBLE AS n_c
+             FROM tr GROUP BY lang),
+gl AS (SELECT (SELECT count(*) FROM tr)::DOUBLE AS n_train,
+              (SELECT count(DISTINCT term) FROM ttf)::DOUBLE AS vocab),
+qlen AS (SELECT doc_id, sum(tf) AS dl FROM qtf GROUP BY doc_id),
+matched AS (
+  SELECT q.doc_id, c.label,
+         sum(CAST(CAST(q.tf * ln(c.cf + 1.0) AS REAL) AS DOUBLE)) AS matched
+  FROM qtf q JOIN cls_cf c USING (term) GROUP BY q.doc_id, c.label),
+scores AS (
+  SELECT ql.doc_id, cd.label,
+         ln(cd.n_c / gl.n_train) + coalesce(m.matched, 0.0)
+         - ql.dl * ln(ct.tokens_c + gl.vocab) AS score
+  FROM qlen ql CROSS JOIN cls_docs cd
+  JOIN cls_tot ct ON ct.label = cd.label CROSS JOIN gl
+  LEFT JOIN matched m ON m.doc_id = ql.doc_id AND m.label = cd.label),
+ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM scores)
+SELECT doc_id, label, CAST(CAST(score AS REAL) AS DOUBLE) AS score
+FROM ranked WHERE rn = 1 ORDER BY doc_id""")
+
+    def knnc(spark, sf):
+        from sparklucene.classify import knn_classify
+        docs = _t(spark, sf, "documents")
+        train = docs.filter(F.col("doc_id") % 5 != 0)
+        test = docs.filter(F.col("doc_id") % 5 == 0)
+        return knn_classify(train, test, k=5)
+    e["classify_knn_vote"] = (knnc, f"""WITH {corpus_ctes()},{splits},
+ntr AS (SELECT count(*)::DOUBLE AS n FROM tr),
+tdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM ttf GROUP BY term),
+tw AS (SELECT t.doc_id AS t_id, t.term,
+              t.tf * ln(1.0 + (n.n - s.df + 0.5) / (s.df + 0.5)) AS w
+       FROM ttf t JOIN tdf s USING (term) CROSS JOIN ntr n),
+qw AS (SELECT q.doc_id AS q_id, q.term,
+              q.tf * ln(1.0 + (n.n - s.df + 0.5) / (s.df + 0.5)) AS qw
+       FROM qtf q JOIN tdf s USING (term) CROSS JOIN ntr n),
+tn AS (SELECT t_id, sqrt(sum(w * w)) AS tn FROM tw GROUP BY t_id),
+qn AS (SELECT q_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY q_id),
+dots AS (SELECT q.q_id, t.t_id, sum(t.w * q.qw) AS dot
+         FROM tw t JOIN qw q USING (term) GROUP BY q.q_id, t.t_id),
+cosine AS (
+  SELECT d.q_id, d.t_id,
+         CAST(CAST(d.dot / (tn.tn * qn.qn) AS REAL) AS DOUBLE) AS cosine
+  FROM dots d JOIN tn USING (t_id) JOIN qn USING (q_id)),
+nbrs AS (
+  SELECT q_id, t_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, t_id ASC) AS rn
+  FROM cosine),
+votes AS (
+  SELECT n.q_id, tr.lang AS label, count(*)::BIGINT AS votes
+  FROM nbrs n JOIN tr ON tr.doc_id = n.t_id
+  WHERE n.rn <= 5 GROUP BY n.q_id, tr.lang),
+winner AS (
+  SELECT q_id, label, votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM votes)
+SELECT q_id AS doc_id, label, votes
+FROM winner WHERE rn = 1 ORDER BY doc_id""")
+    return e
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     e: dict[str, tuple[Callable, str | None]] = {}
     e.update(_search_entries())
@@ -4498,6 +4590,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_frange_entries())
     e.update(_update_entries())
     e.update(_parser_entries())
+    e.update(_classify_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
     # ordering is evidence policy. After round 3 every entry has at
     # least one driver-green row, so round 4 rotates the window onto
