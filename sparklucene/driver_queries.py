@@ -3689,6 +3689,40 @@ def _query_algebra_entries() -> dict[str, tuple[Callable, str | None]]:
     e["match_all_count"] = (match_all, """
 SELECT count(*)::BIGINT AS total_hits FROM documents""")
 
+    # -- CommonTermsQuery (round 4; u8:lucene/queries/.../
+    # CommonTermsQuery.java): terms whose df exceeds max_doc_freq *
+    # doc_count are demoted from required to optional-scoring. The split
+    # is data-derived on BOTH sides: the oracle classifies each query
+    # term against tstats with the same cutoff, requires all low-df
+    # terms and sums BM25 over every matched term. At both test SFs
+    # 'dup' (df ~5%) lands low while 'merge'/'scan' (~80%) land high.
+    def common_terms(spark, sf):
+        from sparklucene.search import common_terms_query
+        idx = index_for(spark, sf)
+        q = common_terms_query(idx, ["dup", "merge", "scan"],
+                               max_doc_freq=0.5)
+        return search(idx, q, k=10, mode="f64")
+    e["common_terms_query"] = (common_terms, f"""WITH {corpus_ctes()},
+qt AS (SELECT unnest(['dup', 'merge', 'scan']) AS term),
+cls AS (
+  SELECT q.term,
+         CASE WHEN ts.df IS NULL OR ts.df < 0.5 * g.doc_count
+              THEN 1 ELSE 0 END AS low
+  FROM qt q LEFT JOIN tstats ts ON q.term = ts.term CROSS JOIN gstats g),
+nlow AS (SELECT count(*)::BIGINT AS nl FROM cls WHERE low = 1),
+matched AS (
+  SELECT tf.doc_id, tf.term, c.low, {tscore} AS s
+  FROM tf JOIN cls c ON tf.term = c.term
+  JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g),
+ok AS (
+  SELECT doc_id FROM matched GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN low = 1 THEN term END)
+         = (SELECT nl FROM nlow))
+SELECT m.doc_id, CAST(CAST(sum(CAST(m.s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM matched m JOIN ok USING (doc_id)
+GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 10""")
+
     def match_all_except(spark, sf):
         q = Not(MatchAllDocs(), Or((Term("spark"), Term("merge"))))
         return search(index_for(spark, sf), q, k=10, mode="f64")

@@ -607,6 +607,49 @@ def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
                    else Or(tuple(clauses), msm))
 
 
+def common_terms_query(index: Index, terms: list[str],
+                       max_doc_freq: float = 0.01) -> Query:
+    """CommonTermsQuery (u8:lucene/queries/.../CommonTermsQuery.java,
+    ~350 LoC): split the terms by document frequency at plan time and
+    demote the "common" (high-df) ones from required to optional —
+    a stopword filter computed from the live index instead of a fixed
+    list.
+
+    Pinned spec (matching Lucene's defaults lowFreqOccur=MUST,
+    highFreqOccur=SHOULD):
+      * cutoff = ``max_doc_freq`` docs if > 1, else
+        ``max_doc_freq * doc_count`` (Lucene's dual absolute/ratio knob);
+      * low group (df < cutoff, including terms absent from the
+        dictionary — a required absent term matches nothing, the
+        TermQuery-null-scorer behavior prune_missing pins): ALL required;
+      * high group: optional, but every matched high term still adds its
+        BM25 contribution to the score;
+      * both groups non-empty  -> Filtered(Or(all terms), And(low)) —
+        the filter enforces the MUST group without double-scoring it;
+      * no high terms -> And(low);  no low terms -> Or(high, msm=1)
+        (Lucene falls back to plain boolean over the one group).
+
+    Plan shape: one memoized dictionary lookup per distinct term
+    (k-bounded collect); the resulting query runs the normal MAXSCORE
+    path — no new scorer machinery.
+    """
+    uniq = sorted(set(terms))
+    if not uniq:
+        return MatchNoDocs()
+    stats = index.term_stats_for(uniq)
+    n = int(index.stats["doc_count"])
+    cutoff = max_doc_freq if max_doc_freq > 1 else max_doc_freq * n
+    low = tuple(Term(t) for t in uniq
+                if t not in stats or stats[t].df < cutoff)
+    high = tuple(Term(t) for t in uniq
+                 if t in stats and stats[t].df >= cutoff)
+    if not high:
+        return rewrite(And(low))
+    if not low:
+        return rewrite(Or(high, 1))
+    return rewrite(Filtered(Or(low + high, 1), And(low)))
+
+
 def _matchall_search(index: Index, q: Query, k: int | None, mode: str,
                      hydrate: DataFrame | None,
                      exclude_docs: list[int] | None,
