@@ -1206,6 +1206,30 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""")
             _t(spark, sf, "orders").select("o_custkey"), ["o_custkey"])
     e["stream_unique"] = (uniq, "SELECT DISTINCT o_custkey FROM orders")
 
+    # {!graph} GraphQuery fixpoint traversal (round 4; u8:solr/core/...
+    # /search/join/GraphQuery.java): descendants of event 1 in the
+    # deterministic parent forest parent_id = event_id div 3, traversed
+    # until NO new docs (maxDepth=-1). The oracle is a genuine recursive
+    # CTE (DuckDB WITH RECURSIVE) rather than unrolled levels — the
+    # fixpoint is data-derived on both sides.
+    def graphq(spark, sf):
+        ev = (_t(spark, sf, "events")
+              .select("event_id",
+                      F.expr("event_id div 3").alias("parent_id")))
+        return st.graph_query(ev, F.col("event_id") == 1,
+                              "event_id", "event_id", "parent_id",
+                              max_depth=-1)
+    e["graph_query_fixpoint"] = (graphq, """
+WITH RECURSIVE doc AS (
+  SELECT event_id, event_id // 3 AS parent_id FROM events),
+g AS (
+  SELECT event_id AS id, 0::BIGINT AS level FROM doc WHERE event_id = 1
+  UNION
+  SELECT d.event_id AS id, g.level + 1 AS level
+  FROM doc d JOIN g ON d.parent_id = g.id)
+SELECT id, min(level)::BIGINT AS level FROM g
+GROUP BY id ORDER BY level, id""")
+
     # nodes()/GatherNodesStream (round 4; u8:solr/solrj/.../io/graph/
     # GatherNodesStream.java): 2-round BFS over the typed customer ->
     # order -> part edge graph from 4 root customers. The oracle unrolls

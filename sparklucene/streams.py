@@ -151,6 +151,56 @@ def gather_nodes(edges: DataFrame, roots: DataFrame, rounds: int,
     return seen.orderBy("level", "node")
 
 
+def graph_query(docs: DataFrame, root, id_col: str, from_col: str,
+                to_col: str, max_depth: int = -1) -> DataFrame:
+    """GraphQuery / ``{!graph}`` query parser (public knowledge:
+    u8:solr/core/src/java/org/apache/solr/search/join/GraphQuery.java
+    ~400 LoC, GraphQueryParser.java): docs matching the root query, plus
+    every doc transitively linked from them, traversing until FIXPOINT
+    (``maxDepth=-1``) or the depth cap.
+
+    Link rule (Solr's): gather the frontier docs' ``from_col`` values;
+    the next frontier is every unvisited doc whose ``to_col`` equals one
+    of them. Returns (``id_col``, ``level``) with the minimal hop level
+    (roots = 0, returnRoot=true).
+
+    Unlike :func:`gather_nodes` (fixed unrolled rounds), the fixpoint
+    form needs one driver-side emptiness check per level — the loop
+    count is bounded by the GRAPH DIAMETER, an operator-scale constant
+    for the hierarchies {!graph} serves (Solr's own implementation is
+    the same breadth-first rounds on one node). Cycles terminate via the
+    visited anti-join. Each frontier is locally checkpointed so lineage
+    stays O(1) per level; joins are keyed equi-joins (AQE broadcasts the
+    frontier when small — the common case). Nothing data-proportional
+    reaches the driver: the per-level action is count()==0 only.
+    """
+    roots = (docs.filter(root)
+             .select(F.col(id_col).alias("id"),
+                     F.col(from_col).alias("_v")).distinct()
+             .localCheckpoint(eager=True))
+    out = roots.select("id").withColumn("level", F.lit(0).cast("long"))
+    visited = roots.select("id")
+    frontier = roots
+    depth = 0
+    while max_depth < 0 or depth < max_depth:
+        vals = frontier.select(F.col("_v").alias("_match")).distinct()
+        nxt = (docs.join(vals, docs[to_col] == F.col("_match"))
+               .select(F.col(id_col).alias("id"),
+                       F.col(from_col).alias("_v")).distinct()
+               .join(visited, "id", "left_anti")
+               .localCheckpoint(eager=True))  # cut the growing lineage
+        if nxt.isEmpty():
+            break
+        depth += 1
+        out = out.unionByName(
+            nxt.select("id").withColumn("level",
+                                        F.lit(depth).cast("long")))
+        visited = visited.unionByName(nxt.select("id")) \
+            .localCheckpoint(eager=True)
+        frontier = nxt
+    return out.orderBy("level", "id")
+
+
 def significant_terms(index, corpus: DataFrame, query, k: int = 10,
                       min_doc_freq: int = 1, min_term_length: int = 1
                       ) -> DataFrame:
