@@ -3007,6 +3007,35 @@ SELECT doc_id, score, elevated,
                            score DESC, doc_id ASC) - 1)::INT AS rank
 FROM united ORDER BY rank LIMIT 10""")
 
+    # -- Expressions module (round 4; u8:lucene/expressions/.../js/
+    # JavascriptCompiler.java): user expression string compiled to a
+    # validated Catalyst expression over (_score, doc attributes) and
+    # used as the sort. The oracle evaluates the identical float
+    # expression tree (f64 + / * over the f32-rounded BM25 score);
+    # parenthesization is pinned by the compiler's canonical emission.
+    def expr_sort(spark, sf):
+        from sparklucene.expressions import expression_sort
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return expression_sort(
+            idx, Or((Term("merge"), Term("scan"))), attrs,
+            "_score + ln(1.0 + n_chars) * 0.25", k=10, mode="f64")
+    e["expression_sort_topk"] = (expr_sort, f"""WITH {corpus_ctes()},
+ts2 AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'scan')),
+hits AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS sc
+  FROM ts2 GROUP BY doc_id),
+vals AS (
+  SELECT h.doc_id,
+         (h.sc + (ln((1.0 + d.n_chars)) * 0.25)) AS v
+  FROM hits h JOIN documents d USING (doc_id))
+SELECT doc_id, CAST(CAST(v AS REAL) AS DOUBLE) AS sort_value
+FROM vals ORDER BY sort_value DESC, doc_id ASC LIMIT 10""")
+
     def grouped(spark, sf):
         idx = index_for(spark, sf)
         docs = _t(spark, sf, "documents").select("doc_id", "lang")
