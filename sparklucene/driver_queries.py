@@ -1595,6 +1595,60 @@ SELECT c.term, c.df, c.pos_df,
 FROM tcounts c CROSS JOIN tot t
 ORDER BY ig DESC, c.term ASC LIMIT 15""")
 
+    # -- train() / TextLogitStream (round 4; u8:solr/solrj/.../io/stream/
+    # TextLogitStream.java + u8:solr/core/.../search/
+    # TextLogisticRegressionQParserPlugin.java): batch logistic
+    # regression over binary term features for the class lang='en'.
+    # The oracle UNROLLS the three gradient iterations as CTE chains —
+    # per-doc residual in f64, f32-rounded gradient addends (exact
+    # order-proof sums), identical weight-update expression trees.
+    _LT = ["dup", "merge", "scan", "vector"]
+
+    def train(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return st.train_logit(docs, F.col("lang") == "en", _LT,
+                              iterations=3, lr=0.5)
+
+    def _logit_sql(terms: list[str], iterations: int, lr: float) -> str:
+        m = len(terms)
+        bdefs = ",\n         ".join(
+            f"coalesce(max(CASE WHEN f.term = '{t}' THEN 1.0 END), 0.0)"
+            f" AS b{j + 1}" for j, t in enumerate(terms))
+        parts = [f"""
+feat AS (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         {bdefs}
+  FROM documents d LEFT JOIN tf f USING (doc_id)
+  GROUP BY d.doc_id, d.lang),
+nn AS (SELECT count(*)::DOUBLE AS n FROM feat),
+w0 AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(m + 1))})"""]
+        for i in range(1, iterations + 1):
+            z = " + ".join([f"w.w0"] + [f"w.w{j + 1} * f.b{j + 1}"
+                                        for j in range(m)])
+            gsel = [("sum(CAST(CAST(resid AS REAL) AS DOUBLE)) AS g0")]
+            gsel += [f"sum(CAST(CAST((resid * b{j + 1}) AS REAL) "
+                     f"AS DOUBLE)) AS g{j + 1}" for j in range(m)]
+            wsel = ", ".join(
+                f"w.w{j} + (({lr} / nn.n) * g.g{j}) AS w{j}"
+                for j in range(m + 1))
+            parts.append(f"""
+r{i} AS (
+  SELECT f.*, (f.y - 1.0 / (1.0 + exp(-({z})))) AS resid
+  FROM feat f CROSS JOIN w{i - 1} w),
+g{i} AS (SELECT {', '.join(gsel)} FROM r{i}),
+w{i} AS (SELECT {wsel} FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN nn)""")
+        names = ["__intercept__"] + terms
+        sel = "\nUNION ALL\n".join(
+            f"SELECT '{t}' AS feature, "
+            f"CAST(CAST(w{iterations} AS REAL) AS DOUBLE) AS weight "
+            f"FROM (SELECT w{j} AS w{iterations} FROM w{iterations})"
+            for j, t in enumerate(names))
+        return ",".join(parts) + "\n" + sel
+
+    e["stream_train_logit"] = (train, f"""WITH {corpus_ctes()},{
+        _logit_sql(_LT, 3, 0.5)}""")
+
     return e
 
 

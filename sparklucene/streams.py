@@ -485,3 +485,74 @@ def features_selection(docs: DataFrame, is_positive, k: int = 10,
             .select("term", "df", "pos_df",
                     ig.cast("float").cast("double").alias("ig"))
             .orderBy(F.desc("ig"), F.asc("term")).limit(k))
+
+
+def train_logit(docs: DataFrame, is_positive, terms: list[str],
+                iterations: int = 3, lr: float = 0.5,
+                text_col: str = "text", stopwords=None) -> DataFrame:
+    """TextLogitStream / ``train()`` (public knowledge:
+    ``u8:solr/solrj/.../io/stream/TextLogitStream.java`` backed by
+    ``u8:solr/core/.../search/TextLogisticRegressionQParserPlugin.java``):
+    train a binary logistic-regression classifier over term features —
+    the modelling half of the reference's ``features() -> train()`` text
+    pipeline.
+
+    Pinned spec (batch gradient ascent on the log-likelihood, the
+    textbook model the reference's per-shard-SGD approximates; exact so
+    the SQL oracle can unroll it):
+
+        x_d      = [1, b_1 .. b_m]   (intercept + binary term presence)
+        sigma(z) = 1 / (1 + exp(-z))
+        w_0      = 0
+        w_{i+1}  = w_i + lr/N * X^T (y - sigma(X w_i))
+
+    for a FIXED iteration count. Float determinism: z and sigma are
+    single f64 expression trees (glibc exp on both engines); every
+    per-doc gradient addend is rounded to float32 before the f64 sum
+    (exact and order-proof — the bm25.py summation contract); the
+    published weights are float32-rounded.
+
+    Returns (feature, weight): '__intercept__' row first, then the
+    terms in the caller's order.
+
+    Scale shape: ONE tokenize + conditional-agg pass materializes the
+    N x (m+1) feature frame (m is an operator constant — the features()
+    output, never data-scale); each iteration is one partial+final
+    aggregation producing m+1 doubles to the driver, and the weight
+    vector re-enters the next plan as literals. Driver traffic is
+    O(iterations * m), independent of corpus size.
+    """
+    import math
+
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, make_tokenize_udf
+
+    tok = make_tokenize_udf(stopwords if stopwords is not None
+                            else ENGLISH_STOP_WORDS)
+    bcols = [F.array_contains(F.col("_toks"), t).cast("double")
+             .alias(f"b{j}") for j, t in enumerate(terms)]
+    feat = (docs.select(is_positive.cast("double").alias("y"),
+                        tok(F.col(text_col)).alias("_toks"))
+            .select("y", *bcols)
+            .localCheckpoint(eager=True))  # tokenize once, reuse per iter
+    n = feat.count()
+
+    m = len(terms)
+    w = [0.0] * (m + 1)  # [intercept, w_1..w_m]
+    for _ in range(int(iterations)):
+        z = F.lit(w[0])
+        for j in range(m):
+            z = z + F.lit(w[j + 1]) * F.col(f"b{j}")
+        resid = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [F.sum(resid.cast("float").cast("double")).alias("g0")]
+        aggs += [F.sum((resid * F.col(f"b{j}")).cast("float")
+                       .cast("double")).alias(f"g{j + 1}")
+                 for j in range(m)]
+        g = feat.agg(*aggs).collect()[0]
+        w = [w[j] + lr / float(n) * float(g[f"g{j}"])
+             for j in range(m + 1)]
+
+    spark = docs.sparkSession
+    rows = [("__intercept__", float(__import__("numpy").float32(w[0])))]
+    rows += [(t, float(__import__("numpy").float32(w[j + 1])))
+             for j, t in enumerate(terms)]
+    return spark.createDataFrame(rows, "feature string, weight double")
