@@ -1971,6 +1971,46 @@ SELECT doc_id,
                 t -> ceil(length(t) / 4)::BIGINT)), 0)::BIGINT AS n_subwords
 FROM documents""")
 
+    # -- PII detection + redaction (round 4; the scrubbing pass every
+    # LLM training pipeline runs before tokenization). The synthetic
+    # corpus contains no PII, so both sides derive identical PII spans
+    # from doc_id (docs where doc_id % 3 = 0 get an email + IPv4 +
+    # phone appended) — the detector/redactor then runs on equal
+    # inputs. Patterns are alternation-free so Java regex and RE2
+    # agree on every span; DuckDB needs the 'g' flag to match Spark's
+    # replace-all.
+    def pii(spark, sf):
+        d = F.col("doc_id")
+        aug = F.when(d % 3 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com at 10.0."),
+            (d % 256).cast("string"), F.lit("."),
+            ((d * 7) % 256).cast("string"), F.lit(" call +1 555 0"),
+            (d % 90 + 10).cast("string"))).otherwise(F.col("text"))
+        docs = (_t(spark, sf, "documents")
+                .select("doc_id", aug.alias("text")))
+        return textops.pii_scan(docs).orderBy("doc_id")
+    from sparklucene.textops import (PII_EMAIL_RE, PII_IPV4_RE,
+                                     PII_PHONE_RE)
+    e["text_pii_scan"] = (pii, f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com at 10.0.'
+                || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                || ' call +1 555 0' || (doc_id % 90 + 10)
+         ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(
+           t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug ORDER BY doc_id""")
+
     # -- deterministic hash sampling (round 3): reproducible holdout
     # split + per-language stratified rebalance; membership is a pure
     # function of md5(salt || doc_id), so DuckDB selects the SAME rows

@@ -278,3 +278,43 @@ def stratified_sample(docs: DataFrame, fractions: "dict[str, float]",
     return (docs.join(F.broadcast(fdf), strata_col, "inner")
             .filter(sample_key(F.col(key_col), salt) < F.col("_thr"))
             .drop("_thr"))
+
+
+#: PII patterns — deliberately alternation-free so Java regex (Spark,
+#: leftmost-first backtracking) and RE2 (DuckDB, leftmost-longest) agree
+#: on every match span; greedy character-class quantifiers behave
+#: identically in both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d ]{7,}\d"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the standard LLM-training-data
+    scrubbing pass (emails / IPv4 addresses / international-format phone
+    numbers).
+
+    Returns (doc_id, n_emails, n_ipv4, n_phones, redacted) where
+    ``redacted`` replaces matches with <EMAIL>/<IP>/<PHONE> tokens, in
+    that fixed order (email first so an address is never half-eaten by
+    the phone pattern).
+
+    Scale shape: pure narrow Catalyst expressions (regexp_extract_all /
+    regexp_replace run JVM-side) — no shuffle, no UDF, no driver data;
+    linear scan bandwidth at any corpus size.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+        .cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+        .cast("long").alias("n_phones"),
+        red.alias("redacted"))

@@ -454,3 +454,23 @@ def test_features_selection_information_gain(spark):
     order = [r for r in sorted(got.values(),
                                key=lambda r: (-r["ig"], r["term"]))]
     assert order[0]["term"] == "sep"
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    from sparklucene.textops import pii_scan
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org, ip 192.168.0.1, "
+             "call +44 20 7946 0958 now"),
+         (2, "clean text, version 1.2 is not an ip, 1+1@ no"),
+         (3, "999.999.999.999 still matches the ipv4 SHAPE")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_ipv4"], rows[1]["n_phones"]) \
+        == (2, 1, 1)
+    assert "<EMAIL>" in rows[1]["redacted"] and "a@b.co" not in rows[1]["redacted"]
+    assert "<IP>" in rows[1]["redacted"] and "<PHONE>" in rows[1]["redacted"]
+    assert (rows[2]["n_emails"], rows[2]["n_ipv4"], rows[2]["n_phones"]) \
+        == (0, 0, 0)
+    assert rows[2]["redacted"] == "clean text, version 1.2 is not an ip, 1+1@ no"
+    # shape-based detector (no octet-range check) — documented contract
+    assert rows[3]["n_ipv4"] == 1
