@@ -949,6 +949,35 @@ SELECT sum(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END)::BIGINT AS long_docs,
        count(*)::BIGINT AS all_docs
 FROM documents""")
 
+    # -- multi-select faceting via tagged filter exclusion (round 4;
+    # Solr {!tag=}/{!ex=} — u8:solr/core/.../request/SimpleFacets.java):
+    # docs matching 'merge' with fq={!tag=L}lang IN (en,fr) and
+    # fq={!tag=S}source='src0'; the lang facet excludes L (its own
+    # filter lifted, source filter kept) and the source facet excludes S.
+    def facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.facets import multiselect_facets
+        idx = index_for(spark, sf_dir)
+        hits = matches(idx, Term("merge"), mode="f64").select("doc_id")
+        docs = _t(spark, sf_dir, "documents")
+        base = hits.join(docs, "doc_id")
+        return multiselect_facets(
+            base,
+            filters={"L": F.col("lang").isin("en", "fr"),
+                     "S": F.col("source") == "src0"},
+            facets={"lang": {"L"}, "source": {"S"}})
+    e["facet_multiselect_tagged"] = (facet_multiselect, f"""WITH {corpus_ctes()},
+base AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')),
+lang_f AS (
+  SELECT 'lang' AS facet_field, lang AS value, count(*)::BIGINT AS cnt
+  FROM base WHERE source = 'src0' GROUP BY lang),
+source_f AS (
+  SELECT 'source' AS facet_field, source AS value, count(*)::BIGINT AS cnt
+  FROM base WHERE lang IN ('en', 'fr') GROUP BY source)
+SELECT * FROM (SELECT * FROM lang_f UNION ALL SELECT * FROM source_f)
+ORDER BY facet_field, cnt DESC, value ASC""")
+
     def facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return (docs.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
