@@ -949,6 +949,27 @@ SELECT sum(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END)::BIGINT AS long_docs,
        count(*)::BIGINT AS all_docs
 FROM documents""")
 
+    # -- stats facet percentiles (round 4; Solr StatsComponent
+    # percentiles — u8:solr/core/.../handler/component/StatsField.java).
+    # Solr computes approximate t-digest percentiles; this engine pins
+    # EXACT interpolated percentiles (Spark `percentile` == DuckDB
+    # `quantile_cont`, verified bit-identical; float32-rounded output
+    # for lerp-ulp robustness across inputs).
+    def facet_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _t(spark, sf_dir, "events")
+        return (ev.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.percentile("value", 0.5).cast("float")
+                     .cast("double").alias("p50"),
+                     F.percentile("value", 0.95).cast("float")
+                     .cast("double").alias("p95"))
+                .orderBy("event_type"))
+    e["facet_stats_percentiles"] = (facet_pct, """
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(CAST(quantile_cont(value, 0.5) AS REAL) AS DOUBLE) AS p50,
+       CAST(CAST(quantile_cont(value, 0.95) AS REAL) AS DOUBLE) AS p95
+FROM events GROUP BY event_type ORDER BY event_type""")
+
     # -- multi-select faceting via tagged filter exclusion (round 4;
     # Solr {!tag=}/{!ex=} — u8:solr/core/.../request/SimpleFacets.java):
     # docs matching 'merge' with fq={!tag=L}lang IN (en,fr) and
