@@ -689,6 +689,58 @@ FROM allscores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10""")
 
+    # -- SynonymQuery (round 4; u8:lucene/core/.../search/
+    # SynonymQuery.java): 'merge' and 'join' scored as ONE pseudo-term
+    # (freq = tf sum, df = max member df — SynonymWeight's blended
+    # TermStatistics), OR-ed with a normally-scored term.
+    from sparklucene.query import Synonym, apply_synonyms
+    syn_q = Or((Synonym(("join", "merge")), Term("scan")))
+    syn_score = bm25.score_sql("s.ftf", "m.dlq", "x.df", "g.doc_count",
+                               "g.sum_dl")
+    tscore_syn = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                                "g.sum_dl")
+    e["synonym_query_blended"] = (_bm25(syn_q, k=10), f"""WITH {corpus_ctes()},
+syn AS (SELECT doc_id, sum(tf)::BIGINT AS ftf FROM tf
+        WHERE term IN ('join', 'merge') GROUP BY doc_id),
+sdf AS (SELECT max(df)::BIGINT AS df FROM tstats
+        WHERE term IN ('join', 'merge')),
+uni AS (
+  SELECT s.doc_id, {syn_score} AS s
+  FROM syn s JOIN meta m ON s.doc_id = m.doc_id
+  CROSS JOIN sdf x CROSS JOIN gstats g
+  UNION ALL
+  SELECT tf.doc_id, {tscore_syn} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'scan')
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM uni GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- query-time synonym-graph expansion (round 4; SynonymGraphFilter
+    # via QueryBuilder.analyzeGraphBoolean): rule dup -> {vector,
+    # "merge group"} turns Term('dup') into Or(Synonym(dup, vector),
+    # Phrase(merge group)) — blended single-token node + exact-phrase
+    # branch, each scoring normally.
+    syn_rules = {"dup": ("vector", ("merge", "group"))}
+    graph_q = apply_synonyms(parse("dup"), syn_rules)
+    sg_ctes, sg_score = phrase_ctes_and_score([(0, "merge"), (1, "group")])
+    e["synonym_graph_multiword"] = (_bm25(graph_q, k=10), f"""WITH {corpus_ctes()},{sg_ctes},
+syn AS (SELECT doc_id, sum(tf)::BIGINT AS ftf FROM tf
+        WHERE term IN ('dup', 'vector') GROUP BY doc_id),
+sdf AS (SELECT max(df)::BIGINT AS df FROM tstats
+        WHERE term IN ('dup', 'vector')),
+uni AS (
+  SELECT s.doc_id, {syn_score} AS s
+  FROM syn s JOIN meta m ON s.doc_id = m.doc_id
+  CROSS JOIN sdf x CROSS JOIN gstats g
+  UNION ALL
+  SELECT pf.doc_id, {sg_score} AS s
+  FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM uni GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     # DisjunctionMaxQuery: max clause score + tiebreak * rest
     dismax_terms = ["spark", "merge", "join"]
     tscore2 = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count", "g.sum_dl")

@@ -18,8 +18,8 @@ from sparklucene.analysis import ENGLISH_STOP_WORDS, flat_tokens, tokenize_serie
 from sparklucene.norms import LENGTH_TABLE, int_to_byte4, quantize_length
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, Phrase, Query, Span, SpanFirst, Term,
-                               Within)
+                               Or, Phrase, Query, Span, SpanFirst, Synonym,
+                               Term, Within)
 from sparklucene.spans import (SpanContainingNode, SpanFirstNode,
                                SpanNearNode, SpanNotNode, SpanOrNode,
                                SpanPositionRangeNode, SpanTerm,
@@ -94,6 +94,37 @@ def _term_scores(idx: OracleIndex, term: str, mode: str,
     else:
         s = bm25.score_f64(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl,
                            boost=boost)
+    return pd.Series(s, index=d)
+
+
+def _synonym_scores(idx: OracleIndex, q: Synonym, mode: str) -> pd.Series:
+    """SynonymQuery: one pseudo-term — freq = sum of member tfs,
+    df = max member df (the pinned spec on the Synonym dataclass)."""
+    parts = [idx.postings(t) for t in sorted(set(q.members))]
+    parts = [p for p in parts if not p.empty]
+    if not parts:
+        return pd.Series(dtype=np.float32)
+    if callable(mode):
+        raise NotImplementedError(
+            "synonym scoring under a user-supplied similarity")
+    merged = pd.concat(parts, ignore_index=True)
+    agg = merged.groupby("doc_id", sort=True)["tf"].sum()
+    d = agg.index.to_numpy(dtype=np.int64)
+    t = agg.to_numpy(dtype=np.int64)
+    pos = np.searchsorted(idx.doc_ids, d)
+    df = max(len(p) for p in parts)
+    if mode == "boolean":
+        return pd.Series(np.full(d.size, np.float32(q.boost),
+                                 dtype=np.float32), index=d)
+    if mode == "lucene8":
+        s = bm25.score_lucene8(t, idx.norm_bytes[pos], df, idx.doc_count,
+                               idx.sum_dl, boost=q.boost)
+    elif mode == "classic":
+        s = bm25.score_classic(t, idx.dlq[pos], df, idx.doc_count,
+                               boost=q.boost)
+    else:
+        s = bm25.score_f64(t, idx.dlq[pos], df, idx.doc_count, idx.sum_dl,
+                           boost=q.boost)
     return pd.Series(s, index=d)
 
 
@@ -380,6 +411,8 @@ def _eval(idx: OracleIndex, q: Query, mode: str) -> pd.Series:
         return _phrase_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, Term):
         return _term_scores(idx, q.term, mode, q.boost).astype(np.float64)
+    if isinstance(q, Synonym):
+        return _synonym_scores(idx, q, mode).astype(np.float64)
     if isinstance(q, ConstantScore):
         child = _eval(idx, q.child, mode)
         return pd.Series(np.full(len(child), np.float32(q.boost),

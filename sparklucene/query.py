@@ -141,6 +141,28 @@ class DisMax(Query):
 
 
 @dataclass(frozen=True)
+class Synonym(Query):
+    """SynonymQuery (u8:lucene/core/.../search/SynonymQuery.java ~300
+    LoC): score all ``members`` as ONE pseudo-term — per-doc frequency
+    is the SUM of member term frequencies and the document frequency is
+    the MAX member df (SynonymWeight's blended TermStatistics), so a doc
+    saying "car car automobile" saturates tf exactly like "car car car".
+    This is what query-time SynonymGraphFilter emits for single-token
+    synonyms; multi-token alternatives become an OR with a Phrase (see
+    :func:`apply_synonyms`)."""
+
+    members: tuple[str, ...]
+    boost: float = 1.0
+    field: str | None = None
+
+    def terms(self) -> list[str]:
+        return sorted(set(self.members))
+
+    def neg_terms(self) -> list[str]:
+        return []
+
+
+@dataclass(frozen=True)
 class Phrase(Query):
     """Exact PhraseQuery: slots of (position offset, term).
 
@@ -461,6 +483,11 @@ def qualify(q: Query) -> Query:
         return MultiPhrase(tuple(
             (off, tuple(field_key(q.field, t) for t in alts))
             for off, alts in q.slots))
+    if isinstance(q, Synonym):
+        if q.field is None:
+            return q
+        return Synonym(tuple(field_key(q.field, t) for t in q.members),
+                       q.boost)
     if isinstance(q, Within):
         if q.field is None:
             return q
@@ -534,6 +561,14 @@ def rewrite(q: Query) -> Query:
         if len(q.slots) == 1:  # single-term phrase == TermQuery (Lucene rewrite)
             return Term(q.slots[0][1], field=q.field)
         return q
+    if isinstance(q, Synonym):
+        members = tuple(sorted(set(q.members)))
+        if not members:
+            return MatchNoDocs()
+        if len(members) == 1:  # degenerate synonym == TermQuery (same
+            # blended stats by construction) — re-enables block-max
+            return Term(members[0], q.boost, field=q.field)
+        return Synonym(members, q.boost, q.field)
     if isinstance(q, Within):
         if not q.members or q.window <= 0:
             return MatchNoDocs()
@@ -621,6 +656,11 @@ def prune_missing(q: Query, present: set[str]) -> Query:
         return q if q.term in present else MatchNoDocs()
     if isinstance(q, Phrase):
         return q if all(t in present for _, t in q.slots) else MatchNoDocs()
+    if isinstance(q, Synonym):
+        # missing members simply contribute nothing (a SynonymQuery over
+        # one absent spelling still matches the others)
+        return rewrite(Synonym(tuple(t for t in q.members
+                                     if t in present), q.boost, q.field))
     if isinstance(q, Within):
         # every member is required (conjunctive), like a phrase
         return q if all(t in present for t in q.members) else MatchNoDocs()
@@ -842,4 +882,54 @@ def reverse_wildcards(q: Query, rev_field: str) -> Query:
                         reverse_wildcards(q.filter, rev_field))
     if isinstance(q, ConstantScore):
         return ConstantScore(reverse_wildcards(q.child, rev_field), q.boost)
+    return q
+
+
+def apply_synonyms(q: Query,
+                   rules: "dict[str, tuple]") -> Query:
+    """Query-time synonym-graph expansion (public knowledge:
+    u8:lucene/analysis/common/.../synonym/SynonymGraphFilter.java as
+    consumed by QueryBuilder.analyzeGraphBoolean — Solr's recommended
+    query-time sow=false path): rewrite every Term leaf whose term has a
+    rule into the boolean shape Lucene builds from the token graph:
+
+      * single-token alternatives merge with the original term into ONE
+        :class:`Synonym` node (blended df, summed tf);
+      * multi-token alternatives become exact :class:`Phrase` clauses,
+        OR-ed with the single-token node (each branch scores normally —
+        analyzeGraphBoolean's per-path queries).
+
+    ``rules`` maps analyzed term -> tuple of alternatives, each either a
+    single analyzed term (str) or a multi-token phrase (tuple of str).
+    Recurses through boolean composition; Phrase/Within/Span leaves are
+    left alone (Lucene expands synonyms on the analyzed token graph,
+    and this engine pins expansion at the TERM level).
+    """
+    if isinstance(q, Term) and q.term in rules:
+        singles = [q.term] + [a for a in rules[q.term]
+                              if isinstance(a, str)]
+        phrases = [tuple(a) for a in rules[q.term]
+                   if not isinstance(a, str)]
+        node: Query = (Synonym(tuple(singles), q.boost, q.field)
+                       if len(singles) > 1 else q)
+        if not phrases:
+            return rewrite(node)
+        clauses: tuple[Query, ...] = (node,) + tuple(
+            Phrase(tuple(enumerate(p)), field=q.field) for p in phrases)
+        return rewrite(Or(clauses, 1))
+    if isinstance(q, (And, Or)):
+        clauses = tuple(apply_synonyms(c, rules) for c in q.clauses)
+        return (And(clauses) if isinstance(q, And)
+                else Or(clauses, q.min_should_match))
+    if isinstance(q, DisMax):
+        return DisMax(tuple(apply_synonyms(c, rules) for c in q.clauses),
+                      q.tiebreak)
+    if isinstance(q, Not):
+        return Not(apply_synonyms(q.positive, rules),
+                   apply_synonyms(q.negative, rules))
+    if isinstance(q, Filtered):
+        return Filtered(apply_synonyms(q.positive, rules),
+                        apply_synonyms(q.filter, rules))
+    if isinstance(q, ConstantScore):
+        return ConstantScore(apply_synonyms(q.child, rules), q.boost)
     return q

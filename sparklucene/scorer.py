@@ -43,7 +43,7 @@ from sparklucene.norms import LENGTH_TABLE
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
                                Or, PayloadScore, Phrase, Query, Span,
-                               SpanFirst, Term, Within)
+                               SpanFirst, Synonym, Term, Within)
 from sparklucene.spans import empty_spans, eval_spans, leaf_terms
 
 
@@ -209,6 +209,48 @@ class RangeScorer:
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
         return docs, self._score_arrays(term, tfs, norms, boost)
+
+    def _synonym_scores(self, q: Synonym) -> tuple[np.ndarray, np.ndarray]:
+        """SynonymQuery matcher — the pinned spec lives on the Synonym
+        dataclass: one pseudo-term with freq = sum of member tfs and
+        df = max of member dfs (SynonymWeight's blended TermStatistics).
+        Norms are shared across members by construction (same field)."""
+        present = [t for t in q.members if t in self.cells]
+        if not present:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        if callable(self.mode):
+            raise NotImplementedError(
+                "synonym scoring under a user-supplied similarity is not "
+                "supported (no blended-stats contract for an opaque "
+                "callable)")
+        parts = [self._filtered(t) for t in present]
+        docs = np.concatenate([p[0] for p in parts])
+        if docs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        tfs = np.concatenate([p[1] for p in parts])
+        nbs = np.concatenate([p[2] for p in parts])
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, nbs = docs[order], tfs[order], nbs[order]
+        udocs, idx = np.unique(docs, return_index=True)
+        ftf = np.add.reduceat(tfs, idx)
+        nb = nbs[idx]
+        self.metrics.docs_scored += int(udocs.size)
+        # blended df: stats when available, local posting length as the
+        # direct-scorer fallback (the phrase matcher's convention)
+        df = max((s.df if (s := self.stats.term_stats.get(t)) is not None
+                  else self.cells[t].decode()[0].size) for t in present)
+        N, S = self.stats.stats_for(present[0])
+        if self.mode == "boolean":
+            return udocs, np.full(udocs.size, np.float32(q.boost),
+                                  dtype=np.float32)
+        if self.mode == "lucene8":
+            return udocs, bm25.score_lucene8(ftf, nb, df, N, S,
+                                             boost=q.boost)
+        if self.mode == "classic":
+            return udocs, bm25.score_classic(ftf, LENGTH_TABLE[nb], df, N,
+                                             boost=q.boost)
+        return udocs, bm25.score_f64(ftf, LENGTH_TABLE[nb], df, N, S,
+                                     boost=q.boost)
 
     # ---- top-level evaluation ------------------------------------------
 
@@ -824,6 +866,8 @@ class RangeScorer:
         """(docs, float32 scores) for one boolean clause of any type."""
         if isinstance(c, Term):
             return self._term_scores(c.term, c.boost)
+        if isinstance(c, Synonym):
+            return self._synonym_scores(c)
         if isinstance(c, MultiPhrase):
             return self._multiphrase_scores(c)
         if isinstance(c, Phrase):

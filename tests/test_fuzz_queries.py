@@ -12,8 +12,8 @@ import pytest
 from sparklucene.oracle import build_oracle_index, search_oracle
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchNoDocs, MultiPhrase, Not, Or, Phrase,
-                               Span, SpanFirst, Term, Within, prune_missing,
-                               rewrite)
+                               Span, SpanFirst, Synonym, Term, Within,
+                               prune_missing, rewrite)
 from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
                                SpanTerm)
 
@@ -73,13 +73,21 @@ def _rand_span_node(rng: random.Random, depth: int = 0):
                        _rand_span_node(rng, depth + 1))
 
 
+def _rand_synonym(rng: random.Random) -> Synonym:
+    n = rng.randint(2, 3)
+    members = tuple(rng.sample(VOCAB[:12] + ["zzz_absent"], n))
+    return Synonym(members, boost=rng.choice([1.0, 1.0, 0.5, 2.0]))
+
+
 def _rand_query(rng: random.Random, depth: int = 0):
     r = rng.random()
-    if depth >= 3 or r < 0.35:
+    if depth >= 3 or r < 0.32:
         return _rand_term(rng)
-    if r < 0.42:
+    if r < 0.38:
+        return _rand_synonym(rng)
+    if r < 0.44:
         return _rand_phrase(rng)
-    if r < 0.48:
+    if r < 0.5:
         return _rand_positional(rng)
     kids = tuple(_rand_query(rng, depth + 1)
                  for _ in range(rng.randint(2, 4)))
