@@ -1888,6 +1888,45 @@ SELECT doc_id,
 FROM term_scores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""")
 
+    # TOP_TERMS_BLENDED_FREQ_SCORING (round 4; Lucene's DEFAULT fuzzy
+    # rewrite — u8:lucene/core/.../search/BlendedTermQuery.java +
+    # FuzzyQuery.defaultRewrite): same top-n candidates, but every kept
+    # term scores with the BLENDED df (max over the kept set) and the
+    # clauses combine via DisjunctionMax(tiebreak=0.01). The oracle
+    # derives the blended df in SQL and mirrors the DisMax float path.
+    def fuzzy_blended(spark, sf):
+        from sparklucene.query import TopTerms
+        return search(index_for(spark, sf),
+                      TopTerms(Fuzzy("bath", max_edits=2), n=5,
+                               blended=True),
+                      k=10, mode="f64")
+    _idf_b = "ln(1.0 + (g.doc_count - b.bdf + 0.5) / (b.bdf + 0.5))"
+    e["fuzzy_query_blended"] = (fuzzy_blended, f"""WITH {corpus_ctes()},
+cand AS (
+  SELECT term, df,
+         1.0 - levenshtein(term, 'bath')
+               / CAST(least(length('bath'), length(term)) AS DOUBLE)
+           AS boost
+  FROM tstats WHERE levenshtein(term, 'bath') <= 2),
+kept AS (
+  SELECT term, boost FROM cand
+  ORDER BY boost DESC, df DESC, term ASC LIMIT 5),
+bdf AS (
+  SELECT max(ts.df)::BIGINT AS bdf
+  FROM kept k JOIN tstats ts ON k.term = ts.term),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(CAST(((k.boost * {_idf_b}) * tf.tf) / {_denom} AS REAL)
+              AS DOUBLE) AS s
+  FROM tf JOIN kept k ON tf.term = k.term
+  JOIN meta m ON tf.doc_id = m.doc_id
+  CROSS JOIN gstats g CROSS JOIN bdf b)
+SELECT doc_id,
+       CAST(CAST(max(s) + 0.01 * (sum(s) - max(s)) AS REAL) AS DOUBLE)
+         AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     def wildcard_scored(spark, sf):
         from sparklucene.query import TopTerms
         return search(index_for(spark, sf),

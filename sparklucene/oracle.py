@@ -112,7 +112,7 @@ def _synonym_scores(idx: OracleIndex, q: Synonym, mode: str) -> pd.Series:
     d = agg.index.to_numpy(dtype=np.int64)
     t = agg.to_numpy(dtype=np.int64)
     pos = np.searchsorted(idx.doc_ids, d)
-    df = max(len(p) for p in parts)
+    df = q.blend_df if q.blend_df is not None else max(len(p) for p in parts)
     if mode == "boolean":
         return pd.Series(np.full(d.size, np.float32(q.boost),
                                  dtype=np.float32), index=d)

@@ -154,6 +154,10 @@ class Synonym(Query):
     members: tuple[str, ...]
     boost: float = 1.0
     field: str | None = None
+    #: explicit blended docFreq (BlendedTermQuery: the TOP_TERMS_BLENDED
+    #: rewrite computes max df over the whole expansion set and applies
+    #: it to every member clause); None = max over own members
+    blend_df: int | None = None
 
     def terms(self) -> list[str]:
         return sorted(set(self.members))
@@ -443,6 +447,14 @@ class TopTerms(Query):
     query: MultiTermQuery
     n: int = 10
     boost: float = 1.0
+    #: TOP_TERMS_BLENDED_FREQ_SCORING rewrite (Lucene's DEFAULT for
+    #: FuzzyQuery — u8:lucene/core/.../search/
+    #: BlendedTermQuery.java + FuzzyQuery.defaultRewrite): same top-n
+    #: selection, but every kept term scores with the BLENDED docFreq
+    #: (max df over the kept set) and the clauses combine via
+    #: DisjunctionMax with tiebreak 0.01
+    #: (BlendedTermQuery.DisjunctionMaxRewrite's published constant)
+    blended: bool = False
 
     def terms(self) -> list[str]:
         return []  # empty until expansion, like MultiTermQuery
@@ -487,7 +499,7 @@ def qualify(q: Query) -> Query:
         if q.field is None:
             return q
         return Synonym(tuple(field_key(q.field, t) for t in q.members),
-                       q.boost)
+                       q.boost, blend_df=q.blend_df)
     if isinstance(q, Within):
         if q.field is None:
             return q
@@ -565,10 +577,12 @@ def rewrite(q: Query) -> Query:
         members = tuple(sorted(set(q.members)))
         if not members:
             return MatchNoDocs()
-        if len(members) == 1:  # degenerate synonym == TermQuery (same
-            # blended stats by construction) — re-enables block-max
+        if len(members) == 1 and q.blend_df is None:
+            # degenerate synonym == TermQuery (same blended stats by
+            # construction) — re-enables block-max; an explicit blend_df
+            # must survive (BlendedTermQuery single-term clause)
             return Term(members[0], q.boost, field=q.field)
-        return Synonym(members, q.boost, q.field)
+        return Synonym(members, q.boost, q.field, q.blend_df)
     if isinstance(q, Within):
         if not q.members or q.window <= 0:
             return MatchNoDocs()
@@ -660,7 +674,8 @@ def prune_missing(q: Query, present: set[str]) -> Query:
         # missing members simply contribute nothing (a SynonymQuery over
         # one absent spelling still matches the others)
         return rewrite(Synonym(tuple(t for t in q.members
-                                     if t in present), q.boost, q.field))
+                                     if t in present), q.boost, q.field,
+                               q.blend_df))
     if isinstance(q, Within):
         # every member is required (conjunctive), like a phrase
         return q if all(t in present for t in q.members) else MatchNoDocs()

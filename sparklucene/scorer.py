@@ -235,10 +235,12 @@ class RangeScorer:
         ftf = np.add.reduceat(tfs, idx)
         nb = nbs[idx]
         self.metrics.docs_scored += int(udocs.size)
-        # blended df: stats when available, local posting length as the
+        # blended df: explicit override (BlendedTermQuery rewrite) wins;
+        # else stats when available, local posting length as the
         # direct-scorer fallback (the phrase matcher's convention)
-        df = max((s.df if (s := self.stats.term_stats.get(t)) is not None
-                  else self.cells[t].decode()[0].size) for t in present)
+        df = q.blend_df if q.blend_df is not None else max(
+            (s.df if (s := self.stats.term_stats.get(t)) is not None
+             else self.cells[t].decode()[0].size) for t in present)
         N, S = self.stats.stats_for(present[0])
         if self.mode == "boolean":
             return udocs, np.full(udocs.size, np.float32(q.boost),

@@ -341,6 +341,15 @@ def _expand_top_terms(q: TopTerms, index: Index, cap: int) -> Query:
     kept = sorted(ranked[:max(q.n, 0)])
     if not kept:
         return MatchNoDocs()
+    if q.blended:
+        # TOP_TERMS_BLENDED_FREQ_SCORING (Lucene's FuzzyQuery default):
+        # every kept term scores with the blended df = max over the kept
+        # set (BlendedTermQuery), combined by DisMax(tiebreak=0.01)
+        from sparklucene.query import Synonym
+        bdf = max(dfs.get(t, 0) for t in kept)
+        return rewrite(DisMax(tuple(
+            Synonym((t,), boost=q.boost * boosts[t], blend_df=bdf)
+            for t in kept), 0.01))
     return rewrite(Or(tuple(Term(t, boost=q.boost * boosts[t])
                             for t in kept)))
 

@@ -74,3 +74,25 @@ def test_engine_matches_oracle_on_synonym_tree(spark, corpus_pdf, oidx):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert (got["score"].to_numpy().astype(np.float32)
             == want["score"].to_numpy().astype(np.float32)).all()
+
+
+def test_blended_fuzzy_rewrite_shape(spark):
+    from sparklucene.driver_queries import index_for
+    from sparklucene.query import DisMax, Fuzzy, TopTerms
+    from sparklucene.search import _expand_top_terms
+    idx = index_for(spark, "/root/testdata/sf0.001")
+    # 'bath' expands to {batch, data, hash} at this SF — 3 clauses
+    q = _expand_top_terms(TopTerms(Fuzzy("bath", max_edits=2), n=3,
+                                   blended=True), idx, cap=1000)
+    assert isinstance(q, DisMax) and q.tiebreak == 0.01
+    dfs = {c.members[0]: c.blend_df for c in q.clauses}
+    assert len(set(dfs.values())) == 1  # one blended df across clauses
+    assert all(isinstance(c, Synonym) and len(c.members) == 1
+               for c in q.clauses)
+
+
+def test_blend_df_survives_rewrite_and_prune():
+    q = Synonym(("alpha",), blend_df=77)
+    assert rewrite(q) == q  # must NOT degenerate to Term (df override)
+    assert prune_missing(q, {"alpha"}) == q
+    assert prune_missing(q, set()) == MatchNoDocs()
