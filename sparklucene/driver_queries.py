@@ -1308,6 +1308,43 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""")
             _t(spark, sf, "orders").select("o_custkey"), ["o_custkey"])
     e["stream_unique"] = (uniq, "SELECT DISTINCT o_custkey FROM orders")
 
+    # having() — boolean evaluator over a rollup (round 4;
+    # u8:solr/solrj/.../io/stream/HavingStream.java)
+    def having(spark, sf):
+        roll = st.rollup_stream(
+            _t(spark, sf, "orders"), ["o_custkey"],
+            [F.count("*").alias("n"), _dec_sum("o_totalprice").alias("tot")])
+        return (st.having_stream(roll, (F.col("n") >= 3)
+                                 & (F.col("tot") > 50000.0))
+                .orderBy("o_custkey"))
+    e["stream_having"] = (having, """
+SELECT o_custkey, count(*)::BIGINT AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+FROM orders GROUP BY o_custkey
+HAVING count(*) >= 3 AND CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) > 50000.0
+ORDER BY o_custkey""")
+
+    # cartesianProduct() — multi-valued field fan-out (round 4;
+    # u8:solr/solrj/.../io/stream/CartesianProductStream.java): one
+    # tuple per element, other fields duplicated. The multi-valued
+    # field is the analyzed token array of three fixed docs.
+    def cartesian(spark, sf):
+        from sparklucene.analysis import make_tokenize_udf
+        tok = make_tokenize_udf()
+        docs = (_t(spark, sf, "documents")
+                .filter(F.col("doc_id") <= 2)
+                .select("doc_id", tok(F.col("text")).alias("toks")))
+        return (st.cartesian_product(docs, "toks", "token")
+                .select("doc_id", "token")
+                .orderBy("doc_id", "token"))
+    e["stream_cartesian_product"] = (cartesian, f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+  FROM documents WHERE doc_id <= 2)
+SELECT doc_id, token FROM tok WHERE token NOT IN {stoplist_sql()}
+ORDER BY doc_id, token""")
+
     # {!graph} GraphQuery fixpoint traversal (round 4; u8:solr/core/...
     # /search/join/GraphQuery.java): descendants of event 1 in the
     # deterministic parent forest parent_id = event_id div 3, traversed
@@ -3843,6 +3880,38 @@ SELECT d.source AS repo, max(ds.score) AS score,
 FROM doc_scores ds JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY score DESC, repo ASC LIMIT 10""")
+
+    # -- ToChildBlockJoinQuery (round 4; u8:lucene/join/.../
+    # ToChildBlockJoinQuery.java): the inverse direction — parents
+    # matching a query hand their score DOWN to every child doc. Parent
+    # = source group; parent score = max child hit (the ScoreMode.Max
+    # parent query above); every child of a matching parent returns
+    # with that parent's score.
+    def block_join_children(spark, sf):
+        idx = index_for(spark, sf)
+        hits = matches(idx, Term("dup"), mode="f64")
+        docs = load_corpus(spark, sf).select("doc_id", "repo")
+        pscore = (hits.join(docs, "doc_id")
+                  .groupBy("repo").agg(F.max("score").alias("score")))
+        return (docs.join(F.broadcast(pscore), "repo")
+                .select("doc_id", F.col("repo").alias("parent"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(20))
+    e["block_join_children_of_parents"] = (block_join_children, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'dup'),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id),
+pscore AS (
+  SELECT d.source AS parent, max(ds.score) AS score
+  FROM doc_scores ds JOIN documents d USING (doc_id)
+  GROUP BY d.source)
+SELECT d.doc_id, p.parent, p.score
+FROM documents d JOIN pscore p ON d.source = p.parent
+ORDER BY p.score DESC, d.doc_id ASC LIMIT 20""")
 
     def join_util(spark, sf):
         idx = index_for(spark, sf)

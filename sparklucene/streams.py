@@ -111,6 +111,23 @@ def reduce_stream(df: DataFrame, by: list[str], fn, schema: str) -> DataFrame:
     return df.groupBy(*by).applyInPandas(fn, schema=schema)
 
 
+def having_stream(df: DataFrame, predicate: Column) -> DataFrame:
+    """HavingStream (``having(expr)``): keep tuples satisfying a boolean
+    evaluator — a narrow Catalyst filter (post-aggregation in the usual
+    rollup(...) | having(...) composition)."""
+    return df.filter(predicate)
+
+
+def cartesian_product(df: DataFrame, field: str,
+                      out: str | None = None) -> DataFrame:
+    """CartesianProductStream (``cartesianProduct(stream, field)``,
+    u8:solr/solrj/.../io/stream/CartesianProductStream.java): emit one
+    tuple per element of a multi-valued field, the other fields
+    duplicated — Spark's ``explode``, a narrow rowwise expansion (no
+    shuffle; output partitioning follows the input)."""
+    return df.withColumn(out or field, F.explode(F.col(field)))
+
+
 def parallel_stream(df: DataFrame, n: int, *keys: str) -> DataFrame:
     """ParallelStream: explicit hash re-partition of the dataflow across n
     workers — Spark's repartition(n, keys) IS this operator, managed."""
