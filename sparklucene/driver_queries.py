@@ -849,6 +849,29 @@ SELECT term, df, cf FROM tstats WHERE term IN {_terms_in(probe)}""")
     e["index_top_terms_by_df"] = (top_terms, f"""WITH {corpus_ctes()}
 SELECT term, df FROM tstats ORDER BY df DESC, term ASC LIMIT 20""")
 
+    # -- Luke handler field summary (round 4; u8:solr/core/.../handler/
+    # admin/LukeRequestHandler.java): per-field dictionary overview —
+    # top terms by df annotated with the field's global dictionary
+    # stats (distinct terms, total postings, collection frequency sum).
+    # Everything reads the vocab-sized termstats table, never postings.
+    def luke(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        ts = idx.termstats()
+        tot = ts.agg(F.count("*").alias("n_terms"),
+                     F.sum("df").alias("sum_df"),
+                     F.sum("cf").alias("sum_cf"))
+        return (ts.orderBy(F.desc("df"), F.asc("term")).limit(5)
+                .select("term", "df", "cf")
+                .crossJoin(F.broadcast(tot))
+                .orderBy(F.desc("df"), F.asc("term")))
+    e["luke_field_summary"] = (luke, f"""WITH {corpus_ctes()},
+tot AS (SELECT count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS sum_df,
+               sum(cf)::BIGINT AS sum_cf FROM tstats),
+top5 AS (SELECT term, df, cf FROM tstats
+         ORDER BY df DESC, term ASC LIMIT 5)
+SELECT t.term, t.df, t.cf, tot.n_terms, tot.sum_df, tot.sum_cf
+FROM top5 t CROSS JOIN tot ORDER BY t.df DESC, t.term ASC""")
+
     # -- TermVectorComponent (round 3; u8:solr/core/.../handler/
     # component/TermVectorComponent.java: tv=true&tv.tf=true&tv.df=true)
     def tv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,6 +2140,37 @@ dict AS (
 SELECT d.doc_id, d.lang, dict.ord, dict.rord
 FROM documents d JOIN dict USING (lang)
 WHERE d.doc_id < 60 ORDER BY d.doc_id""")
+
+    # -- scale() / map() function queries (round 4; u8:solr/core/.../
+    # search/function/ValueSourceParser.java ScaleFloatFunction,
+    # RangeMapFloatFunction): scale(x, 0, 1) needs the GLOBAL min/max
+    # (one tiny agg broadcast as a 1-row cross join — ScaleInfo's
+    # createWeight pass); map(x, min, max, target) is a narrow CASE.
+    # All-f64 expression trees, f32-rounded outputs.
+    def scale_map(spark, sf):
+        docs = _t(spark, sf, "documents")
+        ext = docs.agg(F.min("n_chars").cast("double").alias("mn"),
+                       F.max("n_chars").cast("double").alias("mx"))
+        scaled = ((F.col("n_chars") - F.col("mn"))
+                  / (F.col("mx") - F.col("mn")))
+        mapped = (F.when((F.col("n_chars") >= 0)
+                         & (F.col("n_chars") <= 500), F.lit(0.0))
+                  .otherwise(F.col("n_chars").cast("double")))
+        return (docs.crossJoin(F.broadcast(ext))
+                .filter(F.col("doc_id") < 80)
+                .select("doc_id",
+                        scaled.cast("float").cast("double").alias("scaled"),
+                        mapped.alias("mapped"))
+                .orderBy("doc_id"))
+    e["function_scale_map"] = (scale_map, """
+WITH ext AS (SELECT CAST(min(n_chars) AS DOUBLE) AS mn,
+                    CAST(max(n_chars) AS DOUBLE) AS mx FROM documents)
+SELECT doc_id,
+       CAST(CAST((n_chars - mn) / (mx - mn) AS REAL) AS DOUBLE) AS scaled,
+       CASE WHEN n_chars >= 0 AND n_chars <= 500 THEN 0.0
+            ELSE CAST(n_chars AS DOUBLE) END AS mapped
+FROM documents CROSS JOIN ext
+WHERE doc_id < 80 ORDER BY doc_id""")
 
     return e
 
