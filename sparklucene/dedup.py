@@ -247,3 +247,48 @@ def embedding_neardup_pairs(embeddings: DataFrame, min_cosine: float = 0.9,
         (dot / (F.sqrt(F.col("a.norm2").cast("double"))
                 * F.sqrt(F.col("b.norm2").cast("double")))).alias("cosine"))
     return scored.filter(F.col("cosine") >= min_cosine)
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b", max_iters: int = 30) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs — connected components by
+    min-id label propagation, the step every training-data dedup
+    pipeline runs after pair generation (pairs alone over-delete: doc B
+    dups A, C dups B => {A,B,C} is ONE cluster keeping ONE doc).
+
+    Returns (node, comp): every doc appearing in a pair, labeled with
+    the smallest doc_id reachable through the pair graph; the canonical
+    keeper of a cluster is the doc with node == comp.
+
+    Scale shape: edges are symmetrized once (localCheckpoint); each
+    round is one equi-join + groupBy-min + least() merge, all keyed by
+    doc id, converging in O(component diameter) rounds — near-dup
+    clusters are shallow (diameter ~ a few hops), so the loop count is
+    an operator-scale constant. The only per-round driver action is a
+    convergence emptiness check.
+    """
+    fwd = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    rev = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("x").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(int(max_iters)):
+        nbr = (edges.join(labels.select(F.col("node").alias("y"),
+                                        F.col("comp").alias("ncomp")), "y")
+               .groupBy("x").agg(F.min("ncomp").alias("mn")))
+        new = (labels.join(nbr.select(F.col("x").alias("node"), "mn"),
+                           "node", "left")
+               .select("node",
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("mn"), F.col("comp")))
+                       .alias("comp"))
+               .localCheckpoint(eager=True))
+        converged = (new.join(labels.select("node",
+                                            F.col("comp").alias("old")),
+                              "node")
+                     .filter(F.col("comp") != F.col("old")).isEmpty())
+        labels = new
+        if converged:
+            break
+    return labels.orderBy("node")

@@ -2452,6 +2452,41 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""")
 
+    # -- duplicate clusters (round 4): connected components over the
+    # simhash near-dup pairs — min-id label propagation on the engine
+    # side, a genuine WITH RECURSIVE reachability closure on the oracle
+    # side (transitive clusters, not just pairs: keeper = comp == node).
+    def dup_cc(spark, sf):
+        pairs = dedup.simhash_pairs(_t(spark, sf, "documents"))
+        return (dedup.dup_clusters(pairs)
+                .select(F.col("node").alias("doc_id"), "comp",
+                        (F.col("node") == F.col("comp")).alias("keeper")))
+    e["dedup_duplicate_clusters"] = (dup_cc, f"""WITH RECURSIVE {simhash_ctes},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM (SELECT doc_id, simhash, c AS chunk_id,
+               (simhash >> (c * 8)) & 255 AS chunk_val
+        FROM sim, range(0, 4) r(c)) a
+  JOIN (SELECT doc_id, simhash, c AS chunk_id,
+               (simhash >> (c * 8)) & 255 AS chunk_val
+        FROM sim, range(0, 4) r(c)) b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+edges AS (
+  SELECT doc_a AS x, doc_b AS y FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, r) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+  UNION
+  SELECT e.x, w.r FROM edges e JOIN walk w ON e.y = w.node)
+SELECT node AS doc_id, min(r)::BIGINT AS comp,
+       node = min(r) AS keeper
+FROM walk GROUP BY node ORDER BY doc_id""")
+
     e["dedup_ngram_jaccard"] = (
         lambda spark, sf: dedup.ngram_jaccard_pairs(_t(spark, sf, "documents")),
         f"""

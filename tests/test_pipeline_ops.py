@@ -474,3 +474,20 @@ def test_pii_scan_detects_and_redacts(spark):
     assert rows[2]["redacted"] == "clean text, version 1.2 is not an ip, 1+1@ no"
     # shape-based detector (no octet-range check) — documented contract
     assert rows[3]["n_ipv4"] == 1
+
+
+def test_dup_clusters_transitive_chain_and_keeper(spark):
+    from sparklucene.dedup import dup_clusters
+    # chain 1-2, 2-3 and island 7-9: clusters {1,2,3} and {7,9}
+    pairs = spark.createDataFrame([(2, 1), (2, 3), (9, 7)],
+                                  "doc_a long, doc_b long")
+    got = {r["node"]: r["comp"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dup_clusters_cycle_converges(spark):
+    from sparklucene.dedup import dup_clusters
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (5, 6)],
+                                  "doc_a long, doc_b long")
+    got = {r["node"]: r["comp"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
