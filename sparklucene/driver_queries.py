@@ -4832,6 +4832,38 @@ SELECT ds.doc_id,
        ds.bm25 * (1.0 + CAST(d.n_chars % 100 AS DOUBLE) / 100.0) AS score
 FROM doc_scores ds JOIN documents d USING (doc_id)
 ORDER BY score DESC, ds.doc_id ASC LIMIT 10""")
+
+    # -- FeatureField saturation query (round 4;
+    # u8:lucene/core/.../document/FeatureField.java newSaturationQuery):
+    # static-rank signal added as a SHOULD clause — final score =
+    # BM25 + weight · f/(f+pivot). Exhaustive over the match set for the
+    # same impact-monotonicity reason as {!boost}.
+    def feat_sat(spark, sf):
+        from sparklucene.search import feature_query
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return feature_query(idx, Or((Term("join"), Term("merge"))),
+                             attrs, F.col("n_chars"), kind="saturation",
+                             weight=2.0, pivot=1000.0, k=10, mode="f64")
+
+    e["feature_field_saturation"] = (feat_sat, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {score} AS s
+  FROM tf
+  JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id
+  CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')
+),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS bm25
+  FROM term_scores GROUP BY doc_id)
+SELECT ds.doc_id,
+       ds.bm25 + 2.0 * (greatest(CAST(d.n_chars AS DOUBLE), 0.0)
+                        / (greatest(CAST(d.n_chars AS DOUBLE), 0.0) + 1000.0))
+         AS score
+FROM doc_scores ds JOIN documents d USING (doc_id)
+ORDER BY score DESC, ds.doc_id ASC LIMIT 10""")
     return e
 
 

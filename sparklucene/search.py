@@ -742,6 +742,55 @@ def boost_by(index: Index, query: str | Query, attrs: DataFrame,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def feature_query(index: Index, query: str | Query, attrs: DataFrame,
+                  feature, kind: str = "saturation", weight: float = 1.0,
+                  pivot: float = 1.0, exponent: float = 1.0,
+                  k: int = 10, mode: str = "lucene8") -> DataFrame:
+    """FeatureField static-rank query (public knowledge:
+    ``u8:lucene/core/.../document/FeatureField.java`` —
+    ``newLogQuery`` / ``newSaturationQuery`` / ``newSigmoidQuery``): a
+    per-document static signal (pagerank, stars, recency) contributes an
+    ADDITIVE score clause, the SHOULD-combination Lucene documents for
+    FeatureField (feature query ORed with the text query so final score
+    = BM25 + weight·fn(feature)):
+
+    - ``log``:        weight · log(1 + feature)   (scalingFactor 1)
+    - ``saturation``: weight · feature / (feature + pivot)
+    - ``sigmoid``:    weight · feature^a / (feature^a + pivot^a)
+
+    Features are clamped to ≥ 0 (FeatureField requires positive values);
+    docs missing from ``attrs`` contribute 0, matching a document that
+    never indexed the feature.
+
+    Scale shape: the match set stays distributed; the feature join is a
+    doc_id equi-join against a narrow attrs projection, the final top-k
+    a TakeOrderedAndProject. Like FunctionScoreQuery, the additive
+    clause breaks impact monotonicity, so scoring is exhaustive over the
+    match set — the reference pays the same unless it rebuilds impacts
+    for the feature field.
+    """
+    col = F.expr(feature) if isinstance(feature, str) else feature
+    f = F.greatest(col.cast("double"), F.lit(0.0))
+    if kind == "log":
+        fn = F.log(F.lit(1.0) + f)
+    elif kind == "saturation":
+        fn = f / (f + F.lit(float(pivot)))
+    elif kind == "sigmoid":
+        fa = F.pow(f, F.lit(float(exponent)))
+        fn = fa / (fa + F.pow(F.lit(float(pivot)), F.lit(float(exponent))))
+    else:
+        raise ValueError(f"unknown feature function: {kind!r}")
+    hits = matches(index, query, mode=mode)
+    feat = attrs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        (F.lit(float(weight)) * fn).alias("_feat"))
+    return (hits.join(feat, "doc_id", "left")
+            .select("doc_id",
+                    (F.col("score")
+                     + F.coalesce(F.col("_feat"), F.lit(0.0)))
+                    .alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def frange_docs(attrs: DataFrame, value, lower: float | None = None,
                 upper: float | None = None, incl: bool = True,
                 incu: bool = True) -> DataFrame:

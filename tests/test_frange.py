@@ -98,3 +98,59 @@ def test_frange_empty_filter(spark, idx):
     flt = frange_docs(attrs, F.col("n_chars"), lower=10**9)
     assert search(idx, Term("merge"), k=10, mode="f64",
                   doc_filter=flt).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# FeatureField (u8:lucene/core/.../document/FeatureField.java) — additive
+# static-rank clauses: log / saturation / sigmoid, clamping, missing docs.
+# ---------------------------------------------------------------------------
+
+def _feature_brute(idx, q, feats: dict, fn, weight: float, k: int) -> pd.DataFrame:
+    full = search(idx, q, k=None, mode="f64").toPandas()
+    full["score"] = full.apply(
+        lambda r: r["score"] + weight * fn(max(feats.get(int(r["doc_id"]), 0.0), 0.0)),
+        axis=1)
+    return (full.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+@pytest.mark.parametrize("kind,fn,kw", [
+    ("log", lambda f: __import__("math").log(1.0 + f), {}),
+    ("saturation", lambda f: f / (f + 500.0), {"pivot": 500.0}),
+    ("sigmoid", lambda f: f**2 / (f**2 + 800.0**2),
+     {"pivot": 800.0, "exponent": 2.0}),
+])
+def test_feature_query_kinds(spark, idx, kind, fn, kw):
+    from sparklucene.search import feature_query
+    attrs = _attrs(spark)
+    feats = {int(r["doc_id"]): float(r["n_chars"])
+             for r in attrs.collect()}
+    q = Or((Term("join"), Term("merge")))
+    got = feature_query(idx, q, attrs, F.col("n_chars"), kind=kind,
+                        weight=1.5, k=12, mode="f64", **kw).toPandas()
+    want = _feature_brute(idx, q, feats, fn, 1.5, 12)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_exact=False, rtol=1e-12)
+
+
+def test_feature_query_missing_and_negative_clamped(spark, idx):
+    """Docs absent from attrs contribute 0; negative features clamp to 0."""
+    from sparklucene.search import feature_query
+    q = Or((Term("join"), Term("merge")))
+    base = search(idx, q, k=None, mode="f64").toPandas()
+    some_id = int(base["doc_id"].iloc[0])
+    attrs = spark.createDataFrame([(some_id, -42.0)], "doc_id long, f double")
+    got = feature_query(idx, q, attrs, F.col("f"), kind="saturation",
+                        weight=9.0, pivot=1.0, k=10, mode="f64").toPandas()
+    want = (base.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_exact=False, rtol=1e-12)
+
+
+def test_feature_query_unknown_kind(spark, idx):
+    from sparklucene.search import feature_query
+    attrs = _attrs(spark)
+    with pytest.raises(ValueError):
+        feature_query(idx, Term("join"), attrs, F.col("n_chars"),
+                      kind="nope")
