@@ -976,6 +976,27 @@ SELECT doc_id, sha256(text) AS sha FROM documents""")
 SELECT n_docs, doc_count, sum_dl, sum_dl / CAST(doc_count AS DOUBLE) AS avgdl
 FROM gstats""")
 
+    # -- Index-time sort + early-terminating top-k (round 4;
+    # u8:lucene/core/.../index/IndexWriterConfig.java setIndexSort,
+    # u8:lucene/core/.../search/TopFieldCollector.java early exit):
+    # a range-partitioned sorted parquet view with a per-file key
+    # envelope manifest; top-k-by-field reads ONLY the leading file
+    # prefix covering k (+ cutoff-tie files) — I/O ∝ k, not corpus.
+    def sorted_topk25(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.sorted_index import build_sorted_view, sorted_topk
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        key = os.path.realpath(sf_dir) + "#sorted-nchars"
+        tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+        d = os.path.join("/tmp", "sparklucene-sorted",
+                         f"{os.path.basename(os.path.realpath(sf_dir))}-{tag}")
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            build_sorted_view(docs, d, "n_chars", ascending=True,
+                              n_partitions=8)
+        return sorted_topk(spark, d, 25)
+    e["index_sorted_topk"] = (sorted_topk25, """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars ASC, doc_id ASC LIMIT 25""")
+
     return e
 
 
