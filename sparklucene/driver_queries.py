@@ -4304,6 +4304,45 @@ SELECT pf.doc_id AS doc_id,
 FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
 ORDER BY score DESC, doc_id ASC LIMIT 10""")
 
+    # -- ComplexPhrase: prefix inside a phrase (round 4;
+    # u8:lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser.java)
+    # "fast jo*" — the jo* slot expands against the dictionary into
+    # MultiPhrase alternatives; idf sums 'fast' plus every expansion.
+    def complexphrase(spark, sf):
+        from sparklucene.search import complex_phrase
+        idx = index_for(spark, sf)
+        q = complex_phrase(idx, ("fast", Prefix("jo")),
+                           max_expansions=1024)
+        return search(idx, q, k=10, mode="f64")
+
+    cp_idf = ("ln(1.0 + (g.doc_count - (SELECT df FROM tstats WHERE "
+              "term = 'fast') + 0.5) / ((SELECT df FROM tstats WHERE "
+              "term = 'fast') + 0.5)) + (SELECT sum(ln(1.0 + "
+              "(g.doc_count - df + 0.5) / (df + 0.5))) FROM tstats "
+              "WHERE term LIKE 'jo%')")
+    e["complex_phrase_prefix"] = (complexphrase, f"""WITH {corpus_ctes()},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+pf AS (
+  SELECT t0.doc_id, count(*)::BIGINT AS tfp
+  FROM tokp t0
+  JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = 'fast' AND t1.term LIKE 'jo%'
+    AND t1.term IN (SELECT term FROM tstats)
+  GROUP BY t0.doc_id
+)
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST((({cp_idf}) * pf.tfp)
+            / (pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq
+               / (g.sum_dl / CAST(g.doc_count AS DOUBLE)))) AS REAL)
+            AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     # -- BooleanSimilarity ------------------------------------------------
     def boolean_sim(spark, sf):
         q = Or((Term("spark"), Term("merge")))

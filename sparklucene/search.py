@@ -742,6 +742,56 @@ def boost_by(index: Index, query: str | Query, attrs: DataFrame,
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
+def complex_phrase(index: Index, slots, field: str | None = None,
+                   max_expansions: int = 128):
+    """ComplexPhraseQueryParser's core shape (public knowledge:
+    ``u8:lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser.java``
+    — phrases whose positions hold wildcard/prefix/fuzzy sub-queries,
+    e.g. ``"merge jo*"``): each multi-term slot expands against the term
+    DICTIONARY (never the postings) and the result is a MultiPhraseQuery,
+    matching Lucene's rewrite of the embedded multi-term queries into
+    per-position alternative sets.
+
+    ``slots`` is a sequence of ``str`` (literal term) or ``MultiTermQuery``
+    (Prefix/Wildcard/Fuzzy/...), one per consecutive position. Expansion
+    is capped at ``max_expansions`` per slot (maxClauseCount analog); a
+    slot with zero dictionary matches yields MatchNoDocs — a phrase
+    position that can never be filled matches nothing, exactly Lucene's
+    empty-rewrite behavior. Alternatives are sorted per slot so the
+    summed-idf phrase weight is order-pinned.
+
+    Scale shape: slot expansion is a dictionary-pushdown scan (memoized
+    per handle); the search itself runs the MultiPhrase positional plan —
+    postings touched only for the expanded terms.
+    """
+    from sparklucene.query import (MatchNoDocs, MultiPhrase,
+                                   MultiTermQuery as MTQ)
+
+    out = []
+    for pos, s in enumerate(slots):
+        if isinstance(s, str):
+            alts: tuple = (s,)
+        elif isinstance(s, MTQ):
+            import dataclasses as _dc
+            node = (_dc.replace(s, field=field)
+                    if field is not None and s.field is None else s)
+            exp = index.expand_terms(node, max_expansions=max_expansions)
+            if field is not None:
+                # expand_terms returns internal field keys; MultiPhrase
+                # re-qualifies, so strip back to bare terms
+                from sparklucene.query import field_key
+                pre = field_key(field, "")
+                exp = [t[len(pre):] if t.startswith(pre) else t for t in exp]
+            if not exp:
+                return MatchNoDocs()
+            alts = tuple(sorted(exp))
+        else:
+            raise TypeError(f"slot {pos}: expected str or MultiTermQuery, "
+                            f"got {type(s).__name__}")
+        out.append((pos, alts))
+    return MultiPhrase(tuple(out), field=field)
+
+
 def feature_query(index: Index, query: str | Query, attrs: DataFrame,
                   feature, kind: str = "saturation", weight: float = 1.0,
                   pivot: float = 1.0, exponent: float = 1.0,
