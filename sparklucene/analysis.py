@@ -482,6 +482,35 @@ def analyze_text(text: str, cfg: AnalyzerConfig) -> list[str]:
     return list(toks)
 
 
+def token_stream_df(df, text_col: str, id_col: str = "doc_id",
+                    cfg: AnalyzerConfig | None = None):
+    """Analysis introspection as a TABLE — Solr's field-analysis handler
+    (public knowledge: ``u8:solr/core/.../handler/
+    FieldAnalysisRequestHandler.java``, the admin/analysis screen) run
+    distributed: every document's post-filter token stream with its
+    position (pre-stop indexes, gaps preserved — exactly what the
+    indexer sees). Returns DataFrame(doc_id, pos, term).
+
+    Scale shape: one Arrow-batched pass (``mapInPandas``) over the text
+    column — narrow, no shuffle; downstream aggregations see a
+    long-format stream they can partial-aggregate.
+    """
+    import pandas as _pd
+
+    cfg = cfg or AnalyzerConfig()
+    sdf = df.select(id_col, text_col)
+
+    def gen(batches):
+        for pdf in batches:
+            flat, docs, pos = analyze_flat(
+                pdf[text_col].astype(str),
+                pdf[id_col].to_numpy(dtype=np.int64), cfg)
+            yield _pd.DataFrame({"doc_id": docs, "pos": pos,
+                                 "term": flat})
+
+    return sdf.mapInPandas(gen, "doc_id long, pos long, term string")
+
+
 def make_tokenize_udf(stopwords: frozenset[str] = ENGLISH_STOP_WORDS):
     """pandas_udf: content string -> array<string> of analyzed tokens."""
     from pyspark.sql.functions import pandas_udf

@@ -3580,6 +3580,25 @@ def _analyzer_entries() -> dict[str, tuple[Callable, str | None]]:
     tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
                             "g.sum_dl")
 
+    # -- Field-analysis handler as a table (round 4;
+    # u8:solr/core/.../handler/FieldAnalysisRequestHandler.java): the
+    # post-filter token stream with pre-stop positions, distributed.
+    def token_stream(spark, sf):
+        from sparklucene.analysis import token_stream_df
+        docs = _t(spark, sf, "documents") \
+            .filter(F.col("doc_id") < 3).select("doc_id", "text")
+        return (token_stream_df(docs, "text")
+                .orderBy("doc_id", "pos", "term"))
+    e["analysis_field_token_stream"] = (token_stream, f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents WHERE doc_id < 3) tl
+)
+SELECT doc_id, pos, term FROM tokp WHERE term NOT IN {stop}
+ORDER BY doc_id, pos, term""")
+
     # -- Porter-stemmed BM25 search --------------------------------------
     stem_vals = ", ".join(f"('{w}', '{porter_stem(w)}')" for w in VOCAB31
                           if w not in ENGLISH_STOP_WORDS)

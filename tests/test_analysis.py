@@ -122,3 +122,28 @@ def test_flat_token_codes_empty_and_no_stop():
                                   np.array([7]), frozenset())
     assert list(u[c]) == ["the", "quick", "fox"]
     assert list(d) == [7, 7, 7] and list(p) == [0, 1, 2]
+
+
+def test_token_stream_df_matches_analyze_flat(spark):
+    """Distributed token-stream table == in-process analyze_flat."""
+    import numpy as np
+    import pandas as pd
+    from sparklucene.analysis import (AnalyzerConfig, analyze_flat,
+                                      token_stream_df)
+
+    rows = [(0, "The Quick brown_fox jumps the fence"),
+            (1, ""), (2, "MERGE merge the JOIN")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (token_stream_df(df, "text").orderBy("doc_id", "pos", "term")
+           .toPandas())
+    cfg = AnalyzerConfig()
+    texts = pd.Series([r[1] for r in rows])
+    flat, docs, pos = analyze_flat(texts, np.array([r[0] for r in rows]), cfg)
+    want = (pd.DataFrame({"doc_id": docs, "pos": pos, "term": flat})
+            .sort_values(["doc_id", "pos", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want.astype({"doc_id": "int64",
+                                                    "pos": "int64"}))
+    assert 1 not in set(got["doc_id"])  # empty doc emits nothing
+    # stop positions leave gaps: "the" at pos 0 and 4 are dropped
+    d0 = got[got["doc_id"] == 0]["pos"].tolist()
+    assert d0 == [1, 2, 3, 5]
