@@ -1832,6 +1832,53 @@ w{i} AS (SELECT {wsel} FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN nn)""")
     e["stream_train_logit"] = (train, f"""WITH {corpus_ctes()},{
         _logit_sql(_LT, 3, 0.5)}""")
 
+    # -- random() — seeded deterministic sample (round 4;
+    # u8:solr/solrj/.../io/stream/RandomStream.java) --------------------
+    def rnd(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        return st.random_stream(docs, "doc_id", 12, seed="r4")
+    e["stream_random_seeded"] = (rnd, """
+SELECT doc_id, lang FROM documents
+ORDER BY sha256('r4:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+LIMIT 12""")
+
+    # -- knnRegress — k-NN mean regression (round 4;
+    # u8:solr/solrj/.../io/eval/KnnRegressionEvaluator.java) -------------
+    def knnreg(spark, sf):
+        pts = (_t(spark, sf, "embeddings")
+               .select("vec_id",
+                       F.col("embedding")[0].cast("double").alias("f0"),
+                       F.col("embedding")[1].cast("double").alias("f1"),
+                       F.col("embedding")[2].cast("double").alias("f2"),
+                       F.col("label").cast("double").alias("y")))
+        qs = spark.createDataFrame(
+            [(0, 0.1, 0.2, 0.3), (1, -0.5, 0.0, 0.25)],
+            "qid long, f0 double, f1 double, f2 double")
+        return (st.knn_regress(pts, qs, ["f0", "f1", "f2"], "y", k=7,
+                               id_col="vec_id")
+                .orderBy("qid"))
+    e["stream_knn_regress"] = (knnreg, """
+WITH q(qid, q0, q1, q2) AS (
+  SELECT * FROM (VALUES (0, 0.1, 0.2, 0.3), (1, -0.5, 0.0, 0.25))),
+pts AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS f0,
+         CAST(embedding[2] AS DOUBLE) AS f1,
+         CAST(embedding[3] AS DOUBLE) AS f2,
+         CAST(label AS DOUBLE) AS y
+  FROM embeddings),
+ranked AS (
+  SELECT q.qid, p.vec_id, p.y,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY sqrt((p.f0 - q.q0) * (p.f0 - q.q0)
+                         + (p.f1 - q.q1) * (p.f1 - q.q1)
+                         + (p.f2 - q.q2) * (p.f2 - q.q2)) ASC,
+                    p.vec_id ASC) AS rk
+  FROM pts p CROSS JOIN q)
+SELECT qid::BIGINT AS qid, avg(y) AS prediction,
+       count(*)::BIGINT AS k_used
+FROM ranked WHERE rk <= 7 GROUP BY qid ORDER BY qid""")
+
     return e
 
 

@@ -134,6 +134,63 @@ def parallel_stream(df: DataFrame, n: int, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def random_stream(df: DataFrame, key_col: str, n: int,
+                  seed: str = "0") -> DataFrame:
+    """RandomStream / ``random()`` (public knowledge:
+    ``u8:solr/solrj/.../io/stream/RandomStream.java``, Solr's
+    RandomSortField): n pseudo-random rows, DETERMINISTIC for a given
+    seed — reruns and retries return the same sample (Solr seeds its
+    random sort per request; this engine pins the seed explicitly so the
+    sample is layout- and scale-invariant, the property the
+    deterministic-sampling textops also guarantee).
+
+    Order key = sha256(seed ':' key) — a pure per-row expression, so the
+    plan is scan → TakeOrderedAndProject; no shuffle beyond the top-n
+    merge, membership independent of partitioning.
+    """
+    h = F.sha2(F.concat(F.lit(str(seed) + ":"),
+                        F.col(key_col).cast("string")), 256)
+    return (df.withColumn("_rnd", h)
+            .orderBy(F.col("_rnd").asc(), F.col(key_col).asc())
+            .limit(n).drop("_rnd"))
+
+
+def knn_regress(points: DataFrame, queries: DataFrame, feat_cols: list[str],
+                target_col: str, k: int = 5,
+                id_col: str = "doc_id", qid_col: str = "qid") -> DataFrame:
+    """knnRegress / ``knn()`` regression (public knowledge:
+    ``u8:solr/solrj/.../io/eval/KnnRegressionEvaluator.java``): for each
+    query row, predict the mean ``target_col`` of its k nearest training
+    points by euclidean distance over ``feat_cols``.
+
+    Scale shape: the QUERY set is the small side — broadcast-joined
+    against the distributed training points (never points × points); the
+    per-query k-NN cut is a window over (qid, dist) — each query's
+    candidate set is grouped, partial-aggregated after the rank filter.
+    Ties at the k-boundary break by ascending point id (pinned, so the
+    prediction is deterministic).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    q = queries.select(F.col(qid_col).alias("_qid"),
+                       *[F.col(c).alias(f"_q_{c}") for c in feat_cols])
+    dist = None
+    for c in feat_cols:
+        d = (F.col(c).cast("double") - F.col(f"_q_{c}").cast("double"))
+        dist = d * d if dist is None else dist + d * d
+    pairs = (points.select(id_col, target_col, *feat_cols)
+             .crossJoin(broadcast(q))
+             .withColumn("_dist", F.sqrt(dist)))
+    w = Window.partitionBy("_qid").orderBy(F.col("_dist").asc(),
+                                           F.col(id_col).asc())
+    return (pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .groupBy(F.col("_qid").alias(qid_col))
+            .agg(F.avg(F.col(target_col).cast("double")).alias("prediction"),
+                 F.count(F.lit(1)).alias("k_used")))
+
+
 def gather_nodes(edges: DataFrame, roots: DataFrame, rounds: int,
                  from_col: str = "src", to_col: str = "dst") -> DataFrame:
     """GatherNodesStream / ``nodes()`` (public knowledge:

@@ -491,3 +491,46 @@ def test_dup_clusters_cycle_converges(spark):
                                   "doc_a long, doc_b long")
     got = {r["node"]: r["comp"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# random() stream — seeded, layout-invariant; knnRegress — vs numpy brute.
+# ---------------------------------------------------------------------------
+
+def test_random_stream_deterministic_and_layout_invariant(spark):
+    from sparklucene.streams import random_stream
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang")
+    a = random_stream(docs, "doc_id", 15, seed="s1").toPandas()
+    b = random_stream(docs.repartition(13), "doc_id", 15, seed="s1").toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    c = random_stream(docs, "doc_id", 15, seed="s2").toPandas()
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()
+    assert len(a) == 15 and a["doc_id"].is_unique
+
+
+def test_knn_regress_matches_numpy(spark):
+    import numpy as np
+    from sparklucene.streams import knn_regress
+    rng = [(i, float((i * 37) % 101) / 101.0,
+            float((i * 53) % 97) / 97.0, float(i % 11)) for i in range(200)]
+    pts = spark.createDataFrame(rng, "doc_id long, f0 double, f1 double, y double")
+    qs = spark.createDataFrame([(0, 0.25, 0.5), (1, 0.9, 0.1)],
+                               "qid long, f0 double, f1 double")
+    got = knn_regress(pts, qs, ["f0", "f1"], "y", k=9).orderBy("qid").toPandas()
+    P = np.array([(r[1], r[2]) for r in rng])
+    Y = np.array([r[3] for r in rng])
+    for qi, (qx, qy) in enumerate([(0.25, 0.5), (0.9, 0.1)]):
+        d = np.sqrt(((P - np.array([qx, qy])) ** 2).sum(axis=1))
+        order = np.lexsort((np.arange(len(d)), d))[:9]
+        assert abs(got["prediction"].iloc[qi] - Y[order].mean()) < 1e-12
+        assert got["k_used"].iloc[qi] == 9
+
+
+def test_knn_regress_k_larger_than_points(spark):
+    from sparklucene.streams import knn_regress
+    pts = spark.createDataFrame([(0, 0.0, 2.0), (1, 1.0, 4.0)],
+                                "doc_id long, f0 double, y double")
+    qs = spark.createDataFrame([(0, 0.5)], "qid long, f0 double")
+    got = knn_regress(pts, qs, ["f0"], "y", k=10).toPandas()
+    assert got["k_used"].iloc[0] == 2 and got["prediction"].iloc[0] == 3.0
