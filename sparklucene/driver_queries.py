@@ -2411,6 +2411,29 @@ SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
             ELSE 0.0 END AS dup_ngram_frac
 FROM g""")
 
+    # -- round 4: unigram LM cross-entropy (CCNet-style quality proxy) --
+    e["text_unigram_logppl"] = (
+        lambda spark, sf: textops.unigram_logppl(
+            _t(spark, sf, "documents")),
+        f"""
+WITH tokall AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tfa AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tokall GROUP BY doc_id, term),
+cfa AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfa GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cfa),
+dla AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tfa GROUP BY doc_id),
+h AS (
+  SELECT tfa.doc_id,
+         sum(CAST(tfa.tf AS DOUBLE)
+             * -ln(CAST(cfa.cf AS DOUBLE) / tot.total)) AS hsum
+  FROM tfa JOIN cfa USING (term) CROSS JOIN tot
+  GROUP BY tfa.doc_id)
+SELECT h.doc_id, dla.dl,
+       CAST(CAST(h.hsum / CAST(dla.dl AS DOUBLE) AS REAL) AS DOUBLE)
+         AS logppl
+FROM h JOIN dla USING (doc_id)""")
+
     def contam(spark, sf):
         docs = _t(spark, sf, "documents")
         bench = docs.filter(F.col("doc_id") % 23 == 0)

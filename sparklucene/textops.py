@@ -133,6 +133,43 @@ def fingerprint(docs: DataFrame, shingle: int = 4) -> DataFrame:
                        h.alias("fingerprint"))
 
 
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram cross-entropy against the corpus's own unigram LM
+    — the cheap in-corpus stand-in for the KenLM-perplexity quality
+    filter of CCNet-style pretraining pipelines (public knowledge:
+    Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data"): p(t) = cf_t / total_tokens over ALL
+    raw tokens (no stop filter — the LM sees every token), and
+
+        logppl(d) = (1/|d|) * Σ_{tokens w in d} -ln p(w)
+
+    Low = repetitive/common text, high = rare-token-heavy; both tails
+    get filtered in practice. Returns (doc_id, dl, logppl), empty docs
+    excluded (no distribution to score against).
+
+    Scale shape: tf = one (doc_id, term) partial-agg over the exploded
+    stream; cf and dl reduce FROM tf (vocab-/corpus-sized, never a
+    second token-stream shuffle); the total is a one-row broadcast. The
+    per-doc sum is f32-rounded so the oracle's sum order cannot diverge.
+    """
+    tok = docs.select("doc_id", F.explode(F.expr(TOKEN_EXPR)).alias("term"))
+    tf = (tok.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    total = cf.agg(F.sum("cf").cast("double").alias("total"))
+    contrib = (tf.join(cf, "term")
+               .crossJoin(F.broadcast(total))
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("tf").cast("double")
+                          * -F.log(F.col("cf").cast("double")
+                                   / F.col("total"))).alias("_h")))
+    return (contrib.join(dl, "doc_id")
+            .select("doc_id", "dl",
+                    (F.col("_h") / F.col("dl").cast("double"))
+                    .cast("float").cast("double").alias("logppl")))
+
+
 def duplicate_ngram_fraction(docs: DataFrame, n: int = 3) -> DataFrame:
     """Within-document repetition signal (the duplicate-n-gram fraction
     used by published pretraining quality filters, e.g. Gopher's

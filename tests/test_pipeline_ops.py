@@ -534,3 +534,25 @@ def test_knn_regress_k_larger_than_points(spark):
     qs = spark.createDataFrame([(0, 0.5)], "qid long, f0 double")
     got = knn_regress(pts, qs, ["f0"], "y", k=10).toPandas()
     assert got["k_used"].iloc[0] == 2 and got["prediction"].iloc[0] == 3.0
+
+
+def test_unigram_logppl_matches_numpy(spark):
+    import math
+    from collections import Counter
+    from sparklucene.textops import unigram_logppl
+    rows = [(0, "the quick fox the"), (1, "quick quick zebra"),
+            (2, ""), (3, "the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = unigram_logppl(df).orderBy("doc_id").toPandas()
+    toks = {i: t.split() for i, t in rows}
+    cf = Counter(w for ts in toks.values() for w in ts)
+    total = sum(cf.values())
+    assert got["doc_id"].tolist() == [0, 1, 3]  # empty doc excluded
+    for _, r in got.iterrows():
+        ts = toks[int(r["doc_id"])]
+        want = sum(-math.log(cf[w] / total) for w in ts) / len(ts)
+        assert abs(r["logppl"] - want) < 1e-6
+        assert r["dl"] == len(ts)
+    # the common-word doc scores LOWER entropy than the rare-token doc
+    by_id = dict(zip(got["doc_id"], got["logppl"]))
+    assert by_id[3] < by_id[1]
