@@ -35,8 +35,12 @@ def _rand_phrase(rng: random.Random):
     if rng.random() < 0.3:
         return Phrase(slots, slop=rng.randint(1, 3))
     if rng.random() < 0.3:
-        alts = tuple((off, tuple(sorted({t, rng.choice(VOCAB[:12])})))
-                     for off, t in slots)
+        # alternative-set sizes up to 4 mimic complex_phrase's
+        # dictionary expansions (prefix/wildcard slots inside a phrase)
+        alts = tuple(
+            (off, tuple(sorted({t, *rng.sample(VOCAB[:12],
+                                               rng.randint(1, 3))})))
+            for off, t in slots)
         return MultiPhrase(alts)
     return Phrase(slots)
 
