@@ -1974,6 +1974,19 @@ SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%ow' ORDER BY doc_id""")
 SELECT DISTINCT doc_id FROM tf WHERE regexp_matches(term, '^f.*t$')
 ORDER BY doc_id""")
 
+    # FuzzyQuery with transpositions=True — Lucene's DEFAULT fuzzy mode
+    # (round 4; u8:lucene/core/.../search/FuzzyQuery.java): an adjacent
+    # swap counts as ONE edit, so 'sprak'~1 matches 'spark' (plain
+    # levenshtein needs 2). Engine pins unrestricted Damerau-Levenshtein
+    # (= DuckDB's damerau_levenshtein; identity fuzz-checked in tests).
+    def fuzzy_transp(spark, sf):
+        return _doc_set(index_for(spark, sf),
+                        Fuzzy("sprak", max_edits=1, transpositions=True))
+    e["fuzzy_query_transpositions"] = (fuzzy_transp, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id FROM tf
+WHERE damerau_levenshtein(term, 'sprak') <= 1
+ORDER BY doc_id""")
+
     def fuzzy(spark, sf):
         return _doc_set(index_for(spark, sf), Fuzzy("mergee", max_edits=1))
     e["fuzzy_query"] = (fuzzy, f"""WITH {corpus_ctes()}

@@ -404,10 +404,20 @@ class Regexp(MultiTermQuery):
 
 @dataclass(frozen=True)
 class Fuzzy(MultiTermQuery):
+    """FuzzyQuery. ``transpositions=True`` (Lucene's default) counts an
+    adjacent-character swap as ONE edit; the engine pins the published
+    unrestricted Damerau-Levenshtein distance (Damerau 1964 /
+    Wagner-Fischer extension) for that mode — Lucene's transposition
+    automaton agrees on real vocabularies; split-transposition corner
+    pairs (a later edit landing between two swapped characters) cannot
+    be verified against the reference offline and are documented as the
+    pinned variant choice."""
+
     term: str
     max_edits: int = 1
     boost: float = 1.0
     field: str | None = None
+    transpositions: bool = False
 
 
 @dataclass(frozen=True)

@@ -190,7 +190,14 @@ class Index:
         elif isinstance(q, Fuzzy):
             body = term.substr(F.lit(len(fk) + 1), F.length(term)) if fk \
                 else term
-            pred = F.levenshtein(body, F.lit(q.term)) <= q.max_edits
+            if q.transpositions:
+                # JVM prefilter: damerau <= k implies levenshtein <= 2k
+                # (a transposition costs at most two plain edits), so the
+                # dictionary scan stays pushdown-cheap; the exact
+                # Damerau cut runs Arrow-batched on the survivors only.
+                pred = F.levenshtein(body, F.lit(q.term)) <= 2 * q.max_edits
+            else:
+                pred = F.levenshtein(body, F.lit(q.term)) <= q.max_edits
             if fk:
                 pred = term.startswith(fk) & pred
         elif isinstance(q, TermRange):
@@ -209,8 +216,20 @@ class Index:
             # default-field expansion must not sweep up other fields'
             # qualified keys (they sort between ASCII letters)
             pred = pred & ~term.contains(FIELD_SEP)
-        rows = (self.termstats().select("term").filter(pred)
-                .limit(max_expansions + 1).collect())
+        base = self.termstats().select("term").filter(pred)
+        if isinstance(q, Fuzzy) and q.transpositions:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            qt, fkl, k = q.term, len(fk), q.max_edits
+
+            @pandas_udf("int")
+            def _dam(s: pd.Series) -> pd.Series:
+                bodies = s.str.slice(fkl) if fkl else s
+                return bodies.map(lambda t: _damerau_distance(t, qt))
+
+            base = base.filter(_dam(F.col("term")) <= k)
+        rows = base.limit(max_expansions + 1).collect()
         if len(rows) > max_expansions:
             raise ValueError(
                 f"{type(q).__name__} expands to more than {max_expansions} "
@@ -315,6 +334,46 @@ def _edit_distance(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _damerau_distance(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Damerau 1964; the alphabet-array
+    DP from Wagner-Fischer's extension — adjacent transposition is one
+    edit, and later edits may land between swapped characters). Matches
+    DuckDB's ``damerau_levenshtein`` exactly, which is what the oracle
+    uses."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return max(la, lb)
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def _expand_top_terms(q: TopTerms, index: Index, cap: int) -> Query:
     """TOP_TERMS_SCORING_BOOLEAN rewrite (pinned spec on query.TopTerms):
     expand the wrapped MultiTermQuery, boost Fuzzy candidates by the
@@ -328,9 +387,12 @@ def _expand_top_terms(q: TopTerms, index: Index, cap: int) -> Query:
         fk = field_key(q.query.field, "")
         qt = q.query.term
 
+        dist_fn = (_damerau_distance if q.query.transpositions
+                   else _edit_distance)
+
         def fuzz_boost(t: str) -> float:
             body = t[len(fk):] if fk else t
-            d = _edit_distance(qt, body)
+            d = dist_fn(qt, body)
             m = min(len(qt), len(body))
             return 1.0 - d / m if m else (1.0 if d == 0 else 0.0)
         boosts = {t: fuzz_boost(t) for t in terms}

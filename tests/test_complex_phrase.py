@@ -52,3 +52,43 @@ def test_max_expansions_cap(spark, idx):
     q = complex_phrase(idx, ("fast", Prefix("j")), max_expansions=2)
     assert isinstance(q, MultiPhrase)
     assert len(q.slots[1][1]) <= 2
+
+
+# ---------------------------------------------------------------------------
+# FuzzyQuery transpositions=True (Lucene default) — Damerau expansion.
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_transpositions_expansion(spark, idx):
+    from sparklucene.query import Fuzzy
+    from sparklucene.search import _damerau_distance
+    plain = set(idx.expand_terms(Fuzzy("sprak", max_edits=1)))
+    transp = set(idx.expand_terms(Fuzzy("sprak", max_edits=1,
+                                        transpositions=True)))
+    assert "spark" in transp and "spark" not in plain
+    assert plain <= transp  # damerau <= levenshtein, so strictly wider
+    for t in transp:
+        assert _damerau_distance(t, "sprak") <= 1
+
+
+def test_damerau_distance_textbook_cases():
+    from sparklucene.search import _damerau_distance as d
+    assert d("ca", "abc") == 2      # unrestricted: transpose then insert
+    assert d("ab", "ba") == 1
+    assert d("spark", "sprak") == 1
+    assert d("", "abc") == 3 and d("abc", "") == 3
+    assert d("same", "same") == 0
+
+
+def test_top_terms_fuzzy_transpositions_boost(spark, idx):
+    """TOP_TERMS over a transpositions fuzzy uses the Damerau distance
+    in the FuzzyTermsEnum boost, so the swapped term gets the top boost."""
+    from sparklucene.query import Fuzzy, TopTerms
+    from sparklucene.search import _expand_top_terms
+    from sparklucene.query import Term
+    q = TopTerms(Fuzzy("sprak", max_edits=1, transpositions=True), n=5)
+    expanded = _expand_top_terms(q, idx, 1024)
+    clauses = ((expanded,) if isinstance(expanded, Term)
+               else expanded.clauses)  # single-clause Or folds to Term
+    terms = {t.term: t.boost for t in clauses}
+    assert "spark" in terms
+    assert terms["spark"] == max(terms.values())  # d=1 over m=5
