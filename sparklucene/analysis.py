@@ -503,7 +503,7 @@ def token_stream_df(df, text_col: str, id_col: str = "doc_id",
     def gen(batches):
         for pdf in batches:
             flat, docs, pos = analyze_flat(
-                pdf[text_col].astype(str),
+                pdf[text_col].fillna("").astype(str),
                 pdf[id_col].to_numpy(dtype=np.int64), cfg)
             yield _pd.DataFrame({"doc_id": docs, "pos": pos,
                                  "term": flat})

@@ -147,3 +147,12 @@ def test_token_stream_df_matches_analyze_flat(spark):
     # stop positions leave gaps: "the" at pos 0 and 4 are dropped
     d0 = got[got["doc_id"] == 0]["pos"].tolist()
     assert d0 == [1, 2, 3, 5]
+
+
+def test_token_stream_df_null_text_emits_nothing(spark):
+    from sparklucene.analysis import token_stream_df
+    df = spark.createDataFrame([(0, None), (1, "real text here")],
+                               "doc_id long, text string")
+    got = token_stream_df(df, "text").toPandas()
+    assert set(got["doc_id"]) == {1}
+    assert "none" not in set(got["term"])
