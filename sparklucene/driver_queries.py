@@ -884,6 +884,31 @@ FROM tf JOIN tstats ts ON tf.term = ts.term
 WHERE tf.doc_id IN (11, 42)
 ORDER BY tf.doc_id, tf.term""")
 
+    # -- IndexSearcher.explain (round 4; u8:lucene/core/.../search/
+    # IndexSearcher.java#explain + BM25Similarity.explain): per-(doc,
+    # term) BM25 decomposition — tf, df, dl, quantized dl, idf, and the
+    # score contribution, f32-rounded like the f64 scorer output.
+    def explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.search import explain_terms
+        idx = index_for(spark, sf_dir)
+        corpus = load_corpus(spark, sf_dir)
+        return explain_terms(idx, corpus, ("join", "merge"),
+                             tuple(range(10)))
+
+    _x_idf = "ln(1.0 + (g.doc_count - s.df + 0.5) / (s.df + 0.5))"
+    _x_den = ("(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq "
+              "/ (g.sum_dl / CAST(g.doc_count AS DOUBLE))))")
+    e["explain_score_components"] = (explain, f"""WITH {corpus_ctes()}
+SELECT tf.doc_id, tf.term, tf.tf, s.df, m.dl, m.dlq,
+       CAST(CAST({_x_idf} AS REAL) AS DOUBLE) AS idf,
+       CAST(CAST(({_x_idf} * tf.tf) / {_x_den} AS REAL) AS DOUBLE)
+         AS contribution
+FROM tf JOIN tstats s ON tf.term = s.term
+JOIN meta m ON tf.doc_id = m.doc_id
+CROSS JOIN gstats g
+WHERE tf.term IN ('join', 'merge') AND tf.doc_id < 10
+ORDER BY tf.doc_id, tf.term""")
+
     def doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = index_for(spark, sf_dir)
         meta = idx.docmeta()

@@ -1212,6 +1212,70 @@ def term_vectors(index: Index, corpus: DataFrame,
             .orderBy("doc_id", "term"))
 
 
+def explain_terms(index: Index, corpus: DataFrame, terms: "tuple[str, ...]",
+                  doc_ids: "tuple[int, ...]") -> DataFrame:
+    """Score EXPLANATION — Lucene's ``IndexSearcher.explain`` surface for
+    the scoring-boolean family (public knowledge:
+    ``u8:lucene/core/.../search/IndexSearcher.java#explain``,
+    ``BM25Similarity.explain``): for each requested (doc, query term)
+    pair, the full BM25 decomposition the reference's Explanation tree
+    prints — tf, df, dl, the SmallFloat-quantized dl the norm byte
+    decodes to, idf, and the term's score contribution (f64 parity
+    mode; idf and contribution are f32-rounded exactly like the engine's
+    f64 scorer output).
+
+    Forward-derived like :func:`term_vectors`: the ``doc_id IN`` filter
+    pushes into the corpus scan (only the explained docs are read), tf
+    is re-analyzed with the SQL-expressible chain, and the tiny tf set
+    broadcasts into the termstats/docmeta joins — nothing
+    data-proportional ships, matching explain's per-doc debugging use.
+    """
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, TOKEN_RE_SQL
+    from sparklucene.bm25 import B, K1
+
+    ids = [int(d) for d in doc_ids]
+    qterms = sorted(set(terms))
+    tok = (corpus.filter(F.col("doc_id").isin(ids))
+           .select("doc_id", F.explode(F.expr(
+               f"regexp_extract_all(lower(content), '{TOKEN_RE_SQL}', 0)"
+           )).alias("term"))
+           .filter(~F.col("term").isin(sorted(ENGLISH_STOP_WORDS))))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tf = (tok.filter(F.col("term").isin(qterms))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    n_count = int(index.stats["doc_count"])
+    sum_dl = int(index.stats["sum_dl"])
+    # dlq = the SmallFloat-quantized length the norm byte decodes to —
+    # Arrow-batched over the <= |doc_ids| explained rows
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sparklucene.norms import quantize_length
+
+    @pandas_udf("long")
+    def _quant(s: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(quantize_length(s.to_numpy(dtype=np.int64)))
+
+    base = (tf.join(dl, "doc_id")
+            .withColumn("dlq", _quant(F.col("dl")))
+            .join(F.broadcast(
+                index.termstats().select("term", "df")
+                .filter(F.col("term").isin(qterms))), "term"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_count)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    avgdl = F.lit(sum_dl / float(n_count))
+    denom = (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B)
+                                        + F.lit(B) * F.col("dlq") / avgdl))
+    return (base.select(
+        "doc_id", "term", "tf", "df", "dl", "dlq",
+        idf.cast("float").cast("double").alias("idf"),
+        ((idf * F.col("tf")) / denom)
+        .cast("float").cast("double").alias("contribution"))
+        .orderBy("doc_id", "term"))
+
+
 def terms_enum(index: Index, field: str | None = None,
                prefix: str | None = None, regex: str | None = None,
                lower: str | None = None, upper: str | None = None,

@@ -92,3 +92,27 @@ def test_top_terms_fuzzy_transpositions_boost(spark, idx):
     terms = {t.term: t.boost for t in clauses}
     assert "spark" in terms
     assert terms["spark"] == max(terms.values())  # d=1 over m=5
+
+
+# ---------------------------------------------------------------------------
+# IndexSearcher.explain — per-term decomposition must reassemble the score.
+# ---------------------------------------------------------------------------
+
+def test_explain_contributions_sum_to_search_score(spark, idx):
+    from sparklucene.corpus import load_corpus
+    from sparklucene.query import Or, Term
+    from sparklucene.search import explain_terms, search
+    corpus = load_corpus(spark, SF)
+    full = search(idx, Or((Term("join"), Term("merge"))), k=None,
+                  mode="f64").toPandas()
+    ids = tuple(int(d) for d in full["doc_id"].head(5))
+    exp = explain_terms(idx, corpus, ("join", "merge"), ids).toPandas()
+    assert set(exp.columns) == {"doc_id", "term", "tf", "df", "dl", "dlq",
+                                "idf", "contribution"}
+    got = exp.groupby("doc_id")["contribution"].sum()
+    want = dict(zip(full["doc_id"], full["score"]))
+    for d in ids:
+        assert abs(got[d] - want[d]) <= 1e-6 * abs(want[d])
+    # tf/df are exact positives and dlq quantizes dl downward
+    assert (exp["tf"] >= 1).all() and (exp["df"] >= 1).all()
+    assert (exp["dlq"] <= exp["dl"]).all()
