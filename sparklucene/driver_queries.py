@@ -628,6 +628,24 @@ SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM term_scores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10""")
 
+    # mlt.interestingTerms=details (round 4; u8:solr/core/.../handler/
+    # MoreLikeThisHandler.java): the MLT-selected terms with weights.
+    def mlt_terms(spark, sf):
+        from sparklucene.mlt import interesting_terms
+        return interesting_terms(index_for(spark, sf),
+                                 load_corpus(spark, sf),
+                                 doc_id=42, max_terms=8)
+    e["mlt_interesting_terms"] = (mlt_terms, f"""WITH {corpus_ctes()},
+doc_tf AS (SELECT term, tf FROM tf WHERE doc_id = 42),
+term_weight AS (
+  SELECT d.term, d.tf, s.df,
+         d.tf * ln(1.0 + (g.doc_count - s.df + 0.5) / (s.df + 0.5)) AS w
+  FROM doc_tf d JOIN tstats s ON d.term = s.term CROSS JOIN gstats g)
+SELECT term, tf, df, CAST(CAST(w AS REAL) AS DOUBLE) AS weight
+FROM (SELECT *, row_number() OVER (ORDER BY w DESC, term ASC) AS rn
+      FROM term_weight)
+WHERE rn <= 8""")
+
     e["bm25_phrase"] = (
         _bm25(Phrase(((0, "table"), (1, "hash"))), k=10),
         phrase_topk_sql([(0, "table"), (1, "hash")], k=10))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -46,6 +47,36 @@ def more_like_this(index: Index, corpus: DataFrame, doc_id: int,
         return search(index, MatchNoDocs(), k=k, mode=mode)
     q = Or(tuple(Term(t) for t, _ in top))
     return search(index, q, k=k, mode=mode, exclude_docs=[int(doc_id)])
+
+
+def interesting_terms(index: Index, corpus: DataFrame, doc_id: int,
+                      max_terms: int = 5, min_df: int = 1) -> DataFrame:
+    """``mlt.interestingTerms=details`` (public knowledge:
+    ``u8:solr/core/.../handler/MoreLikeThisHandler.java``): the terms MLT
+    selected from the seed doc with their selection weights — the
+    introspection half of :func:`more_like_this`, same tf·idf
+    interestingness score and the same (weight desc, term asc) pin.
+    Returns (term, tf, df, weight); weight is f32-rounded like every
+    exposed score.
+
+    Scale shape: identical to MLT's seed phase — one doc_id-pushdown
+    read of the seed row, a max_terms-bounded dictionary lookup; nothing
+    data-proportional.
+    """
+    rows = (corpus.filter(F.col("doc_id") == int(doc_id))
+            .select("content").collect())
+    spark = index.spark
+    schema = "term string, tf long, df long, weight double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    tf = Counter(tokenize_text(rows[0][0]))
+    stats = index.term_stats_for(sorted(tf))
+    n = int(index.stats["doc_count"])
+    weighted = [(t, int(tf[t]), int(s.df), tf[t] * bm25.idf(s.df, n))
+                for t, s in stats.items() if s.df >= min_df]
+    top = sorted(weighted, key=lambda x: (-x[3], x[0]))[:max_terms]
+    data = [(t, tfv, df, float(np.float32(w))) for t, tfv, df, w in top]
+    return spark.createDataFrame(data, schema)
 
 
 def knn_text(index: Index, corpus: DataFrame, doc_id: int, k: int = 10
