@@ -1938,6 +1938,30 @@ def _window_entries() -> dict[str, tuple[Callable, str | None]]:
 SELECT doc_id, lang, n_chars FROM documents
 ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 20""")
 
+    # sortMissingLast / sortMissingFirst (round 4; Solr FieldType sort
+    # missing-value policy — u8:solr/core/.../schema/FieldType.java):
+    # docs without the sort field land AFTER every present value on asc
+    # (missing-last) and BEFORE on the desc leg (missing-first). The
+    # synthetic table is null-free, so a pinned derived rule (lang of
+    # every n_chars % 7 == 0 doc treated as absent — the same fixture
+    # rule facet.missing uses) creates the nulls identically on both
+    # sides.
+    def sort_missing(spark, sf):
+        docs = _t(spark, sf, "documents")
+        v = F.when(F.col("n_chars") % 7 == 0, None) \
+             .otherwise(F.col("lang"))
+        return (docs.select("doc_id", v.alias("lang_opt"), "n_chars")
+                .orderBy(F.asc_nulls_last("lang_opt"),
+                         F.desc_nulls_first("n_chars"), F.asc("doc_id"))
+                .limit(25))
+    e["sort_missing_last"] = (sort_missing, """
+SELECT doc_id,
+       CASE WHEN n_chars % 7 = 0 THEN NULL ELSE lang END AS lang_opt,
+       n_chars
+FROM documents
+ORDER BY lang_opt ASC NULLS LAST, n_chars DESC NULLS FIRST, doc_id ASC
+LIMIT 25""")
+
     def page2(spark, sf):
         docs = _t(spark, sf, "documents")
         w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
