@@ -4254,6 +4254,18 @@ def _example_similarity(tf, dl, df, cf, doc_count, sum_dl):
     return tf / (tf + dl / avgdl)
 
 
+def _omit_norms_similarity(tf, dl, df, cf, doc_count, sum_dl):
+    """omitNorms=true scoring (public knowledge: Lucene FieldType's
+    omitNorms option + BM25Similarity's norms-absent branch — with no
+    norm to read, length normalization drops and the tf saturation
+    becomes ``tf / (tf + k1)``). Same Lucene 8.x idf; np.log is glibc
+    ln, reproduced by DuckDB ln under the f32 rounding every similarity
+    slot applies."""
+    import numpy as np
+    idf = np.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+    return idf * tf / (tf + 1.2)
+
+
 def _lm_dirichlet_similarity(tf, dl, df, cf, doc_count, sum_dl):
     """LM with Dirichlet smoothing (Zhai & Lafferty, SIGIR 2001 — the
     model behind Lucene's LMDirichletSimilarity). Pinned engine spec:
@@ -4534,6 +4546,22 @@ term_scores AS (
               * (tf.tf / (tf.tf + m.dlq
                  / (g.sum_dl / CAST(g.doc_count AS DOUBLE)))) AS REAL) AS s
   FROM tf JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
+    # -- omitNorms=true scoring (round 4) ---------------------------------
+    def omit_norms(spark, sf):
+        q = Or((Term("spark"), Term("merge")))
+        return search(index_for(spark, sf), q, k=10,
+                      mode=_omit_norms_similarity)
+    e["bm25_omit_norms_or"] = (omit_norms, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5))
+              * tf.tf / (tf.tf + 1.2) AS REAL) AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term CROSS JOIN gstats g
   WHERE tf.term IN ('merge', 'spark'))
 SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM term_scores GROUP BY doc_id
