@@ -106,3 +106,34 @@ def index_stream_once(spark: SparkSession, source_dir: str, schema: str,
                                 extra_fields=extra_fields)
     q.awaitTermination()
     merge(spark, IndexPaths(index_dir), drange_size)
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          window: str = "1 hour",
+                          watermark: str = "30 minutes",
+                          by: tuple = ("event_type",)) -> DataFrame:
+    """Tumbling-window event rollup with late-data policy — the
+    Structured Streaming half of the daemon/timeseries story (public
+    knowledge: Solr's daemon+rollup streaming expressions and Spark's
+    documented watermark + windowed-aggregation pattern): per
+    (window, group) counts and value sums, where a STREAMING input
+    drops events arriving later than ``watermark`` behind the observed
+    event-time maximum — exactly-once, bounded state. The SAME function
+    on a batch DataFrame computes the complete (no-late-drop)
+    aggregation, which is what the equality tests and the batch oracle
+    (``events_time_window_agg``) pin.
+
+    Scale shape: the window expression is a narrow derivation; the agg
+    is a standard partial+final hash agg keyed by (window, group);
+    streaming state is bounded by watermark horizon × group cardinality.
+    """
+    from pyspark.sql import functions as F
+
+    src = (events.withWatermark(ts_col, watermark)
+           if events.isStreaming else events)
+    return (src.groupBy(F.window(F.col(ts_col), window).alias("win"), *by)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    *by, "n", "sum_value"))

@@ -119,3 +119,93 @@ def test_delete_docs_persist_and_mask(spark, corpus_df, tmp_path_factory):
     assert after == base - set(victims)
     top = search(idx, "spark", k=10).collect()
     assert all(r["doc_id"] not in victims for r in top)
+
+
+# ---------------------------------------------------------------------------
+# Watermark + windowed aggregation (Structured Streaming late-data policy).
+# ---------------------------------------------------------------------------
+
+def _evt(eid, ts, etype, value):
+    import datetime as dt
+    return (eid, dt.datetime(2026, 1, 1) + dt.timedelta(minutes=ts),
+            etype, float(value))
+
+
+_EVT_SCHEMA = "event_id long, ts timestamp, event_type string, value double"
+
+
+def test_windowed_counts_streaming_equals_batch(spark, tmp_path_factory):
+    """With no late data, the availableNow streaming run must equal the
+    batch aggregation of the same rows (append mode, closed windows)."""
+    from sparklucene.streaming import windowed_event_counts
+    src = str(tmp_path_factory.mktemp("evt-src"))
+    ck = str(tmp_path_factory.mktemp("evt-ck"))
+    rows = [_evt(i, 7 * i, "a" if i % 2 else "b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, _EVT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(_EVT_SCHEMA).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour",
+                                watermark="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("winagg1")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ck).start())
+    q.awaitTermination()
+    got = (spark.table("winagg1")
+           .orderBy("win_start", "event_type").toPandas())
+    batch = (windowed_event_counts(df, window="1 hour")
+             .orderBy("win_start", "event_type").toPandas())
+    # append emits only windows the final watermark closed; every emitted
+    # row must match the batch result exactly, and the non-final windows
+    # are the only ones missing
+    assert len(got) > 0
+    merged = got.merge(batch, on=["win_start", "win_end", "event_type"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+    last_closed = got["win_end"].max()
+    missing = batch[~batch["win_start"].isin(got["win_start"])]
+    assert (missing["win_end"] > last_closed).all() or len(missing) == 0
+
+
+def test_windowed_counts_watermark_drops_late_event(spark, tmp_path_factory):
+    """An event older than the watermark horizon must NOT reopen or
+    change an already-closed window (the late-data drop the batch path
+    would have counted)."""
+    import time
+    from sparklucene.streaming import windowed_event_counts
+    src = str(tmp_path_factory.mktemp("evt-late-src"))
+    ck = str(tmp_path_factory.mktemp("evt-late-ck"))
+    fresh = [_evt(i, i, "a", 1.0) for i in range(30)]          # 00:00-00:30
+    advance = [_evt(100 + i, 120 + i, "a", 1.0) for i in range(5)]  # 02:00+
+    spark.createDataFrame(fresh + advance, _EVT_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(_EVT_SCHEMA).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour",
+                                watermark="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("winagg2")
+         .outputMode("append")
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the long-closed 00:00 window plus a
+        # fresh one to advance the stream
+        late = [_evt(200, 5, "a", 1000.0), _evt(201, 200, "a", 1.0)]
+        spark.createDataFrame(late, _EVT_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more nudge so the advanced watermark emits closed windows
+        spark.createDataFrame([_evt(202, 240, "a", 1.0)], _EVT_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("winagg2").toPandas()
+    w0 = got[got["win_start"].astype(str).str.contains("00:00:00")]
+    assert len(w0) == 1
+    # the late 1000.0 value was dropped: the closed window kept n=30
+    assert int(w0["n"].iloc[0]) == 30
+    assert abs(float(w0["sum_value"].iloc[0]) - 30.0) < 1e-9
