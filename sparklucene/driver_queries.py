@@ -1875,6 +1875,31 @@ w{i} AS (SELECT {wsel} FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN nn)""")
     e["stream_train_logit"] = (train, f"""WITH {corpus_ctes()},{
         _logit_sql(_LT, 3, 0.5)}""")
 
+    # -- sessionize — gap-based session windows (round 4; Spark
+    # session_window pattern; oracle = gaps-and-islands SQL with the
+    # same inclusive prev+gap boundary) -------------------------------
+    def sess(spark, sf):
+        ev = _t(spark, sf, "events")
+        return st.sessionize(ev, gap="25 minutes", by=("user_id",))
+    e["stream_sessionize_users"] = (sess, """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN pts IS NULL
+                   OR ts > pts + INTERVAL 25 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM o),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 25 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id, sid""")
+
     # -- random() — seeded deterministic sample (round 4;
     # u8:solr/solrj/.../io/stream/RandomStream.java) --------------------
     def rnd(spark, sf):

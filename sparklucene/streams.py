@@ -191,6 +191,35 @@ def knn_regress(points: DataFrame, queries: DataFrame, feat_cols: list[str],
                  F.count(F.lit(1)).alias("k_used")))
 
 
+def sessionize(events: DataFrame, ts_col: str = "ts",
+               gap: str = "30 minutes", by: tuple = ("user_id",),
+               value_col: str = "value",
+               watermark: str | None = None) -> DataFrame:
+    """Session windows — gap-based sessionization (public knowledge:
+    Spark's documented ``session_window`` pattern; the capability Solr
+    users build with daemon+rollup streams over event logs): consecutive
+    events of a group belonging to one session while each arrives within
+    ``gap`` of the previous (boundary INCLUSIVE — an event at exactly
+    prev+gap extends the session, Spark's pinned semantics);
+    session_end = last event + gap. Works identically on a batch frame
+    (complete result, the oracle shape) and a streaming one (pass
+    ``watermark``; state is bounded by the gap horizon).
+
+    Scale shape: one partial+final agg keyed by (session_window, group);
+    no self-join, no window-function over the full stream.
+    """
+    src = (events.withWatermark(ts_col, watermark)
+           if events.isStreaming and watermark else events)
+    return (src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
+                        *by)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.col(value_col).cast("double"))
+                 .cast("float").cast("double").alias("sum_value"))
+            .select(*by, F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
 def gather_nodes(edges: DataFrame, roots: DataFrame, rounds: int,
                  from_col: str = "src", to_col: str = "dst") -> DataFrame:
     """GatherNodesStream / ``nodes()`` (public knowledge:

@@ -209,3 +209,32 @@ def test_windowed_counts_watermark_drops_late_event(spark, tmp_path_factory):
     # the late 1000.0 value was dropped: the closed window kept n=30
     assert int(w0["n"].iloc[0]) == 30
     assert abs(float(w0["sum_value"].iloc[0]) - 30.0) < 1e-9
+
+
+def test_sessionize_streaming_equals_batch(spark, tmp_path_factory):
+    from sparklucene.streams import sessionize
+    src = str(tmp_path_factory.mktemp("sess-src"))
+    ck = str(tmp_path_factory.mktemp("sess-ck"))
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda eid, m, v: (eid, base + dt.timedelta(minutes=m), v, 7)
+    rows = ([mk(i, i * 4, 1.0) for i in range(10)]               # one chain
+            + [mk(100 + i, 300 + 40 * i, 2.0) for i in range(4)]
+            + [mk(500, 900, 5.0)])                               # advance wm
+    schema = "event_id long, ts timestamp, value double, user_id long"
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = sessionize(stream, gap="10 minutes", watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("sessagg")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ck).start())
+    q.awaitTermination()
+    got = (spark.table("sessagg")
+           .orderBy("user_id", "session_start").toPandas())
+    batch = (sessionize(spark.read.parquet(src), gap="10 minutes")
+             .orderBy("user_id", "session_start").toPandas())
+    merged = got.merge(batch, on=["user_id", "session_start",
+                                  "session_end"], suffixes=("_s", "_b"))
+    assert len(got) > 1 and len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
