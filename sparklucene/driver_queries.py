@@ -1875,6 +1875,25 @@ w{i} AS (SELECT {wsel} FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN nn)""")
     e["stream_train_logit"] = (train, f"""WITH {corpus_ctes()},{
         _logit_sql(_LT, 3, 0.5)}""")
 
+    # -- sequence detection: "view then purchase within 24h" (round 4;
+    # CEP-shape; streaming twin uses applyInPandasWithState, pinned
+    # equal by the streaming==batch test) ------------------------------
+    def followups(spark, sf):
+        from sparklucene.streaming import detect_followups
+        return detect_followups(_t(spark, sf, "events"))
+    e["stream_detect_followups"] = (followups, """
+WITH ev AS (SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'purchase')),
+w AS (SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END
+                           IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      FROM ev)
+SELECT user_id, lv AS view_ts, ts AS purchase_ts
+FROM w
+WHERE event_type = 'purchase' AND lv IS NOT NULL
+  AND lv >= ts - INTERVAL 24 HOUR""")
+
     # -- sessionize — gap-based session windows (round 4; Spark
     # session_window pattern; oracle = gaps-and-islands SQL with the
     # same inclusive prev+gap boundary) -------------------------------

@@ -137,3 +137,87 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     *by, "n", "sum_value"))
+
+
+FOLLOWUP_SCHEMA = "user_id long, view_ts timestamp, purchase_ts timestamp"
+
+
+def detect_followups(events: DataFrame, first: str = "view",
+                     then: str = "purchase", within: str = "24 hours",
+                     by: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type") -> DataFrame:
+    """Sequence detection, batch form — "A followed by B within T" per
+    group (the CEP capability event-log users build over Solr streams):
+    for every ``then`` event, the MOST RECENT ``first`` event of the same
+    group at a strictly earlier (ts, type)-order position, kept when the
+    gap is <= ``within``. Tie pin: events sort by (ts, event_type), so an
+    equal-timestamp ``first`` does NOT precede the ``then`` event.
+
+    Scale shape: one window over each group's (tiny) event stream —
+    partial sort within user partitions, no self-join, no doc×doc.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = events.filter(F.col(type_col).isin([first, then])) \
+        .select(by, ts_col, type_col)
+    w = (Window.partitionBy(by).orderBy(F.col(ts_col).asc(),
+                                        F.col(type_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    lastv = F.last(F.when(F.col(type_col) == first, F.col(ts_col)),
+                   ignorenulls=True).over(w)
+    return (ev.withColumn("_lv", lastv)
+            .filter((F.col(type_col) == then) & F.col("_lv").isNotNull()
+                    & (F.col("_lv")
+                       >= F.col(ts_col) - F.expr(f"INTERVAL {within}")))
+            .select(F.col(by).alias("user_id"),
+                    F.col("_lv").alias("view_ts"),
+                    F.col(ts_col).alias("purchase_ts")))
+
+
+def detect_followups_stream(events: DataFrame, first: str = "view",
+                            then: str = "purchase",
+                            within: str = "24 hours",
+                            by: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type") -> DataFrame:
+    """Streaming form of :func:`detect_followups` via
+    ``applyInPandasWithState`` — the custom-stateful-operator pattern the
+    engine pins for semantics Spark's built-in streaming aggregates can't
+    express. Per-group state is ONE timestamp (the latest ``first`` event
+    seen), so state is O(groups) regardless of stream length; rows within
+    each micro-batch are processed in (ts, type) order, and cross-batch
+    correctness assumes event-time-ordered arrival per group (the
+    append-only-log shape the NRT indexer also assumes).
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    horizon = pd.to_timedelta(within)
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        if last is not None and isinstance(last, (int, float)):
+            last = _dt.datetime.fromtimestamp(last / 1e6)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col])
+            for ts, tp in zip(pdf[ts_col], pdf[type_col]):
+                if tp == first:
+                    last = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                elif tp == then and last is not None \
+                        and (ts - pd.Timestamp(last)) <= horizon:
+                    out.append((key[0], last, ts))
+        if last is not None:
+            state.update((int(pd.Timestamp(last).value // 1000),))
+        if out:
+            yield pd.DataFrame(out,
+                               columns=["user_id", "view_ts", "purchase_ts"])
+
+    ev = events.filter(F.col(type_col).isin([first, then])) \
+        .select(by, ts_col, type_col)
+    return ev.groupBy(by).applyInPandasWithState(
+        fn, FOLLOWUP_SCHEMA, "last_first_us long", "append",
+        GroupStateTimeout.NoTimeout)

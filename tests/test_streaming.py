@@ -238,3 +238,29 @@ def test_sessionize_streaming_equals_batch(spark, tmp_path_factory):
                                   "session_end"], suffixes=("_s", "_b"))
     assert len(got) > 1 and len(merged) == len(got)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_detect_followups_streaming_equals_batch(spark, tmp_path_factory):
+    """applyInPandasWithState sequence detector == batch window detector
+    on the real events table (one availableNow batch: in-batch ordering
+    is handled by the operator itself)."""
+    from sparklucene.streaming import detect_followups, detect_followups_stream
+    src = str(tmp_path_factory.mktemp("fu-src"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                os.path.join(src, "events.parquet"))
+    ck = str(tmp_path_factory.mktemp("fu-ck"))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (detect_followups_stream(stream).writeStream
+         .format("memory").queryName("fuagg").outputMode("append")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", ck).start())
+    q.awaitTermination()
+    got = (spark.table("fuagg")
+           .orderBy("user_id", "purchase_ts", "view_ts").toPandas())
+    want = (detect_followups(spark.read.parquet(src))
+            .orderBy("user_id", "purchase_ts", "view_ts").toPandas())
+    assert len(want) > 10
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
