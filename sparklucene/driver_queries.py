@@ -2535,6 +2535,49 @@ SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
             ELSE 0.0 END AS dup_ngram_frac
 FROM g""")
 
+    # -- round 4: end-to-end quality filter (dedup keeper + length +
+    # perplexity band + stopword floor — the CCNet/Gopher composition) --
+    _qf_stop = "[" + ", ".join(
+        f"'{w}'" for w in sorted(textops.ENGLISH_STOP_WORDS)) + "]"
+    e["pipeline_quality_filter"] = (
+        lambda spark, sf: textops.quality_filter(
+            _t(spark, sf, "documents")),
+        f"""
+WITH tokall AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
+tfa AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tokall GROUP BY doc_id, term),
+cfa AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfa GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cfa),
+dla AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tfa GROUP BY doc_id),
+h AS (
+  SELECT tfa.doc_id,
+         sum(CAST(tfa.tf AS DOUBLE)
+             * -ln(CAST(cfa.cf AS DOUBLE) / tot.total)) AS hsum
+  FROM tfa JOIN cfa USING (term) CROSS JOIN tot
+  GROUP BY tfa.doc_id),
+lp AS (
+  SELECT h.doc_id, dla.dl,
+         CAST(CAST(h.hsum / CAST(dla.dl AS DOUBLE) AS REAL) AS DOUBLE)
+           AS logppl
+  FROM h JOIN dla USING (doc_id)),
+sr AS (
+  SELECT doc_id,
+         len(list_intersect(toks, {_qf_stop}))
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)),
+canon AS (
+  SELECT d.doc_id
+  FROM (SELECT doc_id, sha256(text) AS sha FROM documents) d
+  JOIN (SELECT sha256(text) AS sha, min(doc_id) AS keeper
+        FROM documents GROUP BY 1) k USING (sha)
+  WHERE d.doc_id = k.keeper)
+SELECT lp.doc_id, lp.dl, lp.logppl, sr.stop_ratio
+FROM lp JOIN sr USING (doc_id) JOIN canon USING (doc_id)
+WHERE lp.dl >= 20 AND lp.logppl >= 3.39 AND lp.logppl <= 3.41
+  AND sr.stop_ratio >= 0.01
+ORDER BY lp.doc_id""")
+
     # -- round 4: unigram LM cross-entropy (CCNet-style quality proxy) --
     e["text_unigram_logppl"] = (
         lambda spark, sf: textops.unigram_logppl(

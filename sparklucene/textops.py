@@ -170,6 +170,41 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
                     .cast("float").cast("double").alias("logppl")))
 
 
+def quality_filter(docs: DataFrame, min_dl: int = 20,
+                   logppl_lo: float = 3.39, logppl_hi: float = 3.41,
+                   min_stop_ratio: float = 0.01) -> DataFrame:
+    """End-to-end pretraining quality filter — the composition a real
+    data pipeline runs (public knowledge: the CCNet / Gopher filtering
+    recipes): keep a document iff
+      1. it is the CANONICAL copy of its exact-hash duplicate group
+         (min doc_id per sha256, the exact-dedup keeper rule),
+      2. its length clears ``min_dl`` analyzed tokens,
+      3. its unigram log-perplexity sits inside the [lo, hi] band (both
+         tails filtered — too-repetitive AND too-random), and
+      4. its stopword ratio clears ``min_stop_ratio`` (non-language
+         text drops).
+    Returns (doc_id, dl, logppl, stop_ratio) for survivors.
+
+    Scale shape: three partial-agg passes (logppl stream agg, per-doc
+    ratios, sha256 groupBy) joined on doc_id — every stage is the same
+    shape as its standalone operator; no new shuffles beyond them.
+    """
+    lp = unigram_logppl(docs)
+    ratios = quality_score(docs).select("doc_id", "stop_ratio")
+    sha = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+    keeper = sha.groupBy("sha").agg(F.min("doc_id").alias("keeper"))
+    canon = (sha.join(keeper, "sha")
+             .filter(F.col("doc_id") == F.col("keeper"))
+             .select("doc_id"))
+    return (lp.join(ratios, "doc_id").join(canon, "doc_id")
+            .filter((F.col("dl") >= int(min_dl))
+                    & (F.col("logppl") >= float(logppl_lo))
+                    & (F.col("logppl") <= float(logppl_hi))
+                    & (F.col("stop_ratio") >= float(min_stop_ratio)))
+            .select("doc_id", "dl", "logppl", "stop_ratio")
+            .orderBy("doc_id"))
+
+
 def duplicate_ngram_fraction(docs: DataFrame, n: int = 3) -> DataFrame:
     """Within-document repetition signal (the duplicate-n-gram fraction
     used by published pretraining quality filters, e.g. Gopher's
