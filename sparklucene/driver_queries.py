@@ -4902,6 +4902,30 @@ SELECT term, levenshtein(term, 'sprk')::INT AS distance, df FROM tstats
 WHERE levenshtein(term, 'sprk') <= 2 AND term <> 'sprk' AND term LIKE 's%'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
 
+    # -- spellcheck.collate — "did you mean" with hit verification
+    # (round 4; u8:solr/core/.../spelling/SpellCheckCollator.java):
+    # both words are misspelled; each takes its best correction and the
+    # collation's AND hit count is re-queried.
+    def collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.suggest import collate
+        idx = index_for(spark, sf_dir)
+        return collate(idx, ("sprk", "mrge"), max_edits=2, min_prefix=1)
+    e["spellcheck_collation"] = (collation, f"""WITH {corpus_ctes()},
+s1 AS (SELECT term FROM tstats
+       WHERE levenshtein(term, 'sprk') <= 2 AND term <> 'sprk'
+         AND term LIKE 's%'
+       ORDER BY levenshtein(term, 'sprk') ASC, df DESC, term ASC LIMIT 1),
+s2 AS (SELECT term FROM tstats
+       WHERE levenshtein(term, 'mrge') <= 2 AND term <> 'mrge'
+         AND term LIKE 'm%'
+       ORDER BY levenshtein(term, 'mrge') ASC, df DESC, term ASC LIMIT 1),
+h AS (SELECT count(*)::BIGINT AS hits FROM (
+        SELECT doc_id FROM tf WHERE term = (SELECT term FROM s1)
+        INTERSECT
+        SELECT doc_id FROM tf WHERE term = (SELECT term FROM s2)))
+SELECT (SELECT term FROM s1) || ' ' || (SELECT term FROM s2) AS collation,
+       (SELECT hits FROM h) AS hits""")
+
     return e
 
 

@@ -76,3 +76,40 @@ def spellcheck(idx, word: str, k: int = 5, max_edits: int = 2,
             .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
             .select("term", "distance", "df")
             .limit(k))
+
+
+def collate(idx, words: "tuple[str, ...]", max_edits: int = 2,
+            min_prefix: int = 1, field: str | None = None) -> DataFrame:
+    """Spell-check COLLATION — Solr SpellCheckCollator's "did you mean"
+    surface (public knowledge: ``u8:solr/core/.../spelling/
+    SpellCheckCollator.java``, ``spellcheck.collate=true``): each query
+    word either exists in the dictionary (kept as-is) or is replaced by
+    its best correction (distance asc, df desc, term asc — the same pin
+    as :func:`spellcheck`; left unchanged when nothing is within
+    ``max_edits``); the collation is then VERIFIED by running the
+    corrected conjunction and reporting its hit count, Solr's
+    maxCollationTries re-query step. Returns one row
+    (collation string, hits).
+
+    Scale shape: per-word dictionary lookups are k-bounded metadata
+    queries (words in a query ~ constant); the verification is one
+    stock AND count.
+    """
+    from sparklucene.query import And, Term
+    from sparklucene.search import total_hits
+
+    corrected = []
+    stats = idx.term_stats_for([field_key(field, w) if field else w
+                                for w in words])
+    for w in words:
+        key = field_key(field, w) if field else w
+        if stats.get(key) is not None:
+            corrected.append(w)
+            continue
+        row = spellcheck(idx, w, k=1, max_edits=max_edits,
+                         min_prefix=min_prefix, field=field).collect()
+        corrected.append(row[0]["term"] if row else w)
+    q = And(tuple(Term(t, field=field) for t in corrected))
+    hits = int(total_hits(idx, q).collect()[0]["total_hits"])
+    return idx.spark.createDataFrame(
+        [(" ".join(corrected), hits)], "collation string, hits long")

@@ -116,3 +116,20 @@ def test_explain_contributions_sum_to_search_score(spark, idx):
     # tf/df are exact positives and dlq quantizes dl downward
     assert (exp["tf"] >= 1).all() and (exp["df"] >= 1).all()
     assert (exp["dlq"] <= exp["dl"]).all()
+
+
+def test_collation_keeps_dictionary_words(spark, idx):
+    """A word already in the dictionary is NOT 'corrected' (Solr only
+    collates corrections for misspelled tokens)."""
+    from sparklucene.suggest import collate
+    out = collate(idx, ("spark", "mrge")).collect()[0]
+    assert out["collation"].startswith("spark ")
+    assert out["collation"].split()[1] != "mrge"  # second word corrected
+    assert out["hits"] >= 0
+
+
+def test_collation_uncorrectable_word_kept(spark, idx):
+    from sparklucene.suggest import collate
+    out = collate(idx, ("zzqqxx", "spark")).collect()[0]
+    assert out["collation"] == "zzqqxx spark"
+    assert out["hits"] == 0  # conjunction with an absent term matches nothing
