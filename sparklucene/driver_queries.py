@@ -2601,6 +2601,26 @@ SELECT h.doc_id, dla.dl,
          AS logppl
 FROM h JOIN dla USING (doc_id)""")
 
+    # -- round 4: sliding-window chunking (RAG / long-context prep) -----
+    e["pipeline_chunk_overlap"] = (
+        lambda spark, sf: textops.chunk_overlap(
+            _t(spark, sf, "documents"), size=64, stride=48),
+        f"""
+WITH b AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM b WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(CAST(ceil((n - 64) / 48.0) AS INT), 0)
+                         * 48 + 1, 48)) AS start_token
+  FROM nz)
+SELECT doc_id, (start_token / 48)::BIGINT AS chunk_id,
+       start_token::BIGINT AS start_token,
+       len(list_slice(toks, start_token + 1, start_token + 64))::BIGINT
+         AS n_tokens,
+       array_to_string(list_slice(toks, start_token + 1, start_token + 64),
+                       ' ') AS chunk_text
+FROM st ORDER BY doc_id, chunk_id""")
+
     def contam(spark, sf):
         docs = _t(spark, sf, "documents")
         bench = docs.filter(F.col("doc_id") % 23 == 0)

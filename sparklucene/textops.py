@@ -263,6 +263,45 @@ def contamination_scores(docs: DataFrame, bench: DataFrame,
                     .alias("contamination")))
 
 
+def chunk_overlap(docs: DataFrame, size: int = 64,
+                  stride: int = 48) -> DataFrame:
+    """Sliding-window chunking — the RAG / long-context prep op: each
+    document's token stream cut into windows of ``size`` tokens stepping
+    ``stride`` (overlap = size - stride). Window starts are 0, stride,
+    2·stride, …; the final window is the ragged tail (shorter than
+    ``size``); a window is emitted only if it starts inside the doc, so
+    a doc shorter than ``stride`` yields exactly one chunk and an empty
+    doc yields none. Returns (doc_id, chunk_id, start_token, n_tokens,
+    chunk_text) with chunk_text the space-joined analyzed tokens
+    (detokenization is layout policy, pinned to single-space join).
+
+    Scale shape: tokenize + per-row sequence explode — narrow, no
+    shuffle; chunk counts derive from token counts, never from a
+    corpus-wide window.
+    """
+    if stride <= 0 or stride > size:
+        raise ValueError("chunk_overlap requires 0 < stride <= size "
+                         f"(got size={size}, stride={stride})")
+    toks = F.expr(TOKEN_EXPR)
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int"),
+                   F.lit(0)) * F.lit(stride),
+        F.lit(stride))
+    base = (docs.select("doc_id", toks.alias("_toks"))
+            .filter(F.size("_toks") > 0)
+            .select("doc_id", "_toks",
+                    F.posexplode(starts).alias("chunk_id", "start_token")))
+    chunk = F.slice(F.col("_toks"), F.col("start_token") + 1, size)
+    return (base.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+        .orderBy("doc_id", "chunk_id"))
+
+
 def pack_sequences(docs: DataFrame, budget: int, sep: int = 1,
                    bucket_size: int = 8192) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard pretraining layout:

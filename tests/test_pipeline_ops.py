@@ -556,3 +556,35 @@ def test_unigram_logppl_matches_numpy(spark):
     # the common-word doc scores LOWER entropy than the rare-token doc
     by_id = dict(zip(got["doc_id"], got["logppl"]))
     assert by_id[3] < by_id[1]
+
+
+def test_chunk_overlap_properties(spark):
+    from sparklucene.textops import chunk_overlap
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(0, text), (1, "short doc"), (2, "")],
+                               "doc_id long, text string")
+    got = chunk_overlap(df, size=64, stride=48).toPandas()
+    d0 = got[got["doc_id"] == 0].reset_index(drop=True)
+    # starts step by stride; all but the tail are full-size
+    assert d0["start_token"].tolist() == [0, 48, 96]
+    assert d0["n_tokens"].tolist() == [64, 64, 54]
+    # consecutive chunks share size - stride = 16 tokens
+    c0 = d0["chunk_text"][0].split()
+    c1 = d0["chunk_text"][1].split()
+    assert c0[48:] == c1[:16]
+    # full coverage: last chunk ends at the last token
+    assert c0[0] == "w0" and d0["chunk_text"][2].split()[-1] == "w149"
+    # short doc -> one ragged chunk; empty doc -> nothing
+    d1 = got[got["doc_id"] == 1]
+    assert len(d1) == 1 and d1["n_tokens"].iloc[0] == 2
+    assert 2 not in set(got["doc_id"])
+
+
+def test_chunk_overlap_rejects_bad_stride(spark):
+    import pytest as _pt
+    from sparklucene.textops import chunk_overlap
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        chunk_overlap(df, size=8, stride=9)
+    with _pt.raises(ValueError):
+        chunk_overlap(df, size=8, stride=0)
