@@ -2826,6 +2826,52 @@ ranked AS (
   FROM scored)
 SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5""")
 
+    # -- int8 scalar quantization + compressed brute-force ANN (round 4;
+    # standard absmax scheme; per-vector scales cancel in the cosine) --
+    e["ann_int8_quantized_topk"] = (
+        lambda spark, sf: sim.cosine_topk_int8(
+            _t(spark, sf, "embeddings"), QIDS, k=5),
+        f"""WITH
+q8v AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale,
+         list_transform(embedding, x ->
+           CASE WHEN list_max(list_transform(embedding,
+                                             y -> abs(y::DOUBLE))) = 0.0
+                THEN 0
+                ELSE CAST(greatest(least(floor(x::DOUBLE /
+                       (list_max(list_transform(embedding,
+                                                y -> abs(y::DOUBLE)))
+                        / 127.0) + 0.5), 127.0), -127.0) AS INT)
+           END) AS q8
+  FROM embeddings),
+n8 AS (
+  SELECT vec_id, q8,
+         list_sum(list_transform(q8, v -> v::BIGINT * v::BIGINT))::BIGINT
+           AS norm2_8
+  FROM q8v),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(a.q8, b.q8),
+                                 z -> z[1]::BIGINT * z[2]::BIGINT))::BIGINT
+           AS dot,
+         a.norm2_8 AS qn, b.norm2_8 AS bn
+  FROM n8 a JOIN n8 b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN ({qids_sql})),
+scored AS (
+  SELECT qid, vec_id,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+           AS cosine8
+  FROM pairs),
+ranked AS (
+  SELECT qid, vec_id, cosine8,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine8 DESC, vec_id ASC)::BIGINT
+           AS rank
+  FROM scored)
+SELECT qid, rank, vec_id, cosine8 FROM ranked WHERE rank <= 5""")
+
     # deterministic hyperplanes, mirrored literally in SQL
     planes = [[sim._plane_coeff(i, j) for j in range(64)] for i in range(8)]
     proj_terms = []

@@ -38,6 +38,61 @@ def quantize(df: DataFrame, col: str = "embedding") -> DataFrame:
                              lambda acc, x: acc + x * x))
 
 
+def quantize_int8(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the 4×
+    storage-compression step production vector stores apply before ANN
+    (public knowledge: the standard absmax scheme, scale = max|x|/127,
+    q = clamp(round(x/scale), ±127)). Returns the frame plus
+    ``q8 array<int>`` and ``scale double``; dequantized value =
+    q8_i · scale. Rounding pins ``floor(x/scale + 0.5)`` (exact f64
+    both engine- and oracle-side); an all-zero vector gets scale 0 and
+    all-zero codes.
+
+    Scale shape: pure narrow expressions — no shuffle, no UDF.
+    """
+    x = F.transform(F.col(col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    scale = amax / F.lit(127.0)
+    q8 = F.transform(
+        x, lambda v: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.greatest(F.least(F.floor(v / scale + 0.5), F.lit(127.0)),
+                       F.lit(-127.0))).cast("int"))
+    return (df.withColumn("scale", scale).withColumn("q8", q8)
+            .withColumn("norm2_8",
+                        F.aggregate("q8", F.lit(0).cast("long"),
+                                    lambda acc, v: acc
+                                    + v.cast("long") * v.cast("long"))))
+
+
+def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
+                     k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors — the
+    compressed-storage twin of :func:`cosine_topk` (per-vector scales
+    cancel in the cosine, so scoring runs directly on the int8 codes:
+    exact integer dot/norms combined in one double expression). Returns
+    (qid, rank, vec_id, cosine8)."""
+    base = quantize_int8(embeddings).select("vec_id", "q8", "norm2_8")
+    queries = (base.filter(F.col("vec_id").isin(query_ids))
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("q8").alias("qq"),
+                       F.col("norm2_8").alias("qnorm2")))
+    pairs = base.crossJoin(F.broadcast(queries)) \
+        .filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(F.zip_with("qq", "q8",
+                                 lambda a, b: a.cast("long") * b.cast("long")),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = pairs.select(
+        "qid", "vec_id",
+        (dot / (F.sqrt(F.col("qnorm2").cast("double"))
+                * F.sqrt(F.col("norm2_8").cast("double"))))
+        .alias("cosine8"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine8"),
+                                          F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "cosine8"))
+
+
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).

@@ -588,3 +588,25 @@ def test_chunk_overlap_rejects_bad_stride(spark):
         chunk_overlap(df, size=8, stride=9)
     with _pt.raises(ValueError):
         chunk_overlap(df, size=8, stride=0)
+
+
+def test_int8_quantization_properties(spark):
+    import numpy as np
+    from sparklucene.similarity import cosine_topk, cosine_topk_int8, quantize_int8
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb).select("vec_id", "embedding", "scale", "q8").limit(50).collect()
+    for r in q:
+        x = np.array(r["embedding"], dtype=np.float64)
+        q8 = np.array(r["q8"], dtype=np.int64)
+        assert q8.min() >= -127 and q8.max() <= 127
+        if np.abs(x).max() > 0:
+            # dequantization error bounded by half a step per element
+            err = np.abs(q8 * r["scale"] - x).max()
+            assert err <= r["scale"] / 2 + 1e-12
+            assert np.abs(q8).max() == 127  # absmax element hits full scale
+    # compressed search stays close to exact: top-1 neighbor agrees for
+    # most queries on this grid (int8 on well-spread synthetic data)
+    exact = cosine_topk(emb, [0, 1, 2], k=1).toPandas()
+    quant = cosine_topk_int8(emb, [0, 1, 2], k=1).toPandas()
+    agree = (exact["vec_id"].to_numpy() == quant["vec_id"].to_numpy()).mean()
+    assert agree >= 2 / 3
