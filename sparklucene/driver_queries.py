@@ -2826,6 +2826,69 @@ ranked AS (
   FROM scored)
 SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5""")
 
+    # -- MMR result diversification (round 4; Carbonell & Goldstein,
+    # SIGIR 1998): greedy unrolled to k=3 in the oracle; (1-lam) is
+    # written (1.0 - 0.7) so both sides use the identical f64 constant.
+    def mmr(spark, sf):
+        idx = index_for(spark, sf)
+        emb = _t(spark, sf, "embeddings")
+        return sim.mmr_rerank(idx, Or((Term("join"), Term("merge"))), emb,
+                              k=3, window=12, lam=0.7, mode="f64")
+
+    _m_score = bm25.score_sql("tf.tf", "m.dlq", "s.df", "g.doc_count",
+                              "g.sum_dl")
+
+    def _ms(step_refs: str) -> str:
+        return (f"0.7 * w.score - (1.0 - 0.7) * {step_refs}")
+
+    _c1 = ("coalesce((SELECT c FROM cs WHERE va = w.doc_id AND "
+           "vb = (SELECT doc_id FROM s1)), 0.0)")
+    _c2 = ("coalesce((SELECT c FROM cs WHERE va = w.doc_id AND "
+           "vb = (SELECT doc_id FROM s2)), 0.0)")
+    e["search_mmr_diversified"] = (mmr, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {_m_score} AS s
+  FROM tf JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE)
+    AS score
+  FROM term_scores GROUP BY doc_id),
+w AS (SELECT doc_id, score FROM doc_scores
+      ORDER BY score DESC, doc_id ASC LIMIT 12),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 4096 + 0.5)::BIGINT) AS q
+  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM w)),
+nv AS (SELECT vec_id, q,
+              list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2
+       FROM qv),
+cs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CASE WHEN a.norm2 = 0 OR b.norm2 = 0 THEN 0.0
+              ELSE list_sum(list_transform(list_zip(a.q, b.q),
+                                           z -> z[1] * z[2]))
+                   / (sqrt(CAST(a.norm2 AS DOUBLE))
+                      * sqrt(CAST(b.norm2 AS DOUBLE))) END AS c
+  FROM nv a JOIN nv b ON a.vec_id != b.vec_id),
+s1 AS (SELECT w.doc_id, {_ms("0.0")} AS mmr FROM w
+       ORDER BY mmr DESC, doc_id ASC LIMIT 1),
+s2 AS (SELECT w.doc_id, {_ms(_c1)} AS mmr FROM w
+       WHERE w.doc_id != (SELECT doc_id FROM s1)
+       ORDER BY mmr DESC, doc_id ASC LIMIT 1),
+s3 AS (SELECT w.doc_id, {_ms(f"greatest({_c1}, {_c2})")} AS mmr FROM w
+       WHERE w.doc_id NOT IN (SELECT doc_id FROM s1
+                              UNION ALL SELECT doc_id FROM s2)
+       ORDER BY mmr DESC, doc_id ASC LIMIT 1)
+SELECT 1::BIGINT AS rank, doc_id,
+       CAST(CAST(mmr AS REAL) AS DOUBLE) AS mmr FROM s1
+UNION ALL
+SELECT 2::BIGINT, doc_id, CAST(CAST(mmr AS REAL) AS DOUBLE) FROM s2
+UNION ALL
+SELECT 3::BIGINT, doc_id, CAST(CAST(mmr AS REAL) AS DOUBLE) FROM s3""")
+
     # -- int8 scalar quantization + compressed brute-force ANN (round 4;
     # standard absmax scheme; per-vector scales cancel in the cosine) --
     e["ann_int8_quantized_topk"] = (

@@ -118,6 +118,60 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("qid", "rank", "vec_id", "cosine"))
 
 
+def mmr_rerank(index, query, embeddings: DataFrame, k: int = 3,
+               window: int = 12, lam: float = 0.7,
+               mode: str = "f64") -> DataFrame:
+    """Maximal Marginal Relevance result diversification (public
+    knowledge: Carbonell & Goldstein, SIGIR 1998): greedily re-rank the
+    first-pass top-``window`` so each pick maximizes
+    ``lam·rel(d) − (1−lam)·max_{s∈selected} cos(d, s)`` — relevance
+    traded against redundancy. Pins: rel = the f64-mode BM25 score,
+    cos = the exact integer-grid cosine (:func:`quantize`), the first
+    pick's redundancy term is 0, ties break doc_id asc, docs without an
+    embedding get similarity 0. Returns (rank, doc_id, mmr) with mmr
+    f32-rounded like every exposed score.
+
+    Scale shape: the greedy loop is k·window driver-side arithmetic over
+    one k-bounded collect (the ReRank/LTR window pattern); candidate
+    vectors arrive via an ``isin`` pushdown on the embeddings table.
+    """
+    import math
+
+    from sparklucene.search import search
+
+    first = search(index, query, k=window, mode=mode).collect()
+    ids = [int(r["doc_id"]) for r in first]
+    rel = {int(r["doc_id"]): float(r["score"]) for r in first}
+    rows = (quantize(embeddings.filter(F.col("vec_id").isin(ids)))
+            .select("vec_id", "q", "norm2").collect())
+    vecs = {int(r["vec_id"]): (list(r["q"]), int(r["norm2"])) for r in rows}
+
+    def cos(a: int, b: int) -> float:
+        va, vb = vecs.get(a), vecs.get(b)
+        if va is None or vb is None or va[1] == 0 or vb[1] == 0:
+            return 0.0
+        dot = sum(x * y for x, y in zip(va[0], vb[0]))
+        return dot / (math.sqrt(float(va[1])) * math.sqrt(float(vb[1])))
+
+    selected: list[tuple[int, float]] = []
+    cands = sorted(ids)
+    while cands and len(selected) < k:
+        best = None
+        for d in cands:
+            ms = max((cos(d, s) for s, _ in selected), default=0.0)
+            mmr = lam * rel[d] - (1.0 - lam) * ms
+            if best is None or mmr > best[1] or (mmr == best[1]
+                                                 and d < best[0]):
+                best = (d, mmr)
+        selected.append(best)
+        cands.remove(best[0])
+    import numpy as np
+    data = [(r + 1, d, float(np.float32(m)))
+            for r, (d, m) in enumerate(selected)]
+    return index.spark.createDataFrame(
+        data, "rank long, doc_id long, mmr double")
+
+
 def _plane_coeff(i: int, j: int) -> int:
     return (i * 31 + j * 17) % 13 - 6
 

@@ -610,3 +610,25 @@ def test_int8_quantization_properties(spark):
     quant = cosine_topk_int8(emb, [0, 1, 2], k=1).toPandas()
     agree = (exact["vec_id"].to_numpy() == quant["vec_id"].to_numpy()).mean()
     assert agree >= 2 / 3
+
+
+def test_mmr_diversification_properties(spark):
+    from sparklucene.driver_queries import index_for
+    from sparklucene.query import Or, Term
+    from sparklucene.search import search
+    from sparklucene.similarity import mmr_rerank
+    idx = index_for(spark, "/root/testdata/sf0.001")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = Or((Term("join"), Term("merge")))
+    out = mmr_rerank(idx, q, emb, k=4, window=12, lam=0.7).toPandas()
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert out["doc_id"].is_unique
+    top = search(idx, q, k=1, mode="f64").collect()[0]
+    # rank 1 is pure relevance: the BM25 winner, mmr = f32(0.7 * score)
+    import numpy as np
+    assert int(out["doc_id"].iloc[0]) == int(top["doc_id"])
+    assert out["mmr"].iloc[0] == float(np.float32(0.7 * top["score"]))
+    # lam=1.0 degenerates to the plain top-k ordering
+    pure = mmr_rerank(idx, q, emb, k=4, window=12, lam=1.0).toPandas()
+    want = search(idx, q, k=4, mode="f64").toPandas()
+    assert pure["doc_id"].tolist() == want["doc_id"].tolist()
