@@ -201,8 +201,7 @@ def quality_filter(docs: DataFrame, min_dl: int = 20,
                     & (F.col("logppl") >= float(logppl_lo))
                     & (F.col("logppl") <= float(logppl_hi))
                     & (F.col("stop_ratio") >= float(min_stop_ratio)))
-            .select("doc_id", "dl", "logppl", "stop_ratio")
-            .orderBy("doc_id"))
+            .select("doc_id", "dl", "logppl", "stop_ratio"))
 
 
 def duplicate_ngram_fraction(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -294,12 +293,13 @@ def chunk_overlap(docs: DataFrame, size: int = 64,
             .select("doc_id", "_toks",
                     F.posexplode(starts).alias("chunk_id", "start_token")))
     chunk = F.slice(F.col("_toks"), F.col("start_token") + 1, size)
-    return (base.select(
+    # no global orderBy here: the operator stays a narrow per-row map;
+    # consumers that need an ordering sort their own (bounded) output
+    return base.select(
         "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("start_token").cast("long").alias("start_token"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"))
-        .orderBy("doc_id", "chunk_id"))
 
 
 def pack_sequences(docs: DataFrame, budget: int, sep: int = 1,
