@@ -2322,6 +2322,29 @@ FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")
                 .join(F.broadcast(dict_df), "lang")
                 .select("doc_id", "lang", "ord", "rord")
                 .orderBy("doc_id"))
+    # -- conditional ValueSources (round 4; Solr function queries
+    # if()/exists()/def() — u8:solr/core/.../search/ValueSourceParser.java):
+    # straight F.when/coalesce mappings over doc attributes.
+    def conditional_fns(spark, sf):
+        d = _t(spark, sf, "documents")
+        opt = F.when(F.col("n_chars") % 7 == 0, None) \
+               .otherwise(F.col("n_chars"))
+        return d.select(
+            "doc_id",
+            F.when(F.col("n_chars") > 1000, F.lit("long"))
+             .otherwise(F.lit("short")).alias("if_len"),
+            opt.isNotNull().alias("exists_opt"),
+            F.coalesce(opt, F.lit(-1)).cast("long").alias("def_opt"),
+        ).orderBy("doc_id")
+    e["function_conditional"] = (conditional_fns, """
+SELECT doc_id,
+       CASE WHEN n_chars > 1000 THEN 'long' ELSE 'short' END AS if_len,
+       (CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END IS NOT NULL)
+         AS exists_opt,
+       coalesce(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END,
+                -1)::BIGINT AS def_opt
+FROM documents ORDER BY doc_id""")
+
     e["function_ordinal"] = (ordinal_fns, """
 WITH vals AS (SELECT DISTINCT lang FROM documents),
 dict AS (
