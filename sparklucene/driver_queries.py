@@ -1040,6 +1040,28 @@ FROM gstats""")
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars ASC, doc_id ASC LIMIT 25""")
 
+    # early termination UNDER A FILTER: the sorted prefix grows
+    # adaptively until it holds k predicate survivors (Lucene's
+    # sort-matching collection in filter context).
+    def sorted_topk_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.sorted_index import (build_sorted_view,
+                                              sorted_topk_filtered)
+        docs = _t(spark, sf_dir, "documents") \
+            .select("doc_id", "n_chars", "lang")
+        key = os.path.realpath(sf_dir) + "#sorted-nchars-lang"
+        tag = hashlib.sha256(key.encode()).hexdigest()[:12]
+        d = os.path.join("/tmp", "sparklucene-sorted",
+                         f"{os.path.basename(os.path.realpath(sf_dir))}-{tag}")
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            build_sorted_view(docs, d, "n_chars", ascending=True,
+                              n_partitions=8)
+        return sorted_topk_filtered(spark, d, 20,
+                                    F.col("lang") == "en")
+    e["index_sorted_topk_filtered"] = (sorted_topk_f, """
+SELECT doc_id, n_chars, lang FROM documents
+WHERE lang = 'en'
+ORDER BY n_chars ASC, doc_id ASC LIMIT 20""")
+
     return e
 
 

@@ -96,6 +96,38 @@ def plan_files(view_dir: str, k: int) -> tuple[list[str], dict]:
     return chosen, manifest
 
 
+def sorted_topk_filtered(spark: SparkSession, view_dir: str, k: int,
+                         predicate, columns: list[str] | None = None
+                         ) -> DataFrame:
+    """Early-terminating top-k WITH a filter — Lucene's sort-matching
+    collector under a deleted-docs/filter context: the sorted file
+    prefix is grown adaptively (doubling the covered row target) until
+    it yields k predicate survivors or the view is exhausted. Each probe
+    is one cheap count over the candidate prefix; the final answer reads
+    only that prefix. Worst case (selectivity ~0) degrades to the full
+    scan the filter would have cost anyway.
+    """
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(view_dir, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    total = manifest["total_rows"]
+    target = max(k, 1)
+    while True:
+        chosen, _ = plan_files(view_dir, target)
+        paths = [os.path.join(view_dir, n) for n in chosen]
+        df = spark.read.parquet(*paths).filter(predicate)
+        if target >= total or df.limit(k).count() >= k:
+            break
+        target *= 2
+    if columns:
+        df = df.select(*columns)
+    by, asc, tb = (manifest["by"], manifest["ascending"],
+                   manifest["tiebreak"])
+    key = F.col(by).asc() if asc else F.col(by).desc()
+    return df.orderBy(key, F.col(tb).asc()).limit(k)
+
+
 def sorted_topk(spark: SparkSession, view_dir: str, k: int,
                 columns: list[str] | None = None) -> DataFrame:
     """Top-k by the view's index sort, reading only the manifest-chosen

@@ -78,3 +78,20 @@ def test_string_sort_key(spark, tmp_path):
             .limit(15).toPandas().reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert os.path.exists(os.path.join(d, "manifest.json"))
+
+
+def test_filtered_topk_matches_full_sort_and_rare_filter(spark, tmp_path):
+    from sparklucene.sorted_index import build_sorted_view, sorted_topk_filtered
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "n_chars", "lang"))
+    d = str(tmp_path / "fview")
+    build_sorted_view(docs, d, "n_chars", n_partitions=8)
+    for pred, k in [(F.col("lang") == "en", 15),
+                    (F.col("doc_id") % 97 == 0, 4),   # rare: forces growth
+                    (F.col("doc_id") < 0, 3)]:        # empty survivor set
+        got = (sorted_topk_filtered(spark, d, k, pred)
+               .toPandas().reset_index(drop=True))
+        want = (docs.filter(pred)
+                .orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+                .limit(k).toPandas().reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
