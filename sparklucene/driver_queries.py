@@ -3542,6 +3542,15 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
     e["span_not_exclusion"] = (
         _bm25(Span(_not_tree), k=10), span_topk_sql(_not_tree, k=10))
 
+    # surround query language (round 4; u8:lucene/queryparser/.../
+    # surround/parser/QueryParser.jj): nW/nN/OR/NOT syntax parsed into
+    # the same span trees — '2W(fast, OR(join, merge))' = ordered near,
+    # distance 2 (slop 1), over an OR alternative.
+    from sparklucene.spans import parse_surround
+    _sur_tree = parse_surround("2W(fast, OR(join, merge))")
+    e["surround_query_topk"] = (
+        _bm25(Span(_sur_tree), k=10), span_topk_sql(_sur_tree, k=10))
+
     # SpanContaining / SpanWithin (round 4; u8:lucene/core/.../search/
     # spans/{SpanContainingQuery,SpanWithinQuery}.java): enclosure tests
     # between two span trees. Containing keeps the windows ('merge ..

@@ -495,3 +495,89 @@ def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
         return _eval_within(eval_spans(node.little, leaf),
                             eval_spans(node.big, leaf))
     raise TypeError(f"not a span node: {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# Surround query language parser
+# ---------------------------------------------------------------------------
+
+def parse_surround(s: str) -> SpanNode:
+    """Parse Lucene's surround query language into a span tree (public
+    knowledge: ``u8:lucene/queryparser/.../surround/parser/QueryParser.jj``
+    and the surround package docs):
+
+        3W(a, b)   ordered near, max distance 3  -> SpanNear in_order
+        4N(a, b)   unordered near                -> SpanNear unordered
+        W/N        distance defaults to 1
+        OR(a, b)   / AND(...) -> AND maps to W with infinite-ish slop is
+                   NOT surround's meaning; surround AND is boolean — out
+                   of span scope, rejected here (use the boolean algebra)
+        NOT(a, b)  -> SpanNot(include=a, exclude=b)
+        bare word  -> SpanTerm (lowercased, the standard chain's view)
+
+    Distance k means "within k positions" — surround's W(n) allows n-1
+    gaps, mapping to slop = n - 1. Operators nest arbitrarily.
+    """
+    toks = _sur_lex(s)
+    node, pos = _sur_parse(toks, 0)
+    if pos != len(toks):
+        raise ValueError(f"surround: trailing input at token {pos}: "
+                         f"{toks[pos:]!r}")
+    return node
+
+
+def _sur_lex(s: str) -> list[str]:
+    import re
+    out = re.findall(r"\(|\)|,|[0-9]*[WwNn]\b|OR\b|AND\b|NOT\b|[A-Za-z0-9_]+",
+                     s.replace("\t", " "))
+    # the alternation can split '3w' from a word like 'w3'? no: \b guards;
+    # but plain words matching the op pattern (e.g. 'w', 'n') only count
+    # as ops when followed by '(' — resolved in the parser.
+    return out
+
+
+def _sur_parse(toks: list[str], i: int):
+    import re
+    t = toks[i]
+    m = re.fullmatch(r"([0-9]*)([WwNn])", t)
+    is_call = i + 1 < len(toks) and toks[i + 1] == "("
+    if t in ("OR", "NOT") and is_call:
+        args, j = _sur_args(toks, i + 1)
+        if t == "OR":
+            if len(args) < 2:
+                raise ValueError("surround OR needs >= 2 clauses")
+            return SpanOrNode(tuple(args)), j
+        if len(args) != 2:
+            raise ValueError("surround NOT takes exactly 2 clauses")
+        return SpanNotNode(args[0], args[1]), j
+    if t == "AND" and is_call:
+        raise ValueError("surround AND is boolean, not positional — "
+                         "compose with the boolean query algebra instead")
+    if m and is_call:
+        n = int(m.group(1)) if m.group(1) else 1
+        if n < 1:
+            raise ValueError(f"surround distance must be >= 1: {t!r}")
+        args, j = _sur_args(toks, i + 1)
+        if len(args) < 2:
+            raise ValueError(f"surround {t!r} needs >= 2 clauses")
+        return SpanNearNode(tuple(args), slop=n - 1,
+                            in_order=m.group(2) in ("W", "w")), j
+    if re.fullmatch(r"[a-z0-9_]+", t.lower()) and t not in ("(", ")", ","):
+        return SpanTerm(t.lower()), i + 1
+    raise ValueError(f"surround: unexpected token {t!r} at {i}")
+
+
+def _sur_args(toks: list[str], i: int):
+    assert toks[i] == "("
+    args, i = [], i + 1
+    while True:
+        node, i = _sur_parse(toks, i)
+        args.append(node)
+        if i >= len(toks):
+            raise ValueError("surround: unterminated argument list")
+        if toks[i] == ",":
+            i += 1
+            continue
+        if toks[i] == ")":
+            return args, i + 1
+        raise ValueError(f"surround: expected ',' or ')' at {toks[i]!r}")

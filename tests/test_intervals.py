@@ -146,3 +146,42 @@ def test_spanfirst_composes_and_respects_not():
     from sparklucene.query import Not, SpanFirst
     assert set(_hits(Or((SpanFirst("beta", 1), Term("delta"))))) == {1, 4, 5}
     assert set(_hits(Not(SpanFirst("beta", 5), Term("gamma")))) == {2, 3, 5}
+
+
+# ---------------------------------------------------------------------------
+# Surround query language parser -> span trees.
+# ---------------------------------------------------------------------------
+
+def test_surround_parser_shapes():
+    import pytest as _pt
+    from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
+                                   SpanTerm, parse_surround)
+    q = parse_surround("3W(OR(Fast, slow), NOT(join, merge))")
+    assert q == SpanNearNode(
+        (SpanOrNode((SpanTerm("fast"), SpanTerm("slow"))),
+         SpanNotNode(SpanTerm("join"), SpanTerm("merge"))),
+        slop=2, in_order=True)
+    assert parse_surround("N(a, b)") == SpanNearNode(
+        (SpanTerm("a"), SpanTerm("b")), slop=0, in_order=False)
+    assert parse_surround("w") == SpanTerm("w")  # bare word, not an op
+    for bad in ("AND(a, b)", "OR(a)", "NOT(a, b, c)", "0W(a, b)",
+                "2W(a, b", "2W(a b)", "2W(a, b) extra"):
+        with _pt.raises(ValueError):
+            parse_surround(bad)
+
+
+def test_surround_parse_equals_hand_built(spark):
+    from sparklucene.driver_queries import index_for
+    from sparklucene.query import Span
+    from sparklucene.search import search
+    from sparklucene.spans import (SpanNearNode, SpanOrNode, SpanTerm,
+                                   parse_surround)
+    idx = index_for(spark, "/root/testdata/sf0.001")
+    parsed = parse_surround("2W(fast, OR(join, merge))")
+    hand = SpanNearNode((SpanTerm("fast"),
+                         SpanOrNode((SpanTerm("join"), SpanTerm("merge")))),
+                        slop=1, in_order=True)
+    assert parsed == hand
+    a = search(idx, Span(parsed), k=10, mode="f64").collect()
+    b = search(idx, Span(hand), k=10, mode="f64").collect()
+    assert a == b
