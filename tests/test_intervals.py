@@ -185,3 +185,44 @@ def test_surround_parse_equals_hand_built(spark):
     a = search(idx, Span(parsed), k=10, mode="f64").collect()
     b = search(idx, Span(hand), k=10, mode="f64").collect()
     assert a == b
+
+
+def test_surround_roundtrip_fuzz():
+    """Random span trees serialize to surround syntax and parse back to
+    the identical tree (parser totality over the generatable subset)."""
+    import random
+
+    from sparklucene.spans import (SpanNearNode, SpanNotNode, SpanOrNode,
+                                   SpanTerm, parse_surround)
+
+    WORDS = ["fast", "slow", "join", "merge", "hash", "scan", "key",
+             "w", "n", "or2", "x_1"]
+
+    def rand_tree(rng, depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.4:
+            return SpanTerm(rng.choice(WORDS))
+        kids = tuple(rand_tree(rng, depth + 1)
+                     for _ in range(rng.randint(2, 3)))
+        if r < 0.6:
+            return SpanNearNode(kids, slop=rng.randint(0, 7),
+                                in_order=rng.random() < 0.5)
+        if r < 0.8:
+            return SpanOrNode(kids)
+        return SpanNotNode(kids[0], kids[1])
+
+    def to_surround(t):
+        if isinstance(t, SpanTerm):
+            return t.term
+        if isinstance(t, SpanNearNode):
+            op = "W" if t.in_order else "N"
+            args = ", ".join(to_surround(c) for c in t.clauses)
+            return f"{t.slop + 1}{op}({args})"
+        if isinstance(t, SpanOrNode):
+            return "OR(" + ", ".join(to_surround(c) for c in t.clauses) + ")"
+        return f"NOT({to_surround(t.include)}, {to_surround(t.exclude)})"
+
+    for seed in range(200):
+        rng = random.Random(4200 + seed)
+        t = rand_tree(rng)
+        assert parse_surround(to_surround(t)) == t, to_surround(t)
