@@ -902,6 +902,25 @@ FROM tf JOIN tstats ts ON tf.term = ts.term
 WHERE tf.doc_id IN (11, 42)
 ORDER BY tf.doc_id, tf.term""")
 
+    # -- PostingsEnum.POSITIONS round-trip (round 4;
+    # u8:lucene/core/.../index/PostingsEnum.java): positions decoded
+    # straight from the delta+VByte stream must equal the raw pre-stop
+    # token positions — the codec check the forward-derived term vectors
+    # cannot give.
+    def tpos(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.search import term_positions
+        idx = index_for(spark, sf_dir)
+        return term_positions(idx, "merge", tuple(range(40)))
+    e["postings_term_positions"] = (tpos, f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents WHERE doc_id < 40) tl
+)
+SELECT doc_id, pos FROM tokp WHERE term = 'merge'
+ORDER BY doc_id, pos""")
+
     # -- IndexSearcher.explain (round 4; u8:lucene/core/.../search/
     # IndexSearcher.java#explain + BM25Similarity.explain): per-(doc,
     # term) BM25 decomposition — tf, df, dl, quantized dl, idf, and the

@@ -1276,6 +1276,52 @@ def explain_terms(index: Index, corpus: DataFrame, terms: "tuple[str, ...]",
         .orderBy("doc_id", "term"))
 
 
+def term_positions(index: Index, query_term: str,
+                   doc_ids: "tuple[int, ...] | None" = None) -> DataFrame:
+    """Positions decoded FROM THE INDEX — Lucene's PostingsEnum with
+    ``PostingsEnum.POSITIONS`` (public knowledge:
+    ``u8:lucene/core/.../index/PostingsEnum.java``): every (doc,
+    position) occurrence of a term read back from the delta+VByte
+    position stream, optionally restricted to ``doc_ids``. Unlike
+    :func:`term_vectors` (forward re-analysis), this is a direct
+    round-trip check of the positions codec — what the oracle's raw
+    token positions must equal.
+
+    Scale shape: term pushdown on the postings scan (one term's cells),
+    Arrow-batched decode per (term, drange) cell, narrow explode — the
+    exact shape the phrase scorer uses.
+    """
+    import pandas as pd
+
+    from sparklucene.codec import decode_doc_ids, decode_positions, decode_tfs
+
+    ids = None if doc_ids is None else {int(d) for d in doc_ids}
+    rows = index.postings().filter(F.col("term") == query_term) \
+        .select("doc_bytes", "tf_bytes", "pos_bytes")
+
+    def gen(pdfs):
+        import numpy as np
+        for pdf in pdfs:
+            out_d, out_p = [], []
+            for db, tb, pb in zip(pdf["doc_bytes"], pdf["tf_bytes"],
+                                  pdf["pos_bytes"]):
+                docs = decode_doc_ids(bytes(db))
+                tfs = decode_tfs(bytes(tb))
+                pos = decode_positions(bytes(pb), tfs)
+                d_rep = np.repeat(docs, tfs)
+                out_d.append(d_rep)
+                out_p.append(pos)
+            if out_d:
+                d = np.concatenate(out_d)
+                p = np.concatenate(out_p)
+                yield pd.DataFrame({"doc_id": d, "pos": p})
+
+    out = rows.mapInPandas(gen, "doc_id long, pos long")
+    if ids is not None:
+        out = out.filter(F.col("doc_id").isin(sorted(ids)))
+    return out.orderBy("doc_id", "pos")
+
+
 def terms_enum(index: Index, field: str | None = None,
                prefix: str | None = None, regex: str | None = None,
                lower: str | None = None, upper: str | None = None,

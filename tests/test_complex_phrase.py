@@ -133,3 +133,23 @@ def test_collation_uncorrectable_word_kept(spark, idx):
     out = collate(idx, ("zzqqxx", "spark")).collect()[0]
     assert out["collation"] == "zzqqxx spark"
     assert out["hits"] == 0  # conjunction with an absent term matches nothing
+
+
+def test_term_positions_roundtrip_vs_forward_analysis(spark, idx):
+    """Index-decoded positions == forward-analyzed pre-stop positions
+    (gaps preserved), with and without the doc filter."""
+    import numpy as np
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, TOKEN_RE
+    from sparklucene.search import term_positions
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    term = "query"
+    want = []
+    for r in docs:
+        toks = TOKEN_RE.findall(r["text"].lower())
+        want += [(r["doc_id"], p) for p, t in enumerate(toks) if t == term]
+    got = term_positions(idx, term).toPandas()
+    assert sorted(map(tuple, got.to_numpy().tolist())) == sorted(want)
+    some = sorted({d for d, _ in want})[:3]
+    sub = term_positions(idx, term, tuple(some)).toPandas()
+    assert set(sub["doc_id"]) <= set(some)
+    assert len(sub) == sum(1 for d, _ in want if d in set(some))
