@@ -3717,6 +3717,19 @@ tokp AS (
                           k=10, mode="f64")
         return run
 
+    # PostingsEnum.PAYLOADS round-trip: payload bytes decoded from the
+    # index must equal the pinned assigner recomputed from raw positions.
+    def pay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.search import term_payloads
+        idx = index_for(spark, sf_dir, variant="pay",
+                        payloads="position_mix")
+        return term_payloads(idx, "merge", tuple(range(60)))
+    e["postings_term_payloads"] = (pay_stream, f"""WITH {_tokp}
+SELECT doc_id, pos,
+       (1 + ((pos * 31 + length('merge')) % 8))::BIGINT AS payload
+FROM tokp WHERE term = 'merge' AND doc_id < 60
+ORDER BY doc_id, pos""")
+
     # avg payload factor x BM25 (Lucene's default includeSpanScore mode);
     # payload ints sum exactly in f64, so the avg is order-independent
     _t = "merge"

@@ -1322,6 +1322,48 @@ def term_positions(index: Index, query_term: str,
     return out.orderBy("doc_id", "pos")
 
 
+def term_payloads(index: Index, query_term: str,
+                  doc_ids: "tuple[int, ...] | None" = None) -> DataFrame:
+    """Payloads decoded FROM THE INDEX — ``PostingsEnum.PAYLOADS``
+    (public knowledge: ``u8:lucene/core/.../index/PostingsEnum.java``
+    ``getPayload``): one byte per occurrence, aligned with the position
+    stream; emitted as (doc_id, pos, payload). The codec round-trip twin
+    of :func:`term_positions` for the payload plane. Same scale shape:
+    term pushdown + Arrow-batched cell decode."""
+    import pandas as pd
+
+    from sparklucene.codec import decode_doc_ids, decode_positions, decode_tfs
+
+    ids = None if doc_ids is None else {int(d) for d in doc_ids}
+    rows = index.postings().filter(F.col("term") == query_term) \
+        .select("doc_bytes", "tf_bytes", "pos_bytes", "pay_bytes")
+
+    def gen(pdfs):
+        import numpy as np
+        for pdf in pdfs:
+            frames = []
+            for db, tb, pb, yb in zip(pdf["doc_bytes"], pdf["tf_bytes"],
+                                      pdf["pos_bytes"], pdf["pay_bytes"]):
+                docs = decode_doc_ids(bytes(db))
+                tfs = decode_tfs(bytes(tb))
+                pos = decode_positions(bytes(pb), tfs)
+                pay = np.frombuffer(bytes(yb), dtype=np.uint8)
+                if pay.size != pos.size:
+                    raise ValueError(
+                        "payload stream misaligned with positions: "
+                        f"{pay.size} payloads vs {pos.size} positions")
+                frames.append(pd.DataFrame(
+                    {"doc_id": np.repeat(docs, tfs), "pos": pos,
+                     "payload": pay.astype(np.int64)}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    out = rows.mapInPandas(gen, "doc_id long, pos long, payload long")
+    if ids is not None:
+        out = out.filter(F.col("doc_id").isin(sorted(ids)))
+    return out.orderBy("doc_id", "pos")
+
+
 def terms_enum(index: Index, field: str | None = None,
                prefix: str | None = None, regex: str | None = None,
                lower: str | None = None, upper: str | None = None,
