@@ -2499,6 +2499,60 @@ SELECT doc_id,
            '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
 FROM aug ORDER BY doc_id""")
 
+    # -- line-level boilerplate removal (round 4; the CCNet/RefinedWeb
+    # web-pipeline pass: a line occurring in >= min_docs distinct docs
+    # of the same source/domain is navigation-footer boilerplate and is
+    # dropped everywhere). The synthetic corpus has single-line text, so
+    # both sides derive the SAME multi-line column: three fixed 40-char
+    # segments joined by newlines, plus a shared footer line injected
+    # into docs where doc_id % 3 = 0 — the operator then detects and
+    # strips exactly that footer (and any organically-repeated segment).
+    _BOILER = "subscribe to our newsletter - site footer"
+
+    def boiler(spark, sf):
+        d, t = F.col("doc_id"), F.col("text")
+        segs = [F.substring(t, 1, 40), F.substring(t, 41, 40),
+                F.substring(t, 81, 40)]
+        aug = F.when(d % 3 == 0, F.concat_ws(
+            "\n", segs[0], F.lit(_BOILER), segs[1], segs[2])
+        ).otherwise(F.concat_ws("\n", *segs))
+        docs = (_t(spark, sf, "documents")
+                .select("doc_id", aug.alias("text"), "source"))
+        return (textops.remove_boilerplate_lines(docs, min_docs=3)
+                .orderBy("doc_id"))
+    e["pipeline_boilerplate_lines"] = (boiler, f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN concat_ws(chr(10),
+                substring(text, 1, 40), '{_BOILER}',
+                substring(text, 41, 40), substring(text, 81, 40))
+         ELSE concat_ws(chr(10), substring(text, 1, 40),
+                substring(text, 41, 40), substring(text, 81, 40))
+         END AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+  FROM aug),
+freq AS (
+  SELECT source, trim(line) AS nl
+  FROM lines WHERE trim(line) <> ''
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos FROM lines l
+  LEFT JOIN freq f ON l.source = f.source AND trim(l.line) = f.nl
+  WHERE f.nl IS NULL),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY 1),
+reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id""")
+
     # -- deterministic hash sampling (round 3): reproducible holdout
     # split + per-language stratified rebalance; membership is a pure
     # function of md5(salt || doc_id), so DuckDB selects the SAME rows

@@ -400,6 +400,57 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d[\d ]{7,}\d"
 
 
+def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 3,
+                             text_col: str = "text",
+                             bucket_col: str = "source") -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb web-pipeline
+    pass): a line that occurs in >= ``min_docs`` DISTINCT documents of the
+    same ``bucket_col`` group (domain/source) is navigation/footer
+    boilerplate and is dropped from every document; the per-doc remainder
+    is reassembled in original line order.
+
+    Pinned semantics: lines are '\\n'-separated; frequency counts the
+    TRIMMED line and ignores all-whitespace lines (they are never
+    removed); documents whose every line is boilerplate survive with
+    clean_text = ''.
+
+    Returns (doc_id, n_lines, n_removed, clean_text).
+
+    Scale shape: posexplode (narrow per-row) -> two-phase distinct-doc
+    count per (bucket, line_hash) with partial aggregation -> shuffle
+    equi-join of lines against the (tiny, boilerplate-only) frequency
+    side on (bucket, line_hash) -> per-doc reassembly keyed by doc_id.
+    Never doc x doc; the broadcast-able side is only lines that ARE
+    boilerplate, proportional to distinct templates, not corpus size.
+    """
+    pos_lines = docs.select(
+        "doc_id", F.col(bucket_col).alias("bkt"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    norm = F.trim(F.col("line"))
+    lines = pos_lines.withColumn("lh", _hash60(norm)) \
+                     .withColumn("blank", norm == "")
+    freq = (lines.filter(~F.col("blank"))
+            .groupBy("bkt", "lh")
+            .agg(F.count_distinct("doc_id").alias("ndocs"))
+            .filter(F.col("ndocs") >= min_docs))
+    kept = (lines.join(freq, ["bkt", "lh"], "left_anti"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"))
+    totals = pos_lines.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))
+                     ).cast("long").alias("n_removed"),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))
+
+
 def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII detection + redaction — the standard LLM-training-data
     scrubbing pass (emails / IPv4 addresses / international-format phone
