@@ -5387,6 +5387,70 @@ SELECT doc_id, orig_score, orig, len_norm, has_fast,
        0.0 + (1.0 * orig) + (-2.0 * len_norm) + (0.5 * has_fast)
        AS ltr_score
 FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 10""")
+
+    # -- MultipleAdditiveTreesModel (round 4; u8:solr/contrib/ltr/.../
+    # model/MultipleAdditiveTreesModel.java): the same three features
+    # routed down a 2-tree GBDT ensemble — each tree is ONE nested
+    # Catalyst CASE (<= goes left, the reference's RegressionTreeNode
+    # predicate), score = sum_t weight_t * leaf_t in declaration order.
+    # The oracle re-derives the first pass + features as above and
+    # evaluates the IDENTICAL nested CASE expressions.
+    def ltr_trees(spark, sf):
+        from sparklucene.ltr import AdditiveTreesModel, TreeNode
+        idx = index_for(spark, sf)
+        attrs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        feats = (OriginalScore("orig"),
+                 FieldValue("len_norm", norm=(0.0, 5000.0), col="n_chars"),
+                 TermMatch("has_fast", term="fast"))
+        t1 = TreeNode(feature="len_norm", threshold=0.07,
+                      left=TreeNode(feature="has_fast", threshold=0.5,
+                                    left=TreeNode(value=0.1),
+                                    right=TreeNode(value=0.6)),
+                      right=TreeNode(feature="orig", threshold=0.355,
+                                     left=TreeNode(value=-0.2),
+                                     right=TreeNode(value=0.3)))
+        t2 = TreeNode(feature="orig", threshold=0.352,
+                      left=TreeNode(value=0.0),
+                      right=TreeNode(feature="len_norm", threshold=0.09,
+                                     left=TreeNode(value=0.8),
+                                     right=TreeNode(value=0.2)))
+        model = AdditiveTreesModel(((1.0, t1), (0.5, t2)))
+        return ltr_rerank(idx, Or((Term("join"), Term("merge"))), feats,
+                          model, k=10, rerank_k=50, attrs=attrs)
+
+    e["ltr_trees_rerank"] = (ltr_trees, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {score} AS s
+  FROM tf
+  JOIN tstats s ON tf.term = s.term
+  JOIN meta m ON tf.doc_id = m.doc_id
+  CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')
+),
+first AS (
+  SELECT doc_id,
+         CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS orig_score
+  FROM term_scores GROUP BY doc_id
+  ORDER BY orig_score DESC, doc_id ASC LIMIT 50
+),
+feats AS (
+  SELECT f.doc_id, f.orig_score, f.orig_score AS orig,
+         (CAST(d.n_chars AS DOUBLE) - 0.0) / 5000.0 AS len_norm,
+         CASE WHEN EXISTS (SELECT 1 FROM tf
+                           WHERE tf.doc_id = f.doc_id AND tf.term = 'fast')
+              THEN 1.0 ELSE 0.0 END AS has_fast
+  FROM first f JOIN documents d USING (doc_id)
+)
+SELECT doc_id, orig_score, orig, len_norm, has_fast,
+       0.0
+       + 1.0 * (CASE WHEN len_norm <= 0.07
+                     THEN CASE WHEN has_fast <= 0.5 THEN 0.1 ELSE 0.6 END
+                     ELSE CASE WHEN orig <= 0.355 THEN -0.2 ELSE 0.3 END END)
+       + 0.5 * (CASE WHEN orig <= 0.352 THEN 0.0
+                     ELSE CASE WHEN len_norm <= 0.09
+                               THEN 0.8 ELSE 0.2 END END)
+       AS ltr_score
+FROM feats ORDER BY ltr_score DESC, doc_id ASC LIMIT 10""")
     return e
 
 

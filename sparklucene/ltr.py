@@ -89,6 +89,81 @@ class LinearModel:
     weights: tuple[tuple[str, float], ...]
     intercept: float = 0.0
 
+    def _feature_names(self) -> set[str]:
+        return {n for n, _ in self.weights}
+
+    def _score(self) -> Column:
+        score: Column = F.lit(float(self.intercept))
+        for name, w in self.weights:
+            score = score + F.lit(float(w)) * F.col(name)
+        return score
+
+
+@dataclass(frozen=True)
+class TreeNode:
+    """One node of a regression tree (the reference's
+    ``model/MultipleAdditiveTreesModel.java`` RegressionTreeNode): a LEAF
+    carries ``value``; a SPLIT routes ``feature <= threshold`` to
+    ``left``, else to ``right`` — exactly the reference's branching
+    predicate, so a value equal to the threshold goes left."""
+    value: float | None = None
+    feature: str | None = None
+    threshold: float | None = None
+    left: "TreeNode | None" = None
+    right: "TreeNode | None" = None
+
+    def _validate(self) -> None:
+        if self.value is not None:
+            if (self.feature is not None or self.left is not None
+                    or self.right is not None):
+                raise ValueError("leaf nodes carry only a value")
+            return
+        if (self.feature is None or self.threshold is None
+                or self.left is None or self.right is None):
+            raise ValueError("split nodes need feature, threshold, left "
+                             "and right")
+        self.left._validate()
+        self.right._validate()
+
+    def _features(self) -> set[str]:
+        if self.value is not None:
+            return set()
+        return ({self.feature} | self.left._features()
+                | self.right._features())
+
+    def _col(self) -> Column:
+        # the whole tree folds into ONE nested CASE expression — pure
+        # Catalyst, evaluated inside whole-stage codegen on the k-bounded
+        # rerank window; no Python per row
+        if self.value is not None:
+            return F.lit(float(self.value))
+        return F.when(F.col(self.feature) <= F.lit(float(self.threshold)),
+                      self.left._col()).otherwise(self.right._col())
+
+
+@dataclass(frozen=True)
+class AdditiveTreesModel:
+    """model/MultipleAdditiveTreesModel.java (the reference LTR contrib's
+    GBDT/LambdaMART ensemble format): ``score = sum_t weight_t * leaf_t``
+    where ``leaf_t`` is the value reached by routing the (normalized)
+    feature vector down tree ``t``. Trees are summed in declaration order
+    with float64 arithmetic — a fixed expression tree, cross-engine
+    bit-reproducible like LinearModel."""
+    trees: tuple[tuple[float, TreeNode], ...]
+
+    def _feature_names(self) -> set[str]:
+        names: set[str] = set()
+        for _, root in self.trees:
+            root._validate()
+            names |= root._features()
+        return names
+
+    def _score(self) -> Column:
+        score: Column = F.lit(0.0)
+        for w, root in self.trees:
+            score = score + F.lit(float(w)) * root._col()
+        return score
+
 
 def extract_features(index: Index, query: str | Query,
                      features: tuple[Feature, ...], rerank_k: int,
@@ -134,21 +209,20 @@ def extract_features(index: Index, query: str | Query,
 
 
 def ltr_rerank(index: Index, query: str | Query,
-               features: tuple[Feature, ...], model: LinearModel,
+               features: tuple[Feature, ...],
+               model: LinearModel | AdditiveTreesModel,
                k: int, rerank_k: int,
                attrs: DataFrame | None = None) -> DataFrame:
-    """LTRRescorer: rerank the first-pass top-``rerank_k`` with the model,
-    return top-``k`` by (ltr_score desc, doc_id asc) with the feature
-    vector attached (Solr's ``fl=[features]`` debug shape)."""
+    """LTRRescorer: rerank the first-pass top-``rerank_k`` with the model
+    (LinearModel or AdditiveTreesModel), return top-``k`` by
+    (ltr_score desc, doc_id asc) with the feature vector attached (Solr's
+    ``fl=[features]`` debug shape)."""
     names = {f.name for f in features}
-    unknown = [n for n, _ in model.weights if n not in names]
+    unknown = sorted(model._feature_names() - names)
     if unknown:
         raise ValueError(f"model weights reference undeclared features: "
                          f"{unknown}")
     feats = extract_features(index, query, features, rerank_k, attrs)
-    score: Column = F.lit(float(model.intercept))
-    for name, w in model.weights:
-        score = score + F.lit(float(w)) * F.col(name)
-    return (feats.withColumn("ltr_score", score.cast("double"))
+    return (feats.withColumn("ltr_score", model._score().cast("double"))
             .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
             .limit(k))

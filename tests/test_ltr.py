@@ -78,3 +78,68 @@ def test_model_validation(spark, idx):
     with pytest.raises(ValueError, match="attrs"):
         extract_features(idx, Term("merge"),
                          (FieldValue("f", col="n_chars"),), 5)
+
+
+def _demo_trees():
+    from sparklucene.ltr import AdditiveTreesModel, TreeNode
+    t1 = TreeNode(feature="len_norm", threshold=0.3,
+                  left=TreeNode(feature="has_fast", threshold=0.5,
+                                left=TreeNode(value=0.1),
+                                right=TreeNode(value=0.6)),
+                  right=TreeNode(feature="orig", threshold=2.0,
+                                 left=TreeNode(value=-0.2),
+                                 right=TreeNode(value=0.3)))
+    t2 = TreeNode(feature="orig", threshold=1.5,
+                  left=TreeNode(value=0.0),
+                  right=TreeNode(feature="len_norm", threshold=0.45,
+                                 left=TreeNode(value=0.8),
+                                 right=TreeNode(value=0.2)))
+    return AdditiveTreesModel(((1.0, t1), (0.5, t2)))
+
+
+def _route(node, row):
+    # independent pandas-side mirror of RegressionTreeNode routing
+    while node.value is None:
+        node = node.left if row[node.feature] <= node.threshold \
+            else node.right
+    return node.value
+
+
+def test_additive_trees_rerank(spark, idx):
+    q = Or((Term("join"), Term("merge")))
+    feats = (OriginalScore("orig"),
+             FieldValue("len_norm", norm=(0.0, 5000.0), col="n_chars"),
+             TermMatch("has_fast", term="fast"))
+    model = _demo_trees()
+    out = ltr_rerank(idx, q, feats, model, k=10, rerank_k=50,
+                     attrs=_attrs(spark)).toPandas()
+    assert len(out) == 10
+    # ensemble score == weight-summed leaf values routed per row
+    for _, r in out.iterrows():
+        expect = sum(w * _route(root, r) for w, root in model.trees)
+        assert r["ltr_score"] == expect
+    # sorted by (ltr_score desc, doc_id asc) with ties broken by id
+    keys = list(zip(-out["ltr_score"], out["doc_id"]))
+    assert keys == sorted(keys)
+    # determinism across attrs layout
+    again = ltr_rerank(idx, q, feats, model, k=10, rerank_k=50,
+                       attrs=_attrs(spark).repartition(5)).toPandas()
+    assert out.values.tolist() == again.values.tolist()
+
+
+def test_tree_node_validation(spark, idx):
+    from sparklucene.ltr import AdditiveTreesModel, TreeNode
+    with pytest.raises(ValueError, match="leaf"):
+        AdditiveTreesModel(
+            ((1.0, TreeNode(value=1.0, feature="x")),))._feature_names()
+    with pytest.raises(ValueError, match="split"):
+        AdditiveTreesModel(
+            ((1.0, TreeNode(feature="x", threshold=1.0,
+                            left=TreeNode(value=0.0))),))._feature_names()
+    # a tree referencing an undeclared feature is rejected at rerank time
+    bad = AdditiveTreesModel(((1.0, TreeNode(feature="nope", threshold=0.0,
+                                             left=TreeNode(value=0.0),
+                                             right=TreeNode(value=1.0))),))
+    with pytest.raises(ValueError, match="undeclared"):
+        ltr_rerank(idx, Term("merge"), (OriginalScore("orig"),), bad,
+                   k=5, rerank_k=10)
