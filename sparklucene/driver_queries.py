@@ -2739,6 +2739,39 @@ SELECT doc_id, (start_token / 48)::BIGINT AS chunk_id,
                        ' ') AS chunk_text
 FROM st ORDER BY doc_id, chunk_id""")
 
+    # -- round 4: cross-document duplicated-span removal (the span-level
+    # ExactSubstr dedup of Lee et al. 2022 at 4-gram granularity): a
+    # 4-gram in >= 2 distinct docs marks its 4 token positions for
+    # removal in EVERY doc; the remainder is reassembled in order. At
+    # sf0.01 this organically bites 368/500 docs while keeping text.
+    e["pipeline_dup_span_removal"] = (
+        lambda spark, sf: textops.remove_duplicate_spans(
+            _t(spark, sf, "documents"), n=4, min_docs=2),
+        f"""
+WITH b AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, i AS s,
+         {H60.format(x="array_to_string(toks[i:i+3], ' ')")} AS h
+  FROM b, unnest(range(1, greatest(len(toks) - 2, 1))) AS u(i)
+  WHERE len(toks) >= 4),
+dup AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT occ.doc_id, s + d AS pos
+        FROM occ JOIN dup USING (h), unnest(range(0, 4)) AS r(d)),
+tok AS (SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos FROM b),
+kept AS (SELECT t.doc_id, t.tok, t.pos FROM tok t
+         LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         WHERE c.pos IS NULL),
+tot AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM b),
+reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       (t.n_tokens - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id""")
+
     def contam(spark, sf):
         docs = _t(spark, sf, "documents")
         bench = docs.filter(F.col("doc_id") % 23 == 0)

@@ -451,6 +451,65 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 3,
                     .alias("clean_text")))
 
 
+def remove_duplicate_spans(docs: DataFrame, n: int = 5,
+                           min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated-span removal — the span-level exact
+    substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), at token n-gram granularity: a token
+    ``n``-gram occurring in >= ``min_docs`` DISTINCT documents is a
+    duplicated span, and every token covered by ANY duplicated span is
+    removed from every document (all copies — the published ExactSubstr
+    policy), the remainder reassembled in token order.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    Scale shape: gram hashes explode narrowly per row; the duplicated-
+    gram set reduces via partial-aggregated distinct-doc counts and is
+    proportional to SHARED content, not corpus size; membership is a
+    left_semi hash equi-join (8-byte keys) and coverage expansion is a
+    bounded sequence explode (n per duplicated occurrence). Never
+    doc x doc, never a global sort; per-doc reassembly shuffles by
+    doc_id once.
+    """
+    toks = F.expr(TOKEN_EXPR)
+    base = docs.select("doc_id", toks.alias("toks"))
+    grams = F.transform(
+        _gram_idxs(F.col("toks"), n),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("toks"), i + j)
+                                     for j in range(n)]))
+    occ = (base.select("doc_id",
+                       F.posexplode(grams).alias("s0", "gram"))
+           .select("doc_id", (F.col("s0") + 1).alias("s"),
+                   _hash60(F.col("gram")).alias("h")))
+    dup = (occ.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("ndocs"))
+           .filter(F.col("ndocs") >= min_docs)
+           .select("h"))
+    covered = (occ.join(dup, "h", "left_semi")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("s"), F.col("s") + (n - 1))).alias("pos"))
+               .distinct())
+    tok_pos = base.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("p0", "tok")) \
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"]), " ").alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"))
+    totals = base.select("doc_id",
+                         F.size("toks").cast("long").alias("n_tokens"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))
+
+
 def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII detection + redaction — the standard LLM-training-data
     scrubbing pass (emails / IPv4 addresses / international-format phone

@@ -632,3 +632,42 @@ def test_mmr_diversification_properties(spark):
     pure = mmr_rerank(idx, q, emb, k=4, window=12, lam=1.0).toPandas()
     want = search(idx, q, k=4, mode="f64").toPandas()
     assert pure["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from sparklucene.textops import remove_duplicate_spans
+
+    # docs 0 and 1 share the 4-token span "alpha beta gamma delta" at
+    # different positions; doc 2 is unique; doc 3 is shorter than n
+    pdf = [(0, "alpha beta gamma delta unique0 tail0"),
+           (1, "head1 alpha beta gamma delta tail1"),
+           (2, "totally separate words here now okay"),
+           (3, "tiny doc")]
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, n=4, min_docs=2).collect()}
+    assert len(out) == 4
+    # the shared span is removed from BOTH copies (ExactSubstr policy),
+    # surrounding tokens survive in order
+    assert out[0]["clean_text"] == "unique0 tail0"
+    assert out[0]["n_tokens"] == 6 and out[0]["n_removed"] == 4
+    assert out[1]["clean_text"] == "head1 tail1"
+    assert out[1]["n_removed"] == 4
+    # unique doc untouched; sub-n doc has no grams and is untouched
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "totally separate words here now okay"
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc"
+
+    # overlapping duplicated grams merge their coverage, not double-count:
+    # docs 4,5 share a 5-token run -> two overlapping 4-grams, 5 removals
+    pdf2 = [(4, "a b c d e x"), (5, "y a b c d e")]
+    df2 = spark.createDataFrame(pdf2, "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in
+            remove_duplicate_spans(df2, n=4, min_docs=2).collect()}
+    assert out2[4]["n_removed"] == 5 and out2[4]["clean_text"] == "x"
+    assert out2[5]["n_removed"] == 5 and out2[5]["clean_text"] == "y"
+
+    # min_docs=3 spares a span shared by only two docs
+    out3 = {r["doc_id"]: r for r in
+            remove_duplicate_spans(df, n=4, min_docs=3).collect()}
+    assert all(r["n_removed"] == 0 for r in out3.values())
