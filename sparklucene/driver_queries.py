@@ -2581,6 +2581,46 @@ FROM documents d JOIN thr ON d.lang = thr.lang
 WHERE substring(md5('holdout-v1' || d.doc_id::VARCHAR), 1, 8) < thr.t
 GROUP BY d.lang ORDER BY d.lang""")
 
+    # -- token-budget data mixing (round 4): integer mixture weights +
+    # a global token budget -> per-language integer token targets ->
+    # min(1, target/avail) md5-prefix keep thresholds. At the driver's
+    # sf0.01 tier this caps de at keep-all (target > avail) while en is
+    # cut to ~15% and es is allowlist-dropped — every branch bites.
+    _MIXW = {"en": 1, "de": 3, "fr": 2, "zh": 1}
+    _MIXB, _MIXSW = 12000, sum(_MIXW.values())
+    _mixw_vals = ", ".join(f"('{k}', {v})"
+                           for k, v in sorted(_MIXW.items()))
+
+    def mix_sample(spark, sf):
+        s = textops.mixture_sample(_t(spark, sf, "documents"), _MIXW,
+                                   token_budget=_MIXB)
+        return (s.groupBy("lang")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.sum("dl").alias("sampled_tokens"),
+                     F.min("target_tokens").alias("target_tokens"),
+                     F.min("avail_tokens").alias("avail_tokens"))
+                .orderBy("lang"))
+    e["pipeline_mixture_sample"] = (mix_sample, f"""
+WITH d AS (SELECT doc_id, lang, len({TOKS_SQL})::BIGINT AS dl
+           FROM documents),
+w(lang, wt) AS (VALUES {_mixw_vals}),
+a AS (SELECT d.lang, w.wt, sum(dl)::BIGINT AS avail_tokens
+      FROM d JOIN w USING (lang) GROUP BY 1, 2),
+p AS (SELECT lang, avail_tokens,
+             (wt * {_MIXB} // {_MIXSW})::BIGINT AS target_tokens,
+             least(CAST(floor(
+                 ((wt * {_MIXB} // {_MIXSW})::DOUBLE
+                  / avail_tokens::DOUBLE) * 4294967296.0) AS BIGINT),
+                 4294967296) AS thr
+      FROM a)
+SELECT d.lang, count(*)::BIGINT AS n_docs, sum(d.dl)::BIGINT AS sampled_tokens,
+       min(p.target_tokens) AS target_tokens,
+       min(p.avail_tokens) AS avail_tokens
+FROM d JOIN p USING (lang)
+WHERE ('0x' || substring(md5('mix-v1' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+      < p.thr
+GROUP BY d.lang ORDER BY d.lang""")
+
     stop_list = "[" + ", ".join(
         f"'{w}'" for w in sorted(textops.ENGLISH_STOP_WORDS)) + "]"
     e["text_quality_score"] = (

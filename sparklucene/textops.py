@@ -391,6 +391,60 @@ def stratified_sample(docs: DataFrame, fractions: "dict[str, float]",
             .drop("_thr"))
 
 
+def mixture_sample(docs: DataFrame, weights: "dict[str, int]",
+                   token_budget: int, strata_col: str = "lang",
+                   key_col: str = "doc_id",
+                   salt: str = "mix-v1") -> DataFrame:
+    """Token-budget data mixing — the mixture-weights pass of published
+    pretraining pipelines (The Pile / LLaMA-style): given INTEGER mixture
+    weights per stratum and a global token budget, each stratum's token
+    target is ``weight_s * token_budget // sum(weights)`` (integer
+    floor), its keep-fraction is ``min(1, target / available_tokens)``,
+    and rows are kept by the same deterministic md5-prefix predicate as
+    ``deterministic_sample`` — so expected sampled tokens per stratum
+    track the target, membership is layout/scale-invariant, and strata
+    absent from ``weights`` are DROPPED (allowlist contract).
+
+    Pinned threshold arithmetic (cross-engine bit-exact): the 32-bit key
+    is ``('0x' || md5(salt || key)[1:8])::BIGINT``; the cut is
+    ``least(floor((target::double / avail::double) * 2^32), 2^32)`` —
+    ONE double division and one multiply, IEEE-identical in Spark and
+    DuckDB; integer target/avail keep everything else exact.
+
+    Returns sampled rows as (key, stratum, dl, target_tokens,
+    avail_tokens) for audit.
+
+    Scale shape: per-row token counts are narrow; availability is one
+    partial-aggregated groupBy over strata (output = |strata| rows,
+    broadcast back); the keep predicate is per-row. One tiny shuffle,
+    never data-proportional driver state."""
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    sum_w = int(sum(weights.values()))
+    dl = F.size(F.expr(TOKEN_EXPR)).cast("long")
+    base = docs.select(F.col(key_col), F.col(strata_col), dl.alias("dl"))
+    wdf = docs.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in sorted(weights.items())],
+        f"{strata_col} string, _w long")
+    plan = (base.join(F.broadcast(wdf), strata_col)
+            .groupBy(strata_col, "_w")
+            .agg(F.sum("dl").alias("avail_tokens"))
+            .withColumn("target_tokens",
+                        F.expr(f"_w * CAST({int(token_budget)} AS BIGINT) "
+                               f"DIV CAST({sum_w} AS BIGINT)"))
+            .withColumn("_thr", F.least(
+                F.floor((F.col("target_tokens").cast("double")
+                         / F.col("avail_tokens").cast("double"))
+                        * F.lit(float(2 ** 32))).cast("long"),
+                F.lit(2 ** 32)))
+            .drop("_w"))
+    key_int = F.conv(sample_key(F.col(key_col), salt), 16, 10).cast("long")
+    return (base.join(F.broadcast(plan), strata_col)
+            .filter(key_int < F.col("_thr"))
+            .select(key_col, strata_col, "dl", "target_tokens",
+                    "avail_tokens"))
+
+
 #: PII patterns — deliberately alternation-free so Java regex (Spark,
 #: leftmost-first backtracking) and RE2 (DuckDB, leftmost-longest) agree
 #: on every match span; greedy character-class quantifiers behave

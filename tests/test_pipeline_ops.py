@@ -671,3 +671,29 @@ def test_remove_duplicate_spans_semantics(spark):
     out3 = {r["doc_id"]: r for r in
             remove_duplicate_spans(df, n=4, min_docs=3).collect()}
     assert all(r["n_removed"] == 0 for r in out3.values())
+
+
+def test_mixture_sample_budget_semantics(spark):
+    from sparklucene.textops import mixture_sample
+
+    rows = [(i, "en" if i % 3 else "de",
+             " ".join(f"w{i}t{j}" for j in range(10)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # budget 1500, weights en:1 de:2 -> targets en 500, de 1000;
+    # de avail = 100 docs * 10 = 1000 -> keep-all; en avail 2000 -> ~25%
+    out = mixture_sample(df, {"en": 1, "de": 2}, token_budget=1500)
+    pdf = out.toPandas()
+    de = pdf[pdf["lang"] == "de"]
+    en = pdf[pdf["lang"] == "en"]
+    assert len(de) == 100 and de["dl"].sum() == 1000     # capped keep-all
+    assert 0 < len(en) < 200                             # partial sample
+    assert set(pdf["lang"]) == {"en", "de"}              # allowlist drop
+    assert (pdf[pdf.lang == "en"]["target_tokens"] == 500).all()
+    # membership is layout-invariant and rerun-stable
+    again = mixture_sample(df.repartition(13), {"en": 1, "de": 2},
+                           token_budget=1500).toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+
+    with pytest.raises(ValueError, match="weights"):
+        mixture_sample(df, {}, token_budget=10)
