@@ -5244,6 +5244,51 @@ SELECT term, levenshtein(term, 'sprk')::INT AS distance, df FROM tstats
 WHERE levenshtein(term, 'sprk') <= 2 AND term <> 'sprk' AND term LIKE 's%'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
 
+    # -- infix suggestions (round 4; u8:lucene/suggest/.../analyzing/
+    # AnalyzingInfixSuggester.java): dictionary terms CONTAINING the
+    # fragment, weight-ranked — the "search-anywhere-in-the-suggestion"
+    # lookup the prefix suggester can't serve.
+    def infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.suggest import suggest_infix
+        idx = index_for(spark, sf_dir)
+        return suggest_infix(idx, "ar", k=8)
+    e["suggest_infix_topk"] = (infix, f"""WITH {corpus_ctes()}
+SELECT term, df, cf FROM tstats
+WHERE term LIKE '%ar%' ORDER BY cf DESC, term ASC LIMIT 8""")
+
+    # -- free-text next-token suggestion (round 4; u8:lucene/suggest/
+    # .../analyzing/FreeTextSuggester.java): corpus bigram model with
+    # stupid backoff to unigrams — 'merge' exercises the bigram branch,
+    # the absent context exercises the backoff branch.
+    def freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.suggest import free_text_suggest
+        return free_text_suggest(_t(spark, sf_dir, "documents"),
+                                 ("merge", "zzzqx"), k=5)
+    e["suggest_free_text"] = (freetext, f"""
+WITH tokall AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents) t),
+big AS (SELECT t0.term AS context, t1.term AS suggestion,
+               count(*)::BIGINT AS cnt
+        FROM tokall t0 JOIN tokall t1
+          ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        WHERE t0.term IN ('merge', 'zzzqx')
+        GROUP BY 1, 2),
+bigk AS (SELECT context, suggestion, cnt, 2::BIGINT AS grams,
+                row_number() OVER (PARTITION BY context
+                                   ORDER BY cnt DESC, suggestion ASC) AS rn
+         FROM big),
+uni AS (SELECT term AS suggestion, count(*)::BIGINT AS cnt
+        FROM tokall GROUP BY 1
+        ORDER BY cnt DESC, suggestion ASC LIMIT 5),
+miss(context) AS (SELECT c FROM (VALUES ('merge'), ('zzzqx')) v(c)
+                  WHERE c NOT IN (SELECT DISTINCT context FROM big))
+SELECT context, suggestion, cnt, grams FROM bigk WHERE rn <= 5
+UNION ALL
+SELECT m.context, u.suggestion, u.cnt, 1::BIGINT AS grams
+FROM miss m CROSS JOIN uni u""")
+
     # -- spellcheck.collate — "did you mean" with hit verification
     # (round 4; u8:solr/core/.../spelling/SpellCheckCollator.java):
     # both words are misspelled; each takes its best correction and the

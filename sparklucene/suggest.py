@@ -56,6 +56,78 @@ def suggest_prefix(idx, prefix: str, k: int = 10,
             .limit(k))
 
 
+def suggest_infix(idx, fragment: str, k: int = 10,
+                  field: str | None = None) -> DataFrame:
+    """Infix suggestions — Lucene's AnalyzingInfixSuggester lookup shape
+    (public knowledge: ``u8:lucene/suggest/.../analyzing/
+    AnalyzingInfixSuggester.java``): dictionary terms CONTAINING
+    ``fragment`` anywhere (not just as a prefix), ranked by weight —
+    collection frequency here, the same popularity weight as
+    :func:`suggest_prefix` — then term. Returns (term, df, cf).
+
+    Plan: contains() cannot prefix-prune, so this scans the whole
+    dictionary — which is the same trade the reference makes (its infix
+    suggester searches a dedicated suggest index rather than seeking one
+    FST path). The dictionary is vocab-sized metadata (~0.1% of the
+    index, term-range partitioned), and ordering+limit compiles to
+    ``TakeOrderedAndProject``."""
+    d = _dict_body(idx, field)
+    return (d.filter(F.col("term").contains(fragment))
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .limit(k))
+
+
+def free_text_suggest(docs: DataFrame, contexts: "tuple[str, ...]",
+                      k: int = 5) -> DataFrame:
+    """Next-token suggestion from a corpus n-gram model — Lucene's
+    FreeTextSuggester shape (public knowledge: ``u8:lucene/suggest/.../
+    analyzing/FreeTextSuggester.java``: an n-gram language model with
+    stupid backoff, built from the corpus rather than the term
+    dictionary). Pinned slice: for each context word, candidate next
+    tokens ranked by corpus BIGRAM count (count desc, token asc); a
+    context with NO observed bigram backs off to the corpus-wide top
+    UNIGRAMS (``grams`` column reports which model answered, 2 or 1).
+    Tokenization is the analyzer regex WITHOUT stopword removal — the
+    reference builds its model on an un-stopped stream too. Returns
+    (context, suggestion, cnt, grams).
+
+    Scale shape: bigram pairs come from narrow per-row array zips (no
+    positional self-join); one partial-aggregated groupBy reduces them;
+    the context filter is a pushed-down literal IN; per-context top-k
+    windows run over single-context slices (vocab-bounded); the backoff
+    is the corpus top-k unigrams (TakeOrderedAndProject) cross-joined to
+    the (operator-constant) missing contexts."""
+    from pyspark.sql import Window
+
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")
+    base = docs.select(toks.alias("toks")).filter(F.size("toks") > 0)
+    pairs = base.select(F.explode(F.arrays_zip(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("context"),
+        F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("suggestion"),
+    )).alias("p")).select("p.context", "p.suggestion")
+    spark = docs.sparkSession
+    ctx = spark.createDataFrame([(c,) for c in sorted(set(contexts))],
+                                "context string")
+    big = (pairs.filter(F.col("context").isin(list(contexts)))
+           .groupBy("context", "suggestion")
+           .agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.partitionBy("context").orderBy(F.desc("cnt"),
+                                              F.asc("suggestion"))
+    bigk = (big.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .withColumn("grams", F.lit(2).cast("long")))
+    missing = ctx.join(big.select("context").distinct(), "context",
+                       "left_anti")
+    unik = (docs.select(F.explode(toks).alias("suggestion"))
+            .groupBy("suggestion")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("suggestion")).limit(k)
+            .crossJoin(F.broadcast(missing))
+            .withColumn("grams", F.lit(1).cast("long")))
+    return bigk.unionByName(unik.select("context", "suggestion", "cnt",
+                                        "grams"))
+
+
 def spellcheck(idx, word: str, k: int = 5, max_edits: int = 2,
                min_prefix: int = 1, field: str | None = None) -> DataFrame:
     """Did-you-mean correction: dictionary terms within ``max_edits``

@@ -73,3 +73,44 @@ def test_spellcheck_min_prefix_narrows(idx):
                           min_prefix=0).collect()}
     assert with_guard <= without
     assert all(t.startswith("s") for t in with_guard)
+
+
+def test_suggest_infix_contains_anywhere(idx):
+    from sparklucene.suggest import suggest_infix, suggest_prefix
+
+    rows = suggest_infix(idx, "ar", k=20).collect()
+    assert rows and all("ar" in r["term"] for r in rows)
+    # ranked by popularity then term, like the prefix suggester
+    keys = [(-r["cf"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+    # infix is a strict superset surface: prefix hits are infix hits
+    pre = {r["term"] for r in suggest_prefix(idx, "ar", k=50).collect()}
+    inf = {r["term"] for r in suggest_infix(idx, "ar", k=1000).collect()}
+    assert pre <= inf
+    # and it finds mid-word matches a prefix lookup cannot
+    assert any(not t.startswith("ar") for t in inf)
+
+
+def test_free_text_suggest_bigram_and_backoff(spark):
+    from sparklucene.suggest import free_text_suggest
+
+    rows = [(0, "alpha beta alpha beta alpha gamma"),
+            (1, "alpha beta delta"),
+            (2, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = free_text_suggest(df, ("alpha", "nope"), k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["context"], []).append(r)
+    # bigram branch: 'alpha beta' x3 beats 'alpha gamma' x1
+    a = sorted(by["alpha"], key=lambda r: (-r["cnt"], r["suggestion"]))
+    assert [r["suggestion"] for r in a] == ["beta", "gamma"]
+    assert a[0]["cnt"] == 3 and all(r["grams"] == 2 for r in a)
+    # backoff branch: unseen context falls back to corpus top unigrams
+    b = by["nope"]
+    assert all(r["grams"] == 1 for r in b)
+    assert {r["suggestion"] for r in b} == {"alpha", "beta"}
+    # the final token of a doc opens no bigram ('solo' only unigram);
+    # a context that only appears doc-final also backs off
+    out2 = free_text_suggest(df, ("solo",), k=1).collect()
+    assert len(out2) == 1 and out2[0]["grams"] == 1
