@@ -5289,6 +5289,39 @@ UNION ALL
 SELECT m.context, u.suggestion, u.cnt, 1::BIGINT AS grams
 FROM miss m CROSS JOIN uni u""")
 
+    # -- WordBreakSpellChecker (round 4; u8:lucene/suggest/.../spell/
+    # WordBreakSpellChecker.java): suggestWordBreaks splits a run-on
+    # word where both halves are dictionary terms (freq = min of the
+    # parts' df, the reference's combined-frequency rule);
+    # suggestWordCombinations concatenates adjacent query words into a
+    # dictionary term.
+    _WB_WORD, _WB_MINLEN = "mergejoin", 2
+    _wb_vals = ", ".join(
+        f"('{_WB_WORD[:i]}', '{_WB_WORD[i:]}')"
+        for i in range(_WB_MINLEN, len(_WB_WORD) - _WB_MINLEN + 1))
+
+    def wbreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.suggest import word_break
+        idx = index_for(spark, sf_dir)
+        return word_break(idx, _WB_WORD, k=5, min_break_length=_WB_MINLEN)
+    e["spellcheck_word_break"] = (wbreak, f"""WITH {corpus_ctes()},
+splits(left_part, right_part) AS (VALUES {_wb_vals})
+SELECT s.left_part, s.right_part, least(a.df, b.df)::BIGINT AS freq
+FROM splits s JOIN tstats a ON a.term = s.left_part
+              JOIN tstats b ON b.term = s.right_part
+ORDER BY freq DESC, s.left_part ASC LIMIT 5""")
+
+    def wcombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.suggest import word_combine
+        idx = index_for(spark, sf_dir)
+        return word_combine(idx, ("mer", "ge", "join"), k=5)
+    e["spellcheck_word_combine"] = (wcombine, f"""WITH {corpus_ctes()},
+pairs(left_word, right_word, cat) AS
+  (VALUES ('mer', 'ge', 'merge'), ('ge', 'join', 'gejoin'))
+SELECT p.left_word, p.right_word, t.term, t.df::BIGINT AS df
+FROM pairs p JOIN tstats t ON t.term = p.cat
+ORDER BY df DESC, t.term ASC LIMIT 5""")
+
     # -- spellcheck.collate — "did you mean" with hit verification
     # (round 4; u8:solr/core/.../spelling/SpellCheckCollator.java):
     # both words are misspelled; each takes its best correction and the

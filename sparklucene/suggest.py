@@ -150,6 +150,62 @@ def spellcheck(idx, word: str, k: int = 5, max_edits: int = 2,
             .limit(k))
 
 
+def word_break(idx, word: str, k: int = 5, min_break_length: int = 2,
+               field: str | None = None) -> DataFrame:
+    """Word-break suggestions — Lucene WordBreakSpellChecker's
+    ``suggestWordBreaks`` shape (public knowledge: ``u8:lucene/suggest/
+    .../spell/WordBreakSpellChecker.java``), pinned to one split
+    (maxChanges=1): every split point of ``word`` where BOTH halves are
+    dictionary terms of length >= ``min_break_length`` is a suggestion,
+    ranked by the reference's combined-frequency rule — the MINIMUM of
+    the two parts' document frequencies — desc, then left part asc.
+    Returns (left_part, right_part, freq).
+
+    Scale shape: the split candidates are len(word)-1 literal pairs
+    (operator constants); each side resolves via an IN-pushdown join
+    against the vocab-sized dictionary. Nothing corpus-scale."""
+    cands = [(word[:i], word[i:]) for i in
+             range(min_break_length, len(word) - min_break_length + 1)]
+    spark = idx.spark
+    if not cands:
+        return spark.createDataFrame(
+            [], "left_part string, right_part string, freq long")
+    cdf = spark.createDataFrame(cands, "left_part string, right_part string")
+    d = _dict_body(idx, field).select("term", "df")
+    # broadcast the constant candidate side INTO the dictionary scan both
+    # times, so the vocab-sized dictionary is filtered, never shipped
+    lhs = (d.join(F.broadcast(cdf), F.col("term") == F.col("left_part"))
+           .select("left_part", "right_part", F.col("df").alias("_dfl")))
+    return (d.join(F.broadcast(lhs), F.col("term") == F.col("right_part"))
+            .select("left_part", "right_part",
+                    F.least("_dfl", "df").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("left_part"))
+            .limit(k))
+
+
+def word_combine(idx, words: "tuple[str, ...]", k: int = 5,
+                 field: str | None = None) -> DataFrame:
+    """Combine-words suggestions — WordBreakSpellChecker's
+    ``suggestWordCombinations``: each ADJACENT pair of query words whose
+    concatenation is a dictionary term suggests that term, ranked by its
+    document frequency desc, then term asc. Returns
+    (left_word, right_word, term, df)."""
+    pairs = [(words[i], words[i + 1], words[i] + words[i + 1])
+             for i in range(len(words) - 1)]
+    spark = idx.spark
+    if not pairs:
+        return spark.createDataFrame(
+            [], "left_word string, right_word string, term string, df long")
+    pdf = spark.createDataFrame(
+        pairs, "left_word string, right_word string, _cat string")
+    d = _dict_body(idx, field).select("term", "df")
+    return (d.join(F.broadcast(pdf), F.col("term") == F.col("_cat"))
+            .select("left_word", "right_word", "term",
+                    F.col("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k))
+
+
 def collate(idx, words: "tuple[str, ...]", max_edits: int = 2,
             min_prefix: int = 1, field: str | None = None) -> DataFrame:
     """Spell-check COLLATION — Solr SpellCheckCollator's "did you mean"

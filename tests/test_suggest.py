@@ -114,3 +114,35 @@ def test_free_text_suggest_bigram_and_backoff(spark):
     # a context that only appears doc-final also backs off
     out2 = free_text_suggest(df, ("solo",), k=1).collect()
     assert len(out2) == 1 and out2[0]["grams"] == 1
+
+
+def test_word_break_split_and_rank(idx):
+    from sparklucene.suggest import word_break
+
+    rows = word_break(idx, "mergejoin", k=5, min_break_length=2).collect()
+    assert [(r["left_part"], r["right_part"]) for r in rows] \
+        == [("merge", "join")]
+    # combined frequency is the MIN of the parts' df
+    from sparklucene.suggest import _dict_body
+    dfs = {r["term"]: r["df"] for r in
+           _dict_body(idx, None)
+           .filter("term IN ('merge', 'join')").collect()}
+    assert rows[0]["freq"] == min(dfs["merge"], dfs["join"])
+    # min_break_length guards sub-length parts; a 3-char word with
+    # min 2 has exactly len-3 split points, none valid here
+    assert word_break(idx, "abc", k=5, min_break_length=2).count() == 0
+    # too-short word yields an empty frame, not an error
+    assert word_break(idx, "ab", k=5, min_break_length=2).count() == 0
+
+
+def test_word_combine_adjacent_pairs(idx):
+    from sparklucene.suggest import word_combine
+
+    rows = word_combine(idx, ("mer", "ge", "join"), k=5).collect()
+    assert len(rows) == 1
+    assert rows[0]["left_word"] == "mer" and rows[0]["term"] == "merge"
+    assert rows[0]["df"] > 0
+    # no adjacent pair concatenates to a term -> empty
+    assert word_combine(idx, ("zz", "qq"), k=5).count() == 0
+    # single word has no pairs
+    assert word_combine(idx, ("merge",), k=5).count() == 0
