@@ -4621,6 +4621,48 @@ SELECT d.doc_id, p.parent, p.score
 FROM documents d JOIN pscore p ON d.source = p.parent
 ORDER BY p.score DESC, d.doc_id ASC LIMIT 20""")
 
+    # -- [child] doc transformer (round 4; u8:solr/core/.../response/
+    # transform/ChildDocTransformerFactory.java): the top-k parents of a
+    # block-join query return WITH their nested children attached,
+    # bounded by childLimit — flattened here as (parent, parent_score,
+    # child_doc_id, child_rank) rows. Children rank by doc_id asc (the
+    # reference returns children in index order within the block).
+    def child_transform(spark, sf):
+        from pyspark.sql import Window
+        idx = index_for(spark, sf)
+        hits = matches(idx, Or((Term("spark"), Term("merge"))), mode="f64")
+        docs = load_corpus(spark, sf).select("doc_id", "repo")
+        pscore = (hits.join(docs, "doc_id")
+                  .groupBy("repo")
+                  .agg(F.max("score").alias("parent_score"))
+                  .orderBy(F.desc("parent_score"), F.asc("repo")).limit(3))
+        w = Window.partitionBy("repo").orderBy(F.asc("doc_id"))
+        return (docs.join(F.broadcast(pscore), "repo")
+                .withColumn("child_rank", F.row_number().over(w)
+                            .cast("long"))
+                .filter(F.col("child_rank") <= 5)
+                .select(F.col("repo").alias("parent"), "parent_score",
+                        F.col("doc_id").alias("child_doc_id"),
+                        "child_rank"))
+    e["block_join_child_transformer"] = (child_transform, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id),
+p AS (SELECT d.source AS parent, max(ds.score) AS parent_score
+      FROM doc_scores ds JOIN documents d USING (doc_id)
+      GROUP BY 1 ORDER BY parent_score DESC, parent ASC LIMIT 3),
+k AS (SELECT p.parent, p.parent_score, d.doc_id AS child_doc_id,
+             row_number() OVER (PARTITION BY p.parent
+                                ORDER BY d.doc_id)::BIGINT AS child_rank
+      FROM p JOIN documents d ON d.source = p.parent)
+SELECT parent, parent_score, child_doc_id, child_rank
+FROM k WHERE child_rank <= 5""")
+
     def join_util(spark, sf):
         idx = index_for(spark, sf)
         inner = matches(idx, Term("dup"), mode="f64").select("doc_id")
