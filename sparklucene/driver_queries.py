@@ -3281,6 +3281,113 @@ SELECT qid, rank, vec_id, centroid, cosine FROM ranked WHERE rank <= 5"""
                                               iters=2, nprobe=1),
         ivf_sql)
 
+    # -- Product quantization ADC (round 4; Jégou et al., TPAMI 2011):
+    # m=4 subspace codebooks learned by the SAME pinned integer k-means
+    # as ann_ivf_topk, one per subspace; candidates scored from their
+    # codes alone (ADC lookup tables). The whole pipeline — per-subspace
+    # seeds, 2 Lloyd iterations, final codes, LUT scoring — unrolls into
+    # SQL, so the driver gets a full hash check.
+    PQ_M, PQ_KSUB, PQ_DIM = 4, 4, 64
+    PQ_D = PQ_DIM // PQ_M
+
+    def _pq_sub_ctes(j: int) -> str:
+        a, b = j * PQ_D + 1, (j + 1) * PQ_D
+        return f"""svn{j} AS (
+  SELECT vec_id, q[{a}:{b}] AS sq,
+         list_sum(list_transform(q[{a}:{b}], x -> x * x))::BIGINT AS sn2
+  FROM nv),
+svd{j} AS (
+  SELECT vec_id, unnest(sq) AS val, unnest(range(len(sq))) AS dim FROM svn{j}),
+pqseeds{j} AS (
+  SELECT vec_id, sq FROM (
+    SELECT vec_id, sq,
+           ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM svn{j} WHERE sn2 > 0
+    ORDER BY h, vec_id LIMIT {PQ_KSUB})),
+pc{j}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sq AS s,
+         1::BIGINT AS n,
+         list_sum(list_transform(sq, x -> x * x))::BIGINT AS snorm2
+  FROM pqseeds{j})"""
+
+    def _pq_assign(j: int, i: int) -> str:
+        return f"""pa{j}_{i} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(list_zip(v.sq, c.s), z -> z[1] * z[2]))::BIGINT
+               / sqrt(CAST(c.snorm2 AS DOUBLE)) DESC, c.cid ASC) AS rn
+    FROM svn{j} v CROSS JOIN pc{j}_{i - 1} c)
+  WHERE rn = 1)"""
+
+    def _pq_update(j: int, i: int) -> str:
+        return f"""pu{j}_{i} AS (
+  SELECT a.code AS cid, d.dim, sum(d.val)::BIGINT AS s,
+         count(*)::BIGINT AS cnt
+  FROM pa{j}_{i} a JOIN svd{j} d ON a.vec_id = d.vec_id
+  GROUP BY a.code, d.dim),
+pul{j}_{i} AS (
+  SELECT cid, list(s ORDER BY dim) AS snew, max(cnt) AS n
+  FROM pu{j}_{i} GROUP BY cid),
+pcp{j}_{i} AS (
+  SELECT p.cid,
+         CASE WHEN u.snew IS NOT NULL
+                   AND list_sum(list_transform(u.snew, x -> x * x)) > 0
+              THEN u.snew ELSE p.s END AS s,
+         CASE WHEN u.snew IS NOT NULL
+                   AND list_sum(list_transform(u.snew, x -> x * x)) > 0
+              THEN u.n ELSE p.n END AS n
+  FROM pc{j}_{i - 1} p LEFT JOIN pul{j}_{i} u ON p.cid = u.cid),
+pc{j}_{i} AS (
+  SELECT cid, s, n, list_sum(list_transform(s, x -> x * x))::BIGINT AS snorm2
+  FROM pcp{j}_{i})"""
+
+    def _pq_contrib(j: int) -> str:
+        a, b = j * PQ_D + 1, (j + 1) * PQ_D
+        return f"""pct{j} AS (
+  SELECT q.qid, v.vec_id,
+         CAST(list_sum(list_transform(list_zip(q.qq[{a}:{b}], c.s),
+                                      z -> z[1] * z[2]))::BIGINT AS DOUBLE)
+           / c.n AS dj,
+         CAST(c.snorm2 AS DOUBLE) / (c.n * c.n) AS rj
+  FROM pa{j}_3 v JOIN pc{j}_2 c ON v.code = c.cid
+  CROSS JOIN pq_q q
+  WHERE v.vec_id != q.qid)"""
+
+    _pq_kmeans = ",\n".join(
+        _pq_sub_ctes(j) + ",\n" + _pq_assign(j, 1) + ",\n"
+        + _pq_update(j, 1) + ",\n" + _pq_assign(j, 2) + ",\n"
+        + _pq_update(j, 2) + ",\n" + _pq_assign(j, 3)
+        for j in range(PQ_M))
+    _pq_contribs = ",\n".join(_pq_contrib(j) for j in range(PQ_M))
+    pq_sql = f"""WITH {quant_ctes},
+{_pq_kmeans},
+pq_q AS (
+  SELECT vec_id AS qid, q AS qq, norm2 AS qnorm2
+  FROM nv WHERE vec_id IN ({qids_sql})),
+{_pq_contribs},
+pq_tot AS (
+  SELECT t0.qid, t0.vec_id,
+         (t0.dj + t1.dj + t2.dj + t3.dj)
+           / (sqrt(CAST(q.qnorm2 AS DOUBLE))
+              * sqrt((t0.rj + t1.rj + t2.rj + t3.rj))) AS adc_cosine
+  FROM pct0 t0
+  JOIN pct1 t1 ON t0.qid = t1.qid AND t0.vec_id = t1.vec_id
+  JOIN pct2 t2 ON t0.qid = t2.qid AND t0.vec_id = t2.vec_id
+  JOIN pct3 t3 ON t0.qid = t3.qid AND t0.vec_id = t3.vec_id
+  JOIN pq_q q ON t0.qid = q.qid),
+pq_ranked AS (
+  SELECT qid, vec_id, adc_cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM pq_tot)
+SELECT qid, rank, vec_id, adc_cosine FROM pq_ranked WHERE rank <= 5"""
+
+    e["ann_pq_adc_topk"] = (
+        lambda spark, sf: sim.pq_adc_topk(_t(spark, sf, "embeddings"),
+                                          QIDS, k=5, m=4, ksub=4, iters=2),
+        pq_sql)
+
     # -- ClusteringComponent (round 3; u8:solr/contrib/clustering/...
     # /CarrotClusteringEngine.java user surface): top-30 hits of a BM25
     # query k-means-clustered on their embeddings. The oracle restricts

@@ -402,6 +402,189 @@ def ivf_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("qid", "rank", "vec_id", "centroid", "cosine"))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — per-subspace codebooks + ADC scoring
+# ---------------------------------------------------------------------------
+
+def _md5_hash60(col) -> "F.Column":
+    """60-bit integer from the md5 of a value — the engine's pinned
+    deterministic pseudo-random spread (same expression as ivf_index
+    seeding; DuckDB mirror: ('0x'||substring(md5(x::VARCHAR),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def pq_index(embeddings: DataFrame, m: int = 4, ksub: int = 4,
+             iters: int = 2) -> tuple[DataFrame, list[list[tuple[int, list[int], int, int]]]]:
+    """Product quantizer (public knowledge: Jégou, Douze, Schmid,
+    "Product quantization for nearest neighbor search", IEEE TPAMI 2011):
+    split each vector into ``m`` contiguous subvectors and learn an
+    independent ``ksub``-entry codebook per subspace; a vector is stored
+    as ``m`` small codes — m·log2(ksub) bits instead of dim floats, the
+    compression that makes billion-vector ANN fit on disk.
+
+    Codebooks use the engine's pinned deterministic spherical k-means
+    (exactly :func:`ivf_index`'s math, per subspace): md5-ordered nonzero
+    seeds, cosine assignment ``dot_int(v_j, S) / sqrt(snorm2)`` with ties
+    to the smallest centroid id, INTEGER-sum centroid updates (an emptied
+    or cancelled-to-zero cluster keeps its previous state). Classic PQ
+    trains with L2 k-means; the spherical variant is pinned here so every
+    arithmetic input stays an exact int64 and a SQL oracle reproduces the
+    whole pipeline bit-for-bit.
+
+    Returns ``(codes, states)`` — codes = DataFrame(vec_id, norm2,
+    code_0..code_{m-1}); states[j] = [(cid, S_vec, n_members, snorm2)]
+    with centroid mean = S/n.
+
+    Scale shape: seeding is ONE job (per-subspace partitioned window over
+    md5 keys, ksub·m rows to the driver); each Lloyd iteration is one
+    narrow assignment map (codebooks are plan literals) plus ONE
+    groupBy(subspace, code, dim) partial aggregate returning
+    m·ksub·(dim/m) = dim·ksub integers. Nothing data-proportional ever
+    reaches the driver.
+    """
+    from functools import reduce
+
+    dim = _infer_dim(embeddings)
+    if m <= 0 or dim % m:
+        raise ValueError(f"pq_index: dim {dim} not divisible into m={m} "
+                         "subspaces")
+    d = dim // m
+    base = quantize(embeddings).select("vec_id", "q", "norm2")
+    sub = base.select(
+        "vec_id", "norm2",
+        *[F.slice("q", j * d + 1, d).alias(f"sub_{j}") for j in range(m)])
+    sub = sub.localCheckpoint(eager=False)
+
+    # seeds: per subspace, the ksub nonzero subvectors minimizing the
+    # 60-bit md5 hash of vec_id (ONE job: partitioned window, m*ksub rows)
+    zero = F.lit(0).cast("long")
+    parts = []
+    for j in range(m):
+        parts.append(sub.select(F.lit(j).alias("sub"),
+                                F.col(f"sub_{j}").alias("sq"), "vec_id")
+                     .filter(F.aggregate("sq", zero,
+                                         lambda acc, x: acc + x * x) > 0)
+                     .withColumn("h", _md5_hash60(F.col("vec_id"))))
+    longf = reduce(DataFrame.unionByName, parts)
+    w = Window.partitionBy("sub").orderBy(F.asc("h"), F.asc("vec_id"))
+    seed_rows = (longf.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") <= ksub)
+                 .select("sub", "vec_id", "sq").collect())
+    states: list[list[tuple[int, list[int], int, int]]] = []
+    for j in range(m):
+        mine = sorted((r for r in seed_rows if r["sub"] == j),
+                      key=lambda r: r["vec_id"])
+        if not mine:
+            raise ValueError(f"pq_index: subspace {j} has no non-zero "
+                             "subvectors to seed a codebook")
+        states.append([(cid, [int(x) for x in r["sq"]], 1,
+                        sum(int(x) * int(x) for x in r["sq"]))
+                       for cid, r in enumerate(mine)])
+
+    def assign(df: DataFrame) -> DataFrame:
+        for j in range(m):
+            cent, _ = _centroid_scores(
+                F.col(f"sub_{j}"),
+                [(cid, s, sn) for cid, s, _n, sn in states[j]])
+            df = df.withColumn(f"code_{j}", cent)
+        return df
+
+    for _ in range(int(iters)):
+        assigned = assign(sub)
+        upd = []
+        for j in range(m):
+            upd.append(assigned.select(
+                F.lit(j).alias("sub"), F.col(f"code_{j}").alias("code"),
+                F.posexplode(f"sub_{j}").alias("dim", "val")))
+        rows = (reduce(DataFrame.unionByName, upd)
+                .groupBy("sub", "code", "dim")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in rows:
+            key = (int(r["sub"]), int(r["code"]))
+            by_key.setdefault(key, {})[int(r["dim"])] = int(r["s"])
+            cnt[key] = int(r["n"])
+        for j in range(m):
+            new_state = []
+            for cid, s_vec, n, sn in states[j]:
+                dims = by_key.get((j, cid))
+                if dims is None:  # emptied cluster keeps previous state
+                    new_state.append((cid, s_vec, n, sn))
+                    continue
+                s = [dims.get(dd, 0) for dd in range(d)]
+                n2 = sum(x * x for x in s)
+                if n2 == 0:  # cancelled-out sum: keep previous (NaN guard)
+                    new_state.append((cid, s_vec, n, sn))
+                    continue
+                new_state.append((cid, s, cnt[(j, cid)], n2))
+            states[j] = new_state
+    codes = assign(sub).select("vec_id", "norm2",
+                               *[f"code_{j}" for j in range(m)])
+    return codes, states
+
+
+def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                m: int = 4, ksub: int = 4, iters: int = 2) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC — Jégou et
+    al. 2011 §IV): the query stays full-precision; every candidate is
+    scored from its m codes alone as
+    ``adc_cosine = Σ_j dot(q_j, c_j) / (|q| · |v_recon|)`` with
+    ``c_j = S_j / n_j`` the mean centroid the candidate's code names and
+    ``|v_recon|² = Σ_j snorm2_j / n_j²`` the reconstruction norm.
+
+    Returns (qid, rank, vec_id, adc_cosine), rank 1..k per query, ties to
+    the smallest vec_id, self excluded.
+
+    Scale shape — the reason PQ exists: the scan reads ONLY the codes
+    table (m·log2(ksub) bits/vector). The per-query lookup tables
+    dot(q_j, S_cid)/n — classic ADC LUTs — are built on the (tiny,
+    broadcast) query side, so each candidate row does m array lookups
+    plus a fixed float chain; no full vector is touched after indexing.
+    Top-k per query is a partitioned-window row_number (per-partition
+    heaps + a k-row shuffle).
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    codes, states = pq_index(embeddings, m=m, ksub=ksub, iters=iters)
+    dim = _infer_dim(embeddings)
+    d = dim // m
+    base = quantize(embeddings).select("vec_id", "q", "norm2")
+    queries = (base.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+               .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                       F.col("norm2").alias("qnorm2")))
+    zero = F.lit(0).cast("long")
+    for j, state in enumerate(states):
+        luts = []
+        for _cid, s_vec, n, _sn in state:
+            s_lit = F.array(*[F.lit(int(x)) for x in s_vec])
+            dot = F.aggregate(
+                F.zip_with(F.slice("qq", j * d + 1, d), s_lit,
+                           lambda a, b: a * b),
+                zero, lambda acc, x: acc + x)
+            luts.append(dot.cast("double") / F.lit(float(n)))
+        queries = queries.withColumn(f"lut_{j}", F.array(*luts))
+    cand = codes.crossJoin(F.broadcast(queries)) \
+        .filter(F.col("vec_id") != F.col("qid"))
+    dterms = [F.element_at(f"lut_{j}", (F.col(f"code_{j}") + 1).cast("int"))
+              for j in range(m)]
+    rterms = [F.element_at(
+        F.array(*[F.lit(float(sn) / (n * n)) for _c, _s, n, sn in states[j]]),
+        (F.col(f"code_{j}") + 1).cast("int")) for j in range(m)]
+    adc = (_reduce(_add, dterms)
+           / (F.sqrt(F.col("qnorm2").cast("double"))
+              * F.sqrt(_reduce(_add, rterms)))).alias("adc_cosine")
+    scored = cand.select("qid", "vec_id", adc)
+    w = Window.partitionBy("qid").orderBy(F.desc("adc_cosine"),
+                                          F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "adc_cosine"))
+
+
 def cluster_results(index, query, embeddings: DataFrame, k_docs: int = 30,
                     n_clusters: int = 4, iters: int = 2,
                     mode: str = "f64") -> DataFrame:

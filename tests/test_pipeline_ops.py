@@ -697,3 +697,83 @@ def test_mixture_sample_budget_semantics(spark):
 
     with pytest.raises(ValueError, match="weights"):
         mixture_sample(df, {}, token_budget=10)
+
+
+def test_pq_adc_matches_numpy_mirror(spark, embeddings):
+    """pq_adc_topk == an independent numpy implementation of the pinned
+    per-subspace k-means (md5 seed init over non-zero SUBvectors,
+    integer-sum centroids with member counts, cosine assignment with
+    smallest-id ties, 2 Lloyd iterations) plus ADC scoring
+    sum_j dot(q_j, S_j/n_j) / (|q| * sqrt(sum_j snorm2_j/n_j^2))."""
+    import hashlib
+    import math
+
+    from sparklucene.similarity import QUANT, pq_adc_topk
+
+    M, KSUB, ITERS, K = 4, 4, 2, 5
+    qids = [0, 1]
+    out = pq_adc_topk(embeddings, qids, k=K, m=M, ksub=KSUB,
+                      iters=ITERS).collect()
+
+    pdf = embeddings.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                   * QUANT + 0.5).astype(np.int64)
+    n, dim = mat.shape
+    d = dim // M
+
+    codes = np.zeros((n, M), dtype=np.int64)
+    state = []  # per subspace: list of (S_vec, n_members)
+    for j in range(M):
+        sub = mat[:, j * d:(j + 1) * d]
+        cand = [(int(hashlib.md5(str(int(ids[i])).encode())
+                     .hexdigest()[:15], 16), int(ids[i]), i)
+                for i in range(n) if (sub[i] @ sub[i]) > 0]
+        seed_rows = sorted(i for _h, _v, i in sorted(cand)[:KSUB])
+        S = [(sub[i].copy(), 1) for i in seed_rows]
+
+        def assign(S):
+            sc = np.stack([sub @ s / math.sqrt(float(s @ s))
+                           for s, _n in S], axis=1)
+            best = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                row = sc[i]
+                best[i] = int(np.flatnonzero(row == row.max()).min())
+            return best
+
+        for _ in range(ITERS):
+            a = assign(S)
+            newS = []
+            for c in range(len(S)):
+                members = sub[a == c]
+                s = members.sum(axis=0) if len(members) else None
+                if s is None or (s @ s) == 0:
+                    newS.append(S[c])
+                else:
+                    newS.append((s, len(members)))
+            S = newS
+        codes[:, j] = assign(S)
+        state.append(S)
+
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["vec_id"], r["adc_cosine"]))
+    for qid in qids:
+        qi = int(np.flatnonzero(ids == qid)[0])
+        qv = mat[qi]
+        rows = []
+        for i in range(n):
+            if ids[i] == qid:
+                continue
+            dsum = 0.0
+            rsum = 0.0
+            for j in range(M):
+                s, nm = state[j][codes[i, j]]
+                dsum = dsum + float(qv[j * d:(j + 1) * d] @ s) / float(nm)
+                rsum = rsum + float(s @ s) / (nm * nm)
+            adc = dsum / (math.sqrt(float(qv @ qv)) * math.sqrt(rsum))
+            rows.append((adc, int(ids[i])))
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        want = [(rk + 1, vid, c) for rk, (c, vid) in enumerate(rows[:K])]
+        assert sorted(got.get(qid, [])) == want, qid
