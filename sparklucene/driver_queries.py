@@ -3388,6 +3388,67 @@ SELECT qid, rank, vec_id, adc_cosine FROM pq_ranked WHERE rank <= 5"""
                                           QIDS, k=5, m=4, ksub=4, iters=2),
         pq_sql)
 
+    # -- Hybrid BM25 + vector retrieval fused by Reciprocal Rank Fusion
+    # (round 4; Cormack, Clarke & Buettcher, SIGIR 2009 — the standard
+    # calibration-free hybrid-search combiner): lexical top-20 for
+    # 'merge OR spark' fused with exact-cosine top-20 neighbors of
+    # embedding vec_id=0. The oracle recomputes BOTH lists from raw
+    # parquet (full BM25 CTE chain + integer-grid cosine), then applies
+    # 1/(60+rank) with the same lexical-first addition order.
+    def hybrid(spark, sf):
+        idx = index_for(spark, sf)
+        return sim.hybrid_rrf_topk(
+            idx, Or((Term("merge"), Term("spark"))),
+            _t(spark, sf, "embeddings"), query_vec_id=0,
+            k=10, k_lex=20, k_vec=20, rrf_k=60, mode="f64")
+
+    _hy_score = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                               "g.sum_dl")
+    hybrid_sql = f"""WITH {corpus_ctes()},
+{quant_ctes},
+hy_ts AS (
+  SELECT tf.doc_id, {_hy_score} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')),
+hy_lex AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM hy_ts GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 20),
+hy_lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS lex_rank
+  FROM hy_lex),
+hy_pairs AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         a.norm2 AS qn, b.norm2 AS bn
+  FROM nv a JOIN nv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id = 0),
+hy_vecr AS (
+  SELECT vec_id AS doc_id, vrank AS vec_rank FROM (
+    SELECT vec_id,
+           row_number() OVER (
+             ORDER BY dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) DESC,
+                      vec_id ASC)::BIGINT AS vrank
+    FROM hy_pairs)
+  WHERE vrank <= 20),
+hy_fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + l.lex_rank AS DOUBLE),
+                  CAST(0.0 AS DOUBLE))
+       + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + v.vec_rank AS DOUBLE),
+                  CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM hy_lexr l FULL OUTER JOIN hy_vecr v ON l.doc_id = v.doc_id),
+hy_ranked AS (
+  SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS rank,
+         doc_id, rrf_score, lex_rank, vec_rank
+  FROM hy_fused)
+SELECT rank, doc_id, rrf_score, lex_rank, vec_rank
+FROM hy_ranked WHERE rank <= 10"""
+
+    e["hybrid_rrf_search"] = (hybrid, hybrid_sql)
+
     # -- ClusteringComponent (round 3; u8:solr/contrib/clustering/...
     # /CarrotClusteringEngine.java user surface): top-30 hits of a BM25
     # query k-means-clustered on their embeddings. The oracle restricts

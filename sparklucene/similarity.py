@@ -585,6 +585,62 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("qid", "rank", "vec_id", "adc_cosine"))
 
 
+def hybrid_rrf_topk(index, query, embeddings: DataFrame, query_vec_id: int,
+                    k: int = 10, k_lex: int = 20, k_vec: int = 20,
+                    rrf_k: int = 60, mode: str = "f64") -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (public knowledge: Cormack, Clarke & Buettcher, "Reciprocal rank
+    fusion outperforms Condorcet and individual rank learning methods",
+    SIGIR 2009 — the fusion rule production hybrid-search stacks use to
+    combine a BM25 list with an ANN list without score calibration).
+
+    Two retrievers run independently:
+      * lexical — the engine's BM25 top-``k_lex`` for ``query`` (the
+        standard distributed two-phase top-k);
+      * vector — exact integer-grid cosine top-``k_vec`` neighbors of
+        the embedding row ``vec_id == query_vec_id`` (self excluded),
+        i.e. :func:`cosine_topk`'s pinned math.
+    A document's fused score is ``Σ_lists 1/(rrf_k + rank)`` over the
+    lists that retrieved it (a list that missed it contributes 0 — the
+    paper's convention). Ranks are the deterministic engine orders:
+    (score desc, doc_id asc) and (cosine desc, vec_id asc). The sum is
+    two exact double divisions added lexical-first, so any engine
+    reproduces it bit-for-bit.
+
+    Returns (rank, doc_id, rrf_score, lex_rank, vec_rank) — rank 1..k by
+    (rrf_score desc, doc_id asc); lex_rank / vec_rank are NULL when that
+    list did not retrieve the document.
+
+    Plan shape: each list is its own already-scale-correct operator; the
+    fusion joins two ≤(k_lex|k_vec)-row frames — every window below is
+    over an operator-bounded (not data-proportional) set, so the
+    partitionless row_numbers are constant-size by construction.
+    """
+    from sparklucene.search import search as _search
+
+    lex = _search(index, query, k=int(k_lex), mode=mode)
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lexr = (lex.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+            .select("doc_id", "lex_rank"))
+    vecr = (cosine_topk(embeddings, [int(query_vec_id)], k=int(k_vec))
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.col("rank").alias("vec_rank")))
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+
+    def _contrib(c: "F.Column") -> "F.Column":
+        return F.when(c.isNotNull(),
+                      F.lit(1.0) / (F.lit(float(rrf_k)) + c.cast("double"))
+                      ).otherwise(F.lit(0.0))
+
+    rrf = (_contrib(F.col("lex_rank"))
+           + _contrib(F.col("vec_rank"))).alias("rrf_score")
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (fused.select("doc_id", rrf, "lex_rank", "vec_rank")
+            .withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= int(k))
+            .select("rank", "doc_id", "rrf_score", "lex_rank", "vec_rank"))
+
+
 def cluster_results(index, query, embeddings: DataFrame, k_docs: int = 30,
                     n_clusters: int = 4, iters: int = 2,
                     mode: str = "f64") -> DataFrame:

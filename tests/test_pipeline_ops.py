@@ -777,3 +777,58 @@ def test_pq_adc_matches_numpy_mirror(spark, embeddings):
         rows.sort(key=lambda t: (-t[0], t[1]))
         want = [(rk + 1, vid, c) for rk, (c, vid) in enumerate(rows[:K])]
         assert sorted(got.get(qid, [])) == want, qid
+
+
+def test_hybrid_rrf_matches_independent_fusion(spark, embeddings):
+    """hybrid_rrf_topk == fusing (a) the brute-force BM25 oracle's top-20
+    with (b) a numpy integer-grid cosine top-20, via 1/(60+rank) with
+    lexical-first addition — both lists computed OUTSIDE the engine's
+    search/similarity code paths."""
+    from sparklucene.corpus import load_corpus
+    from sparklucene.driver_queries import index_for
+    from sparklucene.oracle import build_oracle_index, search_oracle
+    from sparklucene.query import Or, Term
+    from sparklucene.similarity import QUANT, hybrid_rrf_topk
+
+    K, K_LEX, K_VEC, RRF_K = 10, 20, 20, 60
+    idx = index_for(spark, SF)
+    q = Or((Term("merge"), Term("spark")))
+    got = hybrid_rrf_topk(idx, q, embeddings, query_vec_id=0, k=K,
+                          k_lex=K_LEX, k_vec=K_VEC, rrf_k=RRF_K,
+                          mode="f64").toPandas()
+
+    # (a) lexical ranks from the independent brute-force BM25 oracle
+    oidx = build_oracle_index(load_corpus(spark, SF).toPandas())
+    lexpdf = search_oracle(oidx, q, k=K_LEX)
+    lex_rank = {int(d): r + 1 for r, d in enumerate(lexpdf["doc_id"])}
+
+    # (b) vector ranks from numpy on the pinned 1/4096 integer grid
+    pdf = embeddings.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                   * QUANT + 0.5).astype(np.int64)
+    qi = int(np.flatnonzero(ids == 0)[0])
+    qv = mat[qi]
+    cos = [(float((qv @ mat[i]))
+            / (np.sqrt(float(qv @ qv)) * np.sqrt(float(mat[i] @ mat[i]))),
+            int(ids[i])) for i in range(len(ids)) if int(ids[i]) != 0]
+    cos.sort(key=lambda t: (-t[0], t[1]))
+    vec_rank = {d: r + 1 for r, (_c, d) in enumerate(cos[:K_VEC])}
+
+    fused = []
+    for d in sorted(set(lex_rank) | set(vec_rank)):
+        s = 0.0
+        if d in lex_rank:
+            s = s + 1.0 / (RRF_K + lex_rank[d])
+        if d in vec_rank:
+            s = s + 1.0 / (RRF_K + vec_rank[d])
+        fused.append((s, d))
+    fused.sort(key=lambda t: (-t[0], t[1]))
+    want = [(rk + 1, d, s, lex_rank.get(d), vec_rank.get(d))
+            for rk, (s, d) in enumerate(fused[:K])]
+
+    got_rows = [(int(r["rank"]), int(r["doc_id"]), float(r["rrf_score"]),
+                 None if r.isna()["lex_rank"] else int(r["lex_rank"]),
+                 None if r.isna()["vec_rank"] else int(r["vec_rank"]))
+                for _i, r in got.iterrows()]
+    assert got_rows == want
