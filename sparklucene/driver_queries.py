@@ -120,7 +120,8 @@ ORDER BY score DESC, doc_id ASC
 LIMIT {k}"""
 
 
-def phrase_ctes_and_score(slots: list[tuple[int, str]]) -> tuple[str, str]:
+def phrase_ctes_and_score(slots: list[tuple[int, str]],
+                          boost: float = 1.0) -> tuple[str, str]:
     """(extra CTEs, score expression) for an exact PhraseQuery oracle.
 
     Positional semantics mirror the engine: positions index the PRE-stop
@@ -154,7 +155,12 @@ pf AS (
         for _, t in slots)
     avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
     denom = f"(pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl}))"
-    score = f"CAST((({idf_sum}) * pf.tfp) / {denom} AS REAL)"
+    w = f"({idf_sum})"
+    if boost != 1.0:
+        # BoostQuery fold: one f64 multiply on the summed idf, exactly
+        # where the engine applies Phrase.boost (scorer._phrase_weighted)
+        w = f"(CAST({float(boost)!r} AS DOUBLE) * {w})"
+    score = f"CAST(({w} * pf.tfp) / {denom} AS REAL)"
     return ctes, score
 
 
@@ -702,6 +708,35 @@ term_scores AS (
   WHERE tf.term = 'vector'),
 allscores AS (
   SELECT * FROM phrase_scores UNION ALL SELECT * FROM term_scores)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM allscores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
+
+    # -- edismax pf phrase boost (round 4; u8:solr/core/.../search/
+    # ExtendedDismaxQParser.java addShingledPhraseQueries): the whole
+    # query text as an implicit boosted phrase SHOULD clause — matching
+    # requires the main OR alone; a phrase hit ("hash <stop gap> query",
+    # StopFilter position increments preserved) adds boost*phrase-BM25.
+    # Every phrase match implies both terms matched, so the oracle's
+    # plain score union needs no extra filter.
+    from sparklucene.search import edismax_query as _edx
+    edx_pf_q = _edx("hash the query", {"content": 1.0},
+                    pf={"content": 2.0})
+    pfb_ctes, pfb_score = phrase_ctes_and_score([(0, "hash"), (2, "query")],
+                                                boost=2.0)
+    e["edismax_pf_phrase_boost"] = (_bm25(edx_pf_q, k=10),
+                                    f"""WITH {corpus_ctes()},{pfb_ctes},
+phrase_scores AS (
+  SELECT pf.doc_id, {pfb_score} AS s
+  FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g),
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('hash', 'query')),
+allscores AS (
+  SELECT * FROM term_scores UNION ALL SELECT * FROM phrase_scores)
 SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
 FROM allscores GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC

@@ -161,8 +161,9 @@ def _sloppy_freqs(idx: OracleIndex, q: Phrase) -> dict[int, float]:
 def _phrase_weighted(idx: OracleIndex, q: "Phrase | MultiPhrase | Within | SpanFirst",
                      tfs: np.ndarray, pos: np.ndarray, mode: str
                      ) -> np.ndarray:
+    qboost = float(getattr(q, "boost", 1.0))
     if mode == "boolean":
-        return np.full(tfs.size, np.float32(1.0), dtype=np.float32)
+        return np.full(tfs.size, np.float32(qboost), dtype=np.float32)
     if isinstance(q, MultiPhrase):
         slot_terms = [t for _, alts in q.slots for t in alts]
     elif isinstance(q, Within):
@@ -176,7 +177,8 @@ def _phrase_weighted(idx: OracleIndex, q: "Phrase | MultiPhrase | Within | SpanF
     else:
         slot_terms = [t for _, t in q.slots]
     idf_fn = bm25.idf_classic if mode == "classic" else bm25.idf
-    idf_total = sum(idf_fn(idx.df_of(t), idx.doc_count) for t in slot_terms)
+    idf_total = qboost * sum(idf_fn(idx.df_of(t), idx.doc_count)
+                             for t in slot_terms)
     if mode == "lucene8":
         return bm25.score_lucene8_w(idf_total, tfs, idx.norm_bytes[pos],
                                     idx.doc_count, idx.sum_dl)

@@ -187,6 +187,11 @@ class Phrase(Query):
     slop: int = 0
     #: non-default indexed field (requires store_positions on that field)
     field: str | None = None
+    #: BoostQuery-around-PhraseQuery semantics (u8:lucene/core/.../search/
+    #: BoostQuery.java): phrase weight = boost * summed slot idf — one f64
+    #: multiply folded into the weight before the tf/norm factor, the same
+    #: fold Term.boost uses (bm25.score_f64's ``boost * idf``).
+    boost: float = 1.0
 
     def terms(self) -> list[str]:
         return sorted({t for _, t in self.slots})
@@ -498,7 +503,7 @@ def qualify(q: Query) -> Query:
         if q.field is None:
             return q
         return Phrase(tuple((off, field_key(q.field, t))
-                            for off, t in q.slots), q.slop)
+                            for off, t in q.slots), q.slop, boost=q.boost)
     if isinstance(q, MultiPhrase):
         if q.field is None:
             return q
@@ -581,7 +586,7 @@ def rewrite(q: Query) -> Query:
         if not q.slots:
             return MatchNoDocs()
         if len(q.slots) == 1:  # single-term phrase == TermQuery (Lucene rewrite)
-            return Term(q.slots[0][1], field=q.field)
+            return Term(q.slots[0][1], q.boost, field=q.field)
         return q
     if isinstance(q, Synonym):
         members = tuple(sorted(set(q.members)))

@@ -459,8 +459,9 @@ class RangeScorer:
                 "phrase scoring under a user-supplied similarity is not "
                 "supported (the engine cannot derive a phrase weight from "
                 "an opaque callable)")
+        qboost = float(getattr(q, "boost", 1.0))
         if self.mode == "boolean":
-            return np.full(pfreq.size, np.float32(1.0), dtype=np.float32)
+            return np.full(pfreq.size, np.float32(qboost), dtype=np.float32)
         if isinstance(q, MultiPhrase):
             slot_terms = [t for _, alts in q.slots for t in alts]
         elif isinstance(q, Within):
@@ -482,8 +483,8 @@ class RangeScorer:
             return np.zeros(pfreq.size, dtype=np.float32)
         N, S = self.stats.stats_for(slot_terms[0])
         idf_fn = bm25.idf_classic if self.mode == "classic" else bm25.idf
-        idf_total = sum(idf_fn(self.stats.term_stats[t].df, N)
-                        for t in slot_terms)
+        idf_total = qboost * sum(idf_fn(self.stats.term_stats[t].df, N)
+                                 for t in slot_terms)
         if self.mode == "lucene8":
             return bm25.score_lucene8_w(idf_total, pfreq, nb, N, S)
         if self.mode == "classic":

@@ -657,13 +657,28 @@ def search(index: Index, query: str | Query, k: int | None = 10,
 
 
 def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
-                  op: str = "or", msm: int = 1) -> Query:
+                  op: str = "or", msm: int = 1,
+                  pf: dict[str, float] | None = None, pf_tie: float = 0.0,
+                  pf_slop: int = 0) -> Query:
     """ExtendedDismaxQParser's core query shape (Solr ``defType=edismax``,
     public behavior): analyze the user text, turn EACH term into a
     DisjunctionMax over the ``qf`` fields with boosts
     (``qf="content^1 path^2"`` -> ``{"content": 1.0, "path": 2.0}``),
-    then combine terms with ``q.op`` (or + minimumShouldMatch / and)."""
-    from sparklucene.analysis import tokenize_text
+    then combine terms with ``q.op`` (or + minimumShouldMatch / and).
+
+    ``pf`` (phrase fields, ``pf="content^2"``) adds edismax's implicit
+    phrase boost (u8:solr/core/.../search/ExtendedDismaxQParser.java
+    addShingledPhraseQueries): the WHOLE analyzed query text as one
+    phrase per pf field (stopword position gaps preserved, ``pf_slop``
+    -> phrase slop), the per-field phrases combined in a DisjunctionMax
+    with ``pf_tie``, attached as a score-only SHOULD clause — matching
+    still requires the main query alone (``Filtered(Or((main, pfq)),
+    main)``, the MUST(main)+SHOULD(phrase) BooleanQuery shape). A
+    one-token query has no phrase, so pf is a no-op (Solr behavior)."""
+    import re as _re
+
+    from sparklucene.analysis import ENGLISH_STOP_WORDS, tokenize_text
+    from sparklucene.query import Phrase
 
     toks = tokenize_text(text)
     clauses: list[Query] = []
@@ -674,8 +689,20 @@ def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
                        else per_field[0])
     if not clauses:
         return MatchNoDocs()
-    return rewrite(And(tuple(clauses)) if op == "and"
+    main = rewrite(And(tuple(clauses)) if op == "and"
                    else Or(tuple(clauses), msm))
+    if not pf:
+        return main
+    slots = tuple(
+        (i, t) for i, t in enumerate(
+            _re.findall(r"[a-z0-9_]+", text.lower()))
+        if t not in ENGLISH_STOP_WORDS)
+    if len(slots) < 2:
+        return main
+    phrases = tuple(Phrase(slots, slop=pf_slop, field=f, boost=b)
+                    for f, b in sorted(pf.items()))
+    pfq = DisMax(phrases, pf_tie) if len(phrases) > 1 else phrases[0]
+    return rewrite(Filtered(Or((main, pfq)), main))
 
 
 def common_terms_query(index: Index, terms: list[str],

@@ -32,8 +32,9 @@ def _rand_phrase(rng: random.Random):
     toks = [rng.choice(VOCAB[:12]) for _ in range(n)]
     slots = tuple((i + (1 if rng.random() < 0.2 and i > 0 else 0), t)
                   for i, t in enumerate(toks))
+    boost = rng.choice([1.0, 1.0, 1.0, 0.5, 2.0])
     if rng.random() < 0.3:
-        return Phrase(slots, slop=rng.randint(1, 3))
+        return Phrase(slots, slop=rng.randint(1, 3), boost=boost)
     if rng.random() < 0.3:
         # alternative-set sizes up to 4 mimic complex_phrase's
         # dictionary expansions (prefix/wildcard slots inside a phrase)
@@ -42,7 +43,7 @@ def _rand_phrase(rng: random.Random):
                                                rng.randint(1, 3))})))
             for off, t in slots)
         return MultiPhrase(alts)
-    return Phrase(slots)
+    return Phrase(slots, boost=boost)
 
 
 def _rand_positional(rng: random.Random):

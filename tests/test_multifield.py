@@ -103,3 +103,46 @@ def test_edismax_query_shape():
         assert fields == {"content", "path"}
         boosts = {t.field: t.boost for t in c.clauses}
         assert boosts["path"] == 2.0
+
+
+def test_edismax_pf_shape_and_scores(spark):
+    """pf adds a boosted whole-query phrase as a score-only SHOULD:
+    Filtered(Or((main, phrase)), main) — matching == main alone; a
+    phrase-matching doc scores main + boost*phrase (verified against the
+    brute-force oracle); one-token pf is a no-op."""
+    import numpy as np
+
+    from sparklucene.corpus import load_corpus
+    from sparklucene.driver_queries import index_for
+    from sparklucene.oracle import build_oracle_index, search_oracle
+    from sparklucene.query import Filtered, Or, Phrase
+
+    q = edismax_query("hash the query", {"content": 1.0},
+                      pf={"content": 2.0})
+    assert isinstance(q, Filtered) and isinstance(q.positive, Or)
+    ph = [c for c in q.positive.clauses if isinstance(c, Phrase)]
+    assert len(ph) == 1 and ph[0].boost == 2.0
+    assert ph[0].slots == ((0, "hash"), (2, "query"))  # stop gap kept
+
+    sf = "/root/testdata/sf0.001"
+    idx = index_for(spark, sf)
+    got = search(idx, q, k=1000, mode="f64").toPandas()
+    oidx = build_oracle_index(load_corpus(spark, sf).toPandas())
+    want = search_oracle(oidx, q, k=1000, mode="f64")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got["score"].to_numpy()
+            == want["score"].to_numpy().astype("float64")).all()
+
+    # match set identical to the plain OR main query
+    main = edismax_query("hash the query", {"content": 1.0})
+    base = search(idx, main, k=1000, mode="f64").toPandas()
+    assert set(got["doc_id"]) == set(base["doc_id"])
+    # phrase-matching docs gained score; at least one exists at sf0.001
+    gained = {int(d) for d, s in zip(got["doc_id"], got["score"])
+              if not np.isclose(
+                  s, float(base.set_index("doc_id")["score"].get(int(d))))}
+    assert gained, "expected at least one phrase match in the corpus"
+
+    # one-token query: pf is a no-op
+    assert edismax_query("hash", {"content": 1.0}, pf={"content": 2.0}) \
+        == edismax_query("hash", {"content": 1.0})
