@@ -3439,7 +3439,8 @@ SELECT qid, rank, vec_id, adc_cosine FROM pq_ranked WHERE rank <= 5"""
 
     _hy_score = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
                                "g.sum_dl")
-    hybrid_sql = f"""WITH {corpus_ctes()},
+    # shared list-building CTEs for both fusion oracles (RRF + linear)
+    _hy_prefix = f"""{corpus_ctes()},
 {quant_ctes},
 hy_ts AS (
   SELECT tf.doc_id, {_hy_score} AS s
@@ -3450,16 +3451,17 @@ hy_lex AS (
   SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
   FROM hy_ts GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 20),
-hy_lexr AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS lex_rank
-  FROM hy_lex),
 hy_pairs AS (
   SELECT b.vec_id,
          list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
          a.norm2 AS qn, b.norm2 AS bn
   FROM nv a JOIN nv b ON b.vec_id != a.vec_id
-  WHERE a.vec_id = 0),
+  WHERE a.vec_id = 0)"""
+    hybrid_sql = f"""WITH {_hy_prefix},
+hy_lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS lex_rank
+  FROM hy_lex),
 hy_vecr AS (
   SELECT vec_id AS doc_id, vrank AS vec_rank FROM (
     SELECT vec_id,
@@ -3483,6 +3485,54 @@ SELECT rank, doc_id, rrf_score, lex_rank, vec_rank
 FROM hy_ranked WHERE rank <= 10"""
 
     e["hybrid_rrf_search"] = (hybrid, hybrid_sql)
+
+    # -- Hybrid fusion, min-max-normalized weighted sum (round 4; the
+    # other standard metasearch combiner — Montague & Aslam, CIKM 2001):
+    # same two lists; each normalized over its own retrieved set,
+    # fused = 0.5*lex_norm + 0.5*vec_norm, missing list contributes 0.
+    def hybrid_lin(spark, sf):
+        idx = index_for(spark, sf)
+        return sim.hybrid_linear_topk(
+            idx, Or((Term("merge"), Term("spark"))),
+            _t(spark, sf, "embeddings"), query_vec_id=0,
+            k=10, k_lex=20, k_vec=20, w_lex=0.5, w_vec=0.5, mode="f64")
+
+    hybrid_lin_sql = f"""WITH {_hy_prefix},
+hyl_mm AS (SELECT min(score) AS mn, max(score) AS mx FROM hy_lex),
+hyl_n AS (
+  SELECT l.doc_id,
+         CASE WHEN m.mx = m.mn THEN CAST(1.0 AS DOUBLE)
+              ELSE (l.score - m.mn) / (m.mx - m.mn) END AS lex_norm
+  FROM hy_lex l CROSS JOIN hyl_mm m),
+hyv AS (
+  SELECT vec_id AS doc_id,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS c
+  FROM hy_pairs),
+hyv_top AS (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+           row_number() OVER (ORDER BY c DESC, doc_id ASC) AS rn FROM hyv)
+  WHERE rn <= 20),
+hyv_mm AS (SELECT min(c) AS mn, max(c) AS mx FROM hyv_top),
+hyv_n AS (
+  SELECT v.doc_id,
+         CASE WHEN m.mx = m.mn THEN CAST(1.0 AS DOUBLE)
+              ELSE (v.c - m.mn) / (m.mx - m.mn) END AS vec_norm
+  FROM hyv_top v CROSS JOIN hyv_mm m),
+hy_fused2 AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_norm, v.vec_norm,
+         coalesce(CAST(0.5 AS DOUBLE) * l.lex_norm, CAST(0.0 AS DOUBLE))
+       + coalesce(CAST(0.5 AS DOUBLE) * v.vec_norm, CAST(0.0 AS DOUBLE))
+           AS fused
+  FROM hyl_n l FULL OUTER JOIN hyv_n v ON l.doc_id = v.doc_id),
+hy_ranked2 AS (
+  SELECT row_number() OVER (ORDER BY fused DESC, doc_id ASC)::BIGINT AS rank,
+         doc_id, fused, lex_norm, vec_norm
+  FROM hy_fused2)
+SELECT rank, doc_id, fused, lex_norm, vec_norm
+FROM hy_ranked2 WHERE rank <= 10"""
+
+    e["hybrid_linear_search"] = (hybrid_lin, hybrid_lin_sql)
 
     # -- ClusteringComponent (round 3; u8:solr/contrib/clustering/...
     # /CarrotClusteringEngine.java user surface): top-30 hits of a BM25

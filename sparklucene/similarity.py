@@ -641,6 +641,67 @@ def hybrid_rrf_topk(index, query, embeddings: DataFrame, query_vec_id: int,
             .select("rank", "doc_id", "rrf_score", "lex_rank", "vec_rank"))
 
 
+def hybrid_linear_topk(index, query, embeddings: DataFrame,
+                       query_vec_id: int, k: int = 10, k_lex: int = 20,
+                       k_vec: int = 20, w_lex: float = 0.5,
+                       w_vec: float = 0.5, mode: str = "f64") -> DataFrame:
+    """Hybrid retrieval fused by min-max-normalized weighted sum — the
+    other standard fusion rule next to RRF (public knowledge: score
+    normalization for metasearch, e.g. Montague & Aslam CIKM 2001's
+    "standard" normalization; production hybrid stacks expose it as
+    normalized linear combination).
+
+    Each list's scores are min-max normalized over ITS OWN retrieved
+    set: ``n = (s - min) / (max - min)``, pinned to 1.0 when the list
+    has a single distinct score (max == min). Fused score =
+    ``w_lex * n_lex + w_vec * n_vec`` with a missing list contributing
+    0; the expression's f64 operation order is pinned (subtract, divide,
+    multiply, lexical + vector) so any engine reproduces it exactly.
+
+    Returns (rank, doc_id, fused, lex_norm, vec_norm) — rank 1..k by
+    (fused desc, doc_id asc); *_norm are NULL when that list missed the
+    document.
+
+    Plan shape: identical to :func:`hybrid_rrf_topk` — two audited
+    retrievals, then arithmetic over two operator-bounded frames; each
+    list's min/max is a 1-row aggregate broadcast back.
+    """
+    from sparklucene.search import search as _search
+
+    lex = _search(index, query, k=int(k_lex), mode=mode) \
+        .select("doc_id", F.col("score").cast("double").alias("s"))
+    lexn = (lex.crossJoin(F.broadcast(
+        lex.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))))
+        .select("doc_id",
+                F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+                .otherwise((F.col("s") - F.col("mn"))
+                           / (F.col("mx") - F.col("mn")))
+                .alias("lex_norm")))
+    vec = (cosine_topk(embeddings, [int(query_vec_id)], k=int(k_vec))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cosine").cast("double").alias("c")))
+    vecn = (vec.crossJoin(F.broadcast(
+        vec.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))))
+        .select("doc_id",
+                F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+                .otherwise((F.col("c") - F.col("mn"))
+                           / (F.col("mx") - F.col("mn")))
+                .alias("vec_norm")))
+    fused = lexn.join(vecn, "doc_id", "full_outer")
+
+    def _contrib(c: "F.Column", w: float) -> "F.Column":
+        return F.when(c.isNotNull(), F.lit(float(w)) * c).otherwise(
+            F.lit(0.0))
+
+    score = (_contrib(F.col("lex_norm"), w_lex)
+             + _contrib(F.col("vec_norm"), w_vec)).alias("fused")
+    wr = Window.orderBy(F.desc("fused"), F.asc("doc_id"))
+    return (fused.select("doc_id", score, "lex_norm", "vec_norm")
+            .withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("rank") <= int(k))
+            .select("rank", "doc_id", "fused", "lex_norm", "vec_norm"))
+
+
 def cluster_results(index, query, embeddings: DataFrame, k_docs: int = 30,
                     n_clusters: int = 4, iters: int = 2,
                     mode: str = "f64") -> DataFrame:

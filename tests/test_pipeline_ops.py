@@ -832,3 +832,60 @@ def test_hybrid_rrf_matches_independent_fusion(spark, embeddings):
                  None if r.isna()["vec_rank"] else int(r["vec_rank"]))
                 for _i, r in got.iterrows()]
     assert got_rows == want
+
+
+def test_hybrid_linear_matches_independent_fusion(spark, embeddings):
+    """hybrid_linear_topk == independently fusing the brute-force BM25
+    oracle's top-20 (min-max normalized) with a numpy cosine top-20
+    (min-max normalized), fused = 0.5*lex + 0.5*vec, exact doubles."""
+    from sparklucene.corpus import load_corpus
+    from sparklucene.driver_queries import index_for
+    from sparklucene.oracle import build_oracle_index, search_oracle
+    from sparklucene.query import Or, Term
+    from sparklucene.similarity import QUANT, hybrid_linear_topk
+
+    K, KL, KV = 10, 20, 20
+    idx = index_for(spark, SF)
+    q = Or((Term("merge"), Term("spark")))
+    got = hybrid_linear_topk(idx, q, embeddings, query_vec_id=0, k=K,
+                             k_lex=KL, k_vec=KV, w_lex=0.5, w_vec=0.5,
+                             mode="f64").toPandas()
+
+    oidx = build_oracle_index(load_corpus(spark, SF).toPandas())
+    lexpdf = search_oracle(oidx, q, k=KL, mode="f64")
+    ls = [(int(d), float(np.float64(np.float32(s))))
+          for d, s in zip(lexpdf["doc_id"], lexpdf["score"])]
+    mn, mx = min(s for _d, s in ls), max(s for _d, s in ls)
+    lex_n = {d: 1.0 if mx == mn else (s - mn) / (mx - mn) for d, s in ls}
+
+    pdf = embeddings.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                   * QUANT + 0.5).astype(np.int64)
+    qv = mat[int(np.flatnonzero(ids == 0)[0])]
+    cos = [(float(qv @ mat[i])
+            / (np.sqrt(float(qv @ qv)) * np.sqrt(float(mat[i] @ mat[i]))),
+            int(ids[i])) for i in range(len(ids)) if int(ids[i]) != 0]
+    cos.sort(key=lambda t: (-t[0], t[1]))
+    top = cos[:KV]
+    vmn, vmx = min(c for c, _d in top), max(c for c, _d in top)
+    vec_n = {d: 1.0 if vmx == vmn else (c - vmn) / (vmx - vmn)
+             for c, d in top}
+
+    fused = []
+    for d in sorted(set(lex_n) | set(vec_n)):
+        s = 0.0
+        if d in lex_n:
+            s = s + 0.5 * lex_n[d]
+        if d in vec_n:
+            s = s + 0.5 * vec_n[d]
+        fused.append((s, d))
+    fused.sort(key=lambda t: (-t[0], t[1]))
+    want = [(rk + 1, d, s,
+             lex_n.get(d), vec_n.get(d)) for rk, (s, d) in
+            enumerate(fused[:K])]
+    got_rows = [(int(r["rank"]), int(r["doc_id"]), float(r["fused"]),
+                 None if r.isna()["lex_norm"] else float(r["lex_norm"]),
+                 None if r.isna()["vec_norm"] else float(r["vec_norm"]))
+                for _i, r in got.iterrows()]
+    assert got_rows == want
