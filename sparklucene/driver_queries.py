@@ -2058,6 +2058,35 @@ def _window_entries() -> dict[str, tuple[Callable, str | None]]:
 SELECT doc_id, lang, n_chars FROM documents
 ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 20""")
 
+    # -- CursorMark over a FIELD sort (round 4; u8:solr/solrj/.../params/
+    # CursorMarkParams.java — deep paging beyond search_after's
+    # (score, doc_id) case): page 2 of the multi-field sort, cursor =
+    # page 1's last (lang, n_chars, doc_id) tuple, fetched k-bounded
+    # engine-side and re-derived as a scalar CTE oracle-side.
+    def cursor_fields(spark, sf):
+        from sparklucene.search import cursor_by_fields
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        spec = (("lang", "asc"), ("n_chars", "desc"), ("doc_id", "asc"))
+        p1 = cursor_by_fields(docs, spec, None, 20).collect()
+        last = sorted(p1, key=lambda r: (r["lang"], -r["n_chars"],
+                                         r["doc_id"]))[-1]
+        return cursor_by_fields(
+            docs, spec,
+            (last["lang"], last["n_chars"], last["doc_id"]), 20)
+    e["cursor_fieldsort_page2"] = (cursor_fields, """
+WITH p1 AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 20),
+last_key AS (
+  SELECT lang, n_chars, doc_id FROM p1
+  ORDER BY lang DESC, n_chars ASC, doc_id DESC LIMIT 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d CROSS JOIN last_key l
+WHERE d.lang > l.lang
+   OR (d.lang = l.lang AND d.n_chars < l.n_chars)
+   OR (d.lang = l.lang AND d.n_chars = l.n_chars AND d.doc_id > l.doc_id)
+ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id ASC LIMIT 20""")
+
     # sortMissingLast / sortMissingFirst (round 4; Solr FieldType sort
     # missing-value policy — u8:solr/core/.../schema/FieldType.java):
     # docs without the sort field land AFTER every present value on asc

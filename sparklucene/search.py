@@ -1121,6 +1121,45 @@ def search_after(index: Index, query: str | Query, k: int,
                   after=(float(after[0]), int(after[1])))
 
 
+def cursor_by_fields(df: DataFrame, sort: tuple[tuple[str, str], ...],
+                     after: tuple | None, k: int) -> DataFrame:
+    """Solr CursorMark over an arbitrary field sort
+    (u8:solr/solrj/.../params/CursorMarkParams.java public behavior,
+    generalizing :func:`search_after`'s (score, doc_id) special case):
+    keyset pagination where the cursor is the previous page's last
+    sort-key tuple and the next page filters strictly-after rows
+    (lexicographic in the sort spec) BEFORE the top-k.
+
+    ``sort`` is ``(("lang", "asc"), ("n_chars", "desc"), ("doc_id",
+    "asc"))`` — like Solr, the spec must end with the unique id so the
+    order is total and the cursor never skips or repeats. ``after=None``
+    returns page 1. Cursor values must be non-null (sort fields with
+    missing values need the sortMissing mapping first).
+
+    Scale shape — the reason cursorMark exists: the strictly-after
+    predicate is a plain column comparison pushed into the scan, and the
+    page is one TakeOrderedAndProject over survivors, so page N costs
+    the same as page 1 (no OFFSET re-scan, no server-held state; the
+    deep-export path for result sets a driver cannot hold).
+    """
+    if not sort or sort[-1][1] not in ("asc", "desc"):
+        raise ValueError("sort spec must be ((col, 'asc'|'desc'), ...)")
+    order = [F.asc(c) if d == "asc" else F.desc(c) for c, d in sort]
+    out = df
+    if after is not None:
+        if len(after) != len(sort):
+            raise ValueError("cursor arity != sort arity")
+        pred = None
+        for i, (col, direction) in enumerate(sort):
+            strict = (F.col(col) > F.lit(after[i]) if direction == "asc"
+                      else F.col(col) < F.lit(after[i]))
+            for j in range(i):
+                strict = strict & (F.col(sort[j][0]) == F.lit(after[j]))
+            pred = strict if pred is None else (pred | strict)
+        out = out.filter(pred)
+    return out.orderBy(*order).limit(int(k))
+
+
 def rerank(index: Index, main_query: "str | Query",
            rerank_query: "str | Query", k: int = 10, rerank_docs: int = 50,
            weight: float = 2.0, mode: str = "lucene8",

@@ -889,3 +889,35 @@ def test_hybrid_linear_matches_independent_fusion(spark, embeddings):
                  None if r.isna()["vec_norm"] else float(r["vec_norm"]))
                 for _i, r in got.iterrows()]
     assert got_rows == want
+
+
+def test_cursor_by_fields_walks_without_skip_or_repeat(spark, docs):
+    """Walking cursor pages reproduces the global sort exactly — no skip,
+    no repeat — and raises on a malformed cursor."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparklucene.search import cursor_by_fields
+
+    base = docs.select("doc_id", "lang", "n_chars")
+    spec = (("lang", "asc"), ("n_chars", "desc"), ("doc_id", "asc"))
+    want = [(r["doc_id"], r["lang"], r["n_chars"]) for r in
+            base.orderBy(F.asc("lang"), F.desc("n_chars"),
+                         F.asc("doc_id")).collect()]
+
+    got, after, k = [], None, 60
+    while True:
+        page = [(r["doc_id"], r["lang"], r["n_chars"]) for r in sorted(
+            cursor_by_fields(base, spec, after, k).collect(),
+            key=lambda r: (r["lang"], -r["n_chars"], r["doc_id"]))]
+        if not page:
+            break
+        got.extend(page)
+        d, lg, nc = page[-1]
+        after = (lg, nc, d)
+        if len(page) < k:
+            break
+    assert got == want
+
+    with _pytest.raises(ValueError, match="arity"):
+        cursor_by_fields(base, spec, ("en", 5), 10)
