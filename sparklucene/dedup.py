@@ -73,13 +73,10 @@ def minhash_signatures(docs: DataFrame, shingle: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, shingle: int = 3,
-                        rows_per_band: int = 2) -> DataFrame:
-    """Banded-LSH near-dup candidates: docs sharing >= 1 full band.
-
-    Bands of ``rows_per_band`` signature rows; equi-join on (band_id,
-    band_key) — the LSH trick that replaces the O(n^2) similarity scan.
-    """
+def _band_rows(docs: DataFrame, shingle: int,
+               rows_per_band: int) -> DataFrame:
+    """(doc_id, band_id, band_key) rows: signatures split into bands of
+    ``rows_per_band`` rows, keys concatenated for the LSH equi-join."""
     sigs = minhash_signatures(docs, shingle)
     n_bands = len(MINHASH_COEFFS) // rows_per_band
     bands = [
@@ -88,13 +85,47 @@ def lsh_candidate_pairs(docs: DataFrame, shingle: int = 3,
                                     for r in range(rows_per_band)]).alias("band_key"))
         for b in range(n_bands)
     ]
-    exploded = (sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
-                .select("doc_id", "b.band_id", "b.band_key"))
+    return (sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+            .select("doc_id", "b.band_id", "b.band_key"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, shingle: int = 3,
+                        rows_per_band: int = 2) -> DataFrame:
+    """Banded-LSH near-dup candidates: docs sharing >= 1 full band.
+
+    Bands of ``rows_per_band`` signature rows; equi-join on (band_id,
+    band_key) — the LSH trick that replaces the O(n^2) similarity scan.
+    """
+    exploded = _band_rows(docs, shingle, rows_per_band)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (a.join(b, ["band_id", "band_key"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def lsh_candidates_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
+                               shingle: int = 3,
+                               rows_per_band: int = 2) -> DataFrame:
+    """Incremental near-dup screening — the production shape for a
+    GROWING corpus (public practice: dedup pipelines, e.g. Lee et al.
+    2022, run per crawl snapshot against the already-ingested corpus):
+    band-join the NEW batch's MinHash signatures against the existing
+    corpus's, returning (new_doc, corpus_doc) candidate pairs.
+
+    Per-doc signatures depend only on the doc's own text, so the corpus
+    side is exactly the signature/band table a production run would have
+    PERSISTED at ingest — this job recomputes it from text for
+    self-containment, but the join shape is the incremental one: cost
+    scales with |new| × collision rate, never corpus × corpus, and never
+    new × new (intra-batch dedup stays :func:`lsh_candidate_pairs`).
+    """
+    nb = _band_rows(new_docs, shingle, rows_per_band).alias("n")
+    cb = _band_rows(corpus_docs, shingle, rows_per_band).alias("c")
+    return (nb.join(cb, ["band_id", "band_key"])
+            .select(F.col("n.doc_id").alias("new_doc"),
+                    F.col("c.doc_id").alias("corpus_doc"))
             .distinct())
 
 

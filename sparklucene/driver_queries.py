@@ -2954,6 +2954,24 @@ FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key
  AND a.doc_id < b.doc_id""")
 
+    # -- Incremental LSH dedup (round 4): the per-crawl-snapshot shape —
+    # a deterministic "new batch" (doc_id % 10 == 3) band-joined against
+    # the remaining corpus only. MinHash is per-doc, so the oracle
+    # computes one signature table and splits it; the engine computes the
+    # two sides from their own texts (the persisted-signature-table
+    # production pattern).
+    def lsh_incr(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dedup.lsh_candidates_incremental(
+            docs.filter(F.col("doc_id") % 10 == 3),
+            docs.filter(F.col("doc_id") % 10 != 3))
+    e["dedup_lsh_incremental"] = (lsh_incr, f"""WITH {minhash_ctes},
+bands AS ({band_selects})
+SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+FROM bands n JOIN bands c
+  ON n.band_id = c.band_id AND n.band_key = c.band_key
+WHERE n.doc_id % 10 = 3 AND c.doc_id % 10 != 3""")
+
     simhash_ctes = f"""
 base AS (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM base GROUP BY 1, 2),

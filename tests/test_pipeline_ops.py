@@ -921,3 +921,25 @@ def test_cursor_by_fields_walks_without_skip_or_repeat(spark, docs):
 
     with _pytest.raises(ValueError, match="arity"):
         cursor_by_fields(base, spec, ("en", 5), 10)
+
+
+def test_lsh_incremental_equals_cross_split_slice(spark, docs):
+    """Incremental candidates (new batch vs corpus) == the all-pairs
+    LSH candidate set restricted to cross-split pairs: no pair is
+    invented and none lost by splitting the computation."""
+    from pyspark.sql import functions as F
+
+    from sparklucene.dedup import (lsh_candidate_pairs,
+                                   lsh_candidates_incremental)
+
+    new = docs.filter(F.col("doc_id") % 10 == 3)
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    inc = {(r["new_doc"], r["corpus_doc"]) for r in
+           lsh_candidates_incremental(new, old).collect()}
+    assert inc, "expected cross-batch candidates in the organic dups"
+
+    allp = {(r["doc_a"], r["doc_b"]) for r in
+            lsh_candidate_pairs(docs).collect()}
+    want = {(a, b) if a % 10 == 3 else (b, a)
+            for a, b in allp if (a % 10 == 3) != (b % 10 == 3)}
+    assert inc == want
