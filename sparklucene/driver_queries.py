@@ -3099,6 +3099,33 @@ ranked AS (
   FROM scored)
 SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5""")
 
+    # -- PRE-filtered exact ANN (round 4; Lucene KnnFloatVectorQuery
+    # acceptDocs / Solr {!knn}+fq semantics): candidates restricted to
+    # lang='en' docs BEFORE scoring — each query's top-5 comes from the
+    # filtered pool (post-filtering could return < 5).
+    def ann_filtered(spark, sf):
+        return sim.cosine_topk_filtered(
+            _t(spark, sf, "embeddings"), _t(spark, sf, "documents"),
+            F.col("lang") == "en", QIDS, k=5)
+    e["ann_filtered_topk"] = (ann_filtered, f"""WITH {quant_ctes},
+fpairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]))::BIGINT AS dot,
+         a.norm2 AS qn, b.norm2 AS bn
+  FROM nv a JOIN nv b ON b.vec_id != a.vec_id
+  JOIN documents d ON b.vec_id = d.doc_id
+  WHERE a.vec_id IN ({qids_sql}) AND d.lang = 'en'),
+fscored AS (
+  SELECT qid, vec_id,
+         dot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE))) AS cosine
+  FROM fpairs),
+franked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM fscored)
+SELECT qid, rank, vec_id, cosine FROM franked WHERE rank <= 5""")
+
     # -- MMR result diversification (round 4; Carbonell & Goldstein,
     # SIGIR 1998): greedy unrolled to k=3 in the oracle; (1-lam) is
     # written (1.0 - 0.7) so both sides use the identical f64 constant.

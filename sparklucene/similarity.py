@@ -585,6 +585,47 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("qid", "rank", "vec_id", "adc_cosine"))
 
 
+def cosine_topk_filtered(embeddings: DataFrame, docs: DataFrame,
+                         predicate, query_ids: list[int],
+                         k: int = 5) -> DataFrame:
+    """PRE-filtered exact vector search — the filter+knn composition
+    (public semantics: Lucene's KnnFloatVectorQuery acceptDocs / Solr 9's
+    ``{!knn}`` with ``fq``): the attribute ``predicate`` (a Column over
+    ``docs``) restricts the candidate pool BEFORE scoring, so every query
+    gets its true top-k FROM THE FILTERED POOL — post-filtering a top-k
+    list can silently return fewer than k, which is why engines implement
+    the pre-filter form. Query vectors are looked up by id in the
+    unfiltered table (the query need not satisfy its own filter).
+
+    Returns (qid, rank, vec_id, cosine) like :func:`cosine_topk`.
+
+    Scale shape: the predicate evaluates on the docs table and reaches
+    the candidate side as a broadcastable left-semi join on vec_id (with
+    a selective filter Catalyst prunes partitions/row-groups before any
+    vector arithmetic); scoring and per-query top-k are then exactly
+    :func:`cosine_topk`'s audited plan over the survivors.
+    """
+    allowed = docs.filter(predicate).select(
+        F.col("doc_id").alias("vec_id"))
+    base = quantize(embeddings).select("vec_id", "q", "norm2")
+    queries = (base.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
+               .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                       F.col("norm2").alias("qnorm2")))
+    cand = base.join(allowed, "vec_id", "left_semi")
+    pairs = cand.crossJoin(F.broadcast(queries)) \
+        .filter(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = pairs.select(
+        "qid", "vec_id",
+        (dot / (F.sqrt(F.col("qnorm2").cast("double"))
+                * F.sqrt(F.col("norm2").cast("double")))).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "vec_id", "cosine"))
+
+
 def hybrid_rrf_topk(index, query, embeddings: DataFrame, query_vec_id: int,
                     k: int = 10, k_lex: int = 20, k_vec: int = 20,
                     rrf_k: int = 60, mode: str = "f64") -> DataFrame:

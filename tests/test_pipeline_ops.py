@@ -943,3 +943,31 @@ def test_lsh_incremental_equals_cross_split_slice(spark, docs):
     want = {(a, b) if a % 10 == 3 else (b, a)
             for a, b in allp if (a % 10 == 3) != (b % 10 == 3)}
     assert inc == want
+
+
+def test_filtered_ann_guarantees_k_from_filtered_pool(spark, docs,
+                                                      embeddings):
+    """Pre-filter semantics: every returned neighbor satisfies the
+    filter; k results come from the filtered pool even where
+    post-filtering the unfiltered top-k would keep fewer."""
+    from pyspark.sql import functions as F
+
+    from sparklucene.similarity import cosine_topk, cosine_topk_filtered
+
+    K = 5
+    out = cosine_topk_filtered(embeddings, docs, F.col("lang") == "en",
+                               [0, 1, 2], k=K).toPandas()
+    en = {r["doc_id"] for r in
+          docs.filter(F.col("lang") == "en").select("doc_id").collect()}
+    assert set(out["vec_id"]).issubset(en)
+    assert all((out["qid"] == q).sum() == K for q in (0, 1, 2))
+
+    # equivalence: filtered top-k == unfiltered ranking restricted to
+    # the allowed pool (k ≫ pool prefix so the slice is well-defined)
+    big = cosine_topk(embeddings, [0], k=10_000).toPandas()
+    want = [v for v in big[big["qid"] == 0]["vec_id"] if v in en][:K]
+    got = out[out["qid"] == 0].sort_values("rank")["vec_id"].tolist()
+    assert got == want
+    # and post-filtering the plain top-K would lose results here
+    assert len([v for v in big[big["qid"] == 0]["vec_id"][:K]
+                if v in en]) < K
