@@ -323,3 +323,56 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         if converged:
             break
     return labels.orderBy("node")
+
+
+def semantic_dedup(embeddings: DataFrame, n_clusters: int = 4,
+                   iters: int = 2, min_cosine: float = 0.9) -> DataFrame:
+    """SemDeDup (public knowledge: Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv 2023): cluster the embedding space, then
+    remove items that are near-duplicates of another item INSIDE their
+    cluster — the method's point being that clustering bounds the
+    quadratic comparison to within-cluster pairs.
+
+    Clustering is the engine's pinned deterministic spherical k-means
+    (:func:`sparklucene.similarity.ivf_index` — md5-seeded, integer-sum
+    centroids, exact-int cosine assignment). Pinned removal rule (an
+    id-ordered, layout-independent variant of the paper's random-order
+    greedy): a doc is REMOVED when ANY smaller-id doc in its cluster has
+    cosine >= ``min_cosine`` to it; the smallest such dropper and that
+    pair's cosine are reported. Zero vectors never match (no direction).
+
+    Returns the REMOVED rows: (vec_id, centroid, dropped_by, cosine).
+
+    Scale shape — the paper's own argument: k clusters cut the pair work
+    to ~n²/k, embarrassingly parallel by centroid (the self-join is
+    equi-keyed on centroid); assignment reuses ivf_index's audited plan
+    (centroids as plan literals, partial-agg updates). Pair cosines are
+    exact integer dot/norms in one double expression — JVM codegen, no
+    Python.
+    """
+    from pyspark.sql import Window
+
+    from sparklucene.similarity import ivf_index
+
+    assigned, _cents = ivf_index(embeddings, n_centroids=n_clusters,
+                                 iters=iters)
+    m = assigned.filter(F.col("norm2") > 0) \
+        .select("vec_id", "centroid", "q", "norm2")
+    a, b = m.alias("a"), m.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cos = (dot / (F.sqrt(F.col("a.norm2").cast("double"))
+                  * F.sqrt(F.col("b.norm2").cast("double"))))
+    pairs = (a.join(b, (F.col("a.centroid") == F.col("b.centroid"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("b.vec_id").alias("vec_id"),
+                     F.col("b.centroid").alias("centroid"),
+                     F.col("a.vec_id").alias("dropped_by"),
+                     cos.alias("cosine"))
+             .filter(F.col("cosine") >= float(min_cosine)))
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dropped_by"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid", "dropped_by", "cosine"))

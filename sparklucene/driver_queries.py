@@ -3390,6 +3390,72 @@ SELECT qid, rank, vec_id, centroid, cosine FROM ranked WHERE rank <= 5"""
                                               iters=2, nprobe=1),
         ivf_sql)
 
+    # -- SemDeDup (round 4; Abbas et al. 2023): cluster embeddings with
+    # the SAME pinned k-means as ann_ivf_topk, then drop any doc with a
+    # smaller-id same-cluster neighbor at cosine >= 0.9 (the id-ordered
+    # deterministic variant of the paper's random-order greedy). The
+    # oracle reuses the seeds/a1..a3/u1..u2 CTE chain verbatim (over a
+    # redefined nv), then forms within-cluster pairs only. The synthetic
+    # embeddings are near-orthogonal (max pairwise cosine ~0.51), so the
+    # pinned fixture rule both sides apply — every vec_id % 17 == 5 row
+    # gains an exact copy at id+10_000_000 — makes the rule bite:
+    # each copy lands in its original's cluster and is dropped by it.
+    def semdedup(spark, sf):
+        from sparklucene import dedup as _dd
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        aug = (emb.filter(F.col("vec_id") % 17 == 5)
+               .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                       "embedding"))
+        return _dd.semantic_dedup(emb.unionByName(aug),
+                                  n_clusters=4, iters=2, min_cosine=0.9)
+    semdedup_sql = f"""WITH sd_base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 17 = 5),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 4096 + 0.5)::BIGINT) AS q
+  FROM sd_base),
+nv AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2
+  FROM qv),
+qd AS (
+  SELECT vec_id, unnest(q) AS val, unnest(range(len(q))) AS dim FROM nv),
+seeds AS (
+  SELECT vec_id, q, norm2 FROM (
+    SELECT vec_id, q, norm2,
+           ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM nv WHERE norm2 > 0
+    ORDER BY h, vec_id LIMIT 4)),
+c0n AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS s,
+         norm2::BIGINT AS snorm2
+  FROM seeds),
+{_ivf_assign("a1", "c0n")},
+{_ivf_update(1)},
+{_ivf_assign("a2", "c1n")},
+{_ivf_update(2)},
+{_ivf_assign("a3", "c2n")},
+sd_pairs AS (
+  SELECT b.vec_id AS vec_id, b.centroid AS centroid,
+         a.vec_id AS dropped_by,
+         list_sum(list_transform(list_zip(x.q, y.q), z -> z[1] * z[2]))::BIGINT
+           / (sqrt(CAST(x.norm2 AS DOUBLE)) * sqrt(CAST(y.norm2 AS DOUBLE)))
+           AS cosine
+  FROM a3 a JOIN a3 b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+  JOIN nv x ON x.vec_id = a.vec_id
+  JOIN nv y ON y.vec_id = b.vec_id
+  WHERE x.norm2 > 0 AND y.norm2 > 0),
+sd_hit AS (
+  SELECT vec_id, centroid, dropped_by, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dropped_by ASC) AS rn
+  FROM sd_pairs WHERE cosine >= 0.9)
+SELECT vec_id, centroid, dropped_by, cosine FROM sd_hit WHERE rn = 1"""
+    e["dedup_semantic_semdedup"] = (semdedup, semdedup_sql)
+
     # -- Product quantization ADC (round 4; Jégou et al., TPAMI 2011):
     # m=4 subspace codebooks learned by the SAME pinned integer k-means
     # as ann_ivf_topk, one per subspace; candidates scored from their

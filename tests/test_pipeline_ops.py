@@ -971,3 +971,28 @@ def test_filtered_ann_guarantees_k_from_filtered_pool(spark, docs,
     # and post-filtering the plain top-K would lose results here
     assert len([v for v in big[big["qid"] == 0]["vec_id"][:K]
                 if v in en]) < K
+
+
+def test_semantic_dedup_drops_injected_copies(spark, embeddings):
+    """Exact copies land in their original's cluster and are dropped by
+    it (cosine 1.0); survivors have no within-cluster pair >= tau."""
+    from pyspark.sql import functions as F
+
+    from sparklucene.dedup import semantic_dedup
+
+    emb = embeddings.select("vec_id", "embedding")
+    aug = emb.filter(F.col("vec_id") % 17 == 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    out = semantic_dedup(emb.unionByName(aug), n_clusters=4, iters=2,
+                         min_cosine=0.9).toPandas()
+    injected = {r["vec_id"] + 10_000_000 for r in
+                emb.filter(F.col("vec_id") % 17 == 5).collect()}
+    assert injected, "fixture rule must select some rows"
+    got = dict(zip(out["vec_id"], out["dropped_by"]))
+    # every injected copy is dropped, and by its original (smallest
+    # same-cluster neighbor over tau — the only one on this corpus)
+    assert set(got) == injected
+    assert all(got[v] == v - 10_000_000 for v in injected)
+    # cosine of an exact copy: dot == n2 but sqrt(n2)*sqrt(n2) can be an
+    # ulp off n2, so the pinned expression yields 1.0 within 1 ulp
+    assert (np.abs(out["cosine"].to_numpy() - 1.0) < 1e-15).all()
