@@ -1425,6 +1425,118 @@ WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
   AND d.n_chars >= 300
 GROUP BY d.lang ORDER BY cnt DESC, d.lang ASC""")
 
+    # -- facet.range over a DATE field with gap arithmetic, hardend and
+    # other=all buckets (round 4; u8:solr/core/.../request/
+    # SimpleFacets.java getFacetRangeCounts + RangeEndpointCalculator):
+    # 6-day gaps from 2024-01-03 to 2024-01-24 — NOT a gap multiple, so
+    # hardend=false keeps the 4th bucket a full gap wide and the range's
+    # effective end is 2024-01-27; `before`/`between`/`after` count
+    # against that boundary. Every bucket is emitted (mincount=0 spine).
+    _DR_START, _DR_END, _DR_GAP = "2024-01-03 00:00:00", \
+        "2024-01-24 00:00:00", 6
+
+    def facet_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.facets import range_facet_date
+        ev = _t(spark, sf_dir, "events")
+        return range_facet_date(ev, "ts", _DR_START, _DR_END, _DR_GAP,
+                                hardend=False)
+
+    from sparklucene.facets import date_range_buckets
+    _dr_spine, _dr_s, _dr_gap_s, _dr_ae = date_range_buckets(
+        _DR_START, _DR_END, _DR_GAP, hardend=False)
+    _dr_vals = ", ".join(f"({i}, '{lbl}')" for i, lbl in _dr_spine)
+    e["facet_range_date_events"] = (facet_range_date, f"""
+WITH ep AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+counts AS (
+  SELECT CAST(floor((e - {_dr_s}) / {_dr_gap_s}) AS BIGINT) AS i,
+         count(*)::BIGINT AS cnt
+  FROM ep WHERE e >= {_dr_s} AND e < {_dr_ae} GROUP BY 1),
+spine(i, bucket) AS (VALUES {_dr_vals}),
+buckets AS (
+  SELECT s.bucket, coalesce(c.cnt, 0)::BIGINT AS cnt
+  FROM spine s LEFT JOIN counts c ON s.i = c.i),
+o AS (
+  SELECT sum(CASE WHEN e < {_dr_s} THEN 1 ELSE 0 END)::BIGINT AS c_before,
+         sum(CASE WHEN e >= {_dr_s} AND e < {_dr_ae} THEN 1 ELSE 0 END)::BIGINT AS c_between,
+         sum(CASE WHEN e >= {_dr_ae} THEN 1 ELSE 0 END)::BIGINT AS c_after
+  FROM ep)
+SELECT bucket, cnt FROM buckets
+UNION ALL SELECT 'before', c_before FROM o
+UNION ALL SELECT 'between', c_between FROM o
+UNION ALL SELECT 'after', c_after FROM o
+ORDER BY bucket""")
+
+    # -- grouping: group.ngroups (round 4; u8:solr/core/.../search/
+    # grouping/.../TermGroupFacetCollector.java + CommandHandler
+    # totalGroupCount): the matching-doc count AND the number of
+    # distinct groups among matches, one row. The distinct-group count
+    # is a partial-aggregated two-level groupBy — no global sort.
+    def grp_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        docs = _t(spark, sf_dir, "documents")
+        hits = matches(idx, Or((Term("merge"), Term("join"))),
+                       mode="f64").select("doc_id")
+        return (hits.join(docs.select("doc_id", "source"), "doc_id")
+                .agg(F.count("*").alias("matches"),
+                     F.countDistinct("source").cast("long")
+                     .alias("ngroups")))
+    e["grouping_ngroups_matches"] = (grp_ngroups, f"""WITH {corpus_ctes()}
+SELECT count(*)::BIGINT AS matches,
+       count(DISTINCT d.source)::BIGINT AS ngroups
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf
+                   WHERE term IN ('merge', 'join'))""")
+
+    # -- group.facet=true (round 4; same TermGroupFacetCollector): facet
+    # counts where each GROUP (source) counts once per facet value, not
+    # each document — grouped-faceting for deduplicated UIs.
+    def grp_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        docs = _t(spark, sf_dir, "documents")
+        hits = matches(idx, Or((Term("merge"), Term("join"))),
+                       mode="f64").select("doc_id")
+        return (hits.join(docs.select("doc_id", "lang", "source"),
+                          "doc_id")
+                .groupBy("lang")
+                .agg(F.countDistinct("source").cast("long")
+                     .alias("group_cnt"),
+                     F.count("*").alias("doc_cnt"))
+                .orderBy("lang"))
+    e["grouping_group_facet_lang"] = (grp_facet, f"""WITH {corpus_ctes()}
+SELECT d.lang, count(DISTINCT d.source)::BIGINT AS group_cnt,
+       count(*)::BIGINT AS doc_cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf
+                   WHERE term IN ('merge', 'join'))
+GROUP BY d.lang ORDER BY d.lang""")
+
+    # -- JSON Facet API: buckets sorted by a SUB-STATISTIC rather than
+    # count, plus numBuckets (round 4; u8:solr/core/.../search/facet/
+    # FacetFieldProcessor.java sort:"avg_chars desc" + numBuckets:true).
+    # Division pinned as sum::long / count::double (one IEEE f64 op) on
+    # both sides; ties broken by bucket value.
+    def json_facet_stat_sorted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        b = (docs.groupBy("source")
+             .agg(F.count("*").alias("cnt"),
+                  F.sum("n_chars").cast("long").alias("sc")))
+        nb = b.agg(F.count("*").cast("long").alias("num_buckets"))
+        return (b.withColumn("avg_chars",
+                             F.col("sc") / F.col("cnt").cast("double"))
+                .orderBy(F.desc("avg_chars"), F.asc("source")).limit(5)
+                .crossJoin(F.broadcast(nb))
+                .select("source", "cnt", "avg_chars", "num_buckets")
+                .orderBy(F.desc("avg_chars"), F.asc("source")))
+    e["json_facet_stat_sorted"] = (json_facet_stat_sorted, """
+WITH b AS (
+  SELECT source, count(*)::BIGINT AS cnt,
+         sum(n_chars)::BIGINT / CAST(count(*) AS DOUBLE) AS avg_chars
+  FROM documents GROUP BY source),
+nb AS (SELECT count(*)::BIGINT AS num_buckets FROM b)
+SELECT source, cnt, avg_chars, num_buckets FROM b CROSS JOIN nb
+ORDER BY avg_chars DESC, source ASC LIMIT 5""")
+
     return e
 
 

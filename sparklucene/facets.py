@@ -54,3 +54,81 @@ def multiselect_facets(base: DataFrame,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("facet_field", F.desc("cnt"), F.asc("value"))
+
+
+def date_range_buckets(start: str, end: str, gap_days: int,
+                       hardend: bool = False,
+                       ) -> "tuple[list[tuple[int, str]], int, int, int]":
+    """Operator-constant bucket plan for a Solr date range facet.
+
+    Returns ``(spine, start_epoch, gap_secs, actual_end_epoch)`` where
+    ``spine`` is ``[(bucket_index, 'YYYY-MM-DD HH:MM:SS'), ...]`` for
+    every bucket from ``start`` (inclusive). Solr semantics
+    (u8:solr/core/.../request/SimpleFacets.java getFacetRangeCounts +
+    RangeEndpointCalculator): buckets are ``gap_days`` wide; when
+    ``end - start`` is not a gap multiple, ``hardend=False`` keeps the
+    last bucket a FULL gap wide (its end extends past ``end``) while
+    ``hardend=True`` clips the range at ``end``. ``actual_end_epoch``
+    is the boundary the ``other`` counts use: ``after`` counts
+    ``ts >= actual_end``, ``before`` counts ``ts < start``, ``between``
+    counts the rest (facet.other=all).
+    """
+    from datetime import datetime
+    fmt = "%Y-%m-%d %H:%M:%S"
+    s = datetime.strptime(start, fmt)
+    e = datetime.strptime(end, fmt)
+    if e <= s or gap_days <= 0:
+        raise ValueError("end must follow start and gap must be positive")
+    gap_secs = gap_days * 86400
+    span = int((e - s).total_seconds())
+    n_buckets = -(-span // gap_secs)          # ceil
+    import calendar
+    s_epoch = calendar.timegm(s.timetuple())
+    actual_end = (s_epoch + n_buckets * gap_secs if not hardend
+                  else s_epoch + span)
+    spine = []
+    for i in range(n_buckets):
+        bs = datetime.utcfromtimestamp(s_epoch + i * gap_secs)
+        spine.append((i, bs.strftime(fmt)))
+    return spine, s_epoch, gap_secs, actual_end
+
+
+def range_facet_date(df: DataFrame, field: str, start: str, end: str,
+                     gap_days: int, hardend: bool = False) -> DataFrame:
+    """Solr ``facet.range`` over a date field with ``facet.other=all``.
+
+    Emits one row per bucket — EVERY bucket, mincount=0, via an
+    operator-constant spine — labeled by its start timestamp string,
+    plus the three ``other`` rows labeled ``before`` / ``between`` /
+    ``after``. Columns ``(bucket, cnt)``, ordered by label.
+
+    Scale shape: one narrow projection (epoch + integer floor-divide)
+    feeding one partially-aggregated groupBy over an operator-constant
+    key domain; the spine and the 3-row ``other`` frame are constant-
+    size unions — nothing data-proportional leaves the executors.
+    """
+    spark = df.sparkSession
+    spine, s_epoch, gap_secs, actual_end = date_range_buckets(
+        start, end, gap_days, hardend)
+    # timestamp -> whole epoch seconds (floor; all test data is > 1970).
+    # TIMESTAMP_NTZ has no direct long cast; go through TIMESTAMP — the
+    # session timezone is pinned UTC, so ntz values convert 1:1 and the
+    # epoch matches DuckDB's naive-as-UTC epoch().
+    e = F.col(field).cast("timestamp").cast("long")
+    in_range = (e >= s_epoch) & (e < actual_end)
+    idx = F.floor((e - F.lit(s_epoch)) / F.lit(gap_secs)).cast("long")
+    counts = (df.filter(in_range)
+              .groupBy(idx.alias("i")).agg(F.count("*").alias("cnt")))
+    spine_df = spark.createDataFrame(spine, "i long, bucket string")
+    buckets = (F.broadcast(spine_df).join(counts, "i", "left")
+               .select("bucket",
+                       F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")))
+    other = df.agg(
+        F.sum((e < s_epoch).cast("long")).alias("before"),
+        F.sum(in_range.cast("long")).alias("between"),
+        F.sum((e >= actual_end).cast("long")).alias("after"))
+    other_rows = other.selectExpr(
+        "stack(3, 'before', coalesce(before, 0), "
+        "'between', coalesce(between, 0), "
+        "'after', coalesce(after, 0)) AS (bucket, cnt)")
+    return buckets.unionByName(other_rows).orderBy("bucket")

@@ -41,3 +41,50 @@ def test_no_filters_counts_everything(spark):
                              facets={"lang": set()})
     rows = [(r["value"], r["cnt"]) for r in out.collect()]
     assert rows == [("de", 2), ("en", 2), ("fr", 1)]
+
+
+# --------------------------------------------------------------------------
+# date range facet (facets.range_facet_date) — gap / hardend / other
+# --------------------------------------------------------------------------
+
+def _events(spark):
+    rows = [(i, f"2024-01-{d:02d} 12:00:00") for i, d in enumerate(
+        [1, 2, 3, 3, 8, 9, 14, 20, 23, 25, 28, 30])]
+    return spark.createDataFrame(rows, "event_id long, ts_s string") \
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def test_date_range_hardend_false_extends_last_bucket(spark):
+    from sparklucene.facets import range_facet_date
+    out = {r["bucket"]: r["cnt"] for r in range_facet_date(
+        _events(spark), "ts", "2024-01-03 00:00:00",
+        "2024-01-24 00:00:00", 6, hardend=False).collect()}
+    # buckets: 01-03, 01-09, 01-15, 01-21 (last is FULL width -> ends
+    # 01-27, so the 01-25 event is INSIDE it and `after` starts 01-27)
+    assert out["2024-01-03 00:00:00"] == 3   # days 3, 3, 8
+    assert out["2024-01-09 00:00:00"] == 2   # 9, 14
+    assert out["2024-01-15 00:00:00"] == 1   # 20
+    assert out["2024-01-21 00:00:00"] == 2   # 23, 25
+    assert out["before"] == 2 and out["after"] == 2  # 1,2 | 28,30
+    assert out["between"] == 8
+
+
+def test_date_range_hardend_true_clips_at_end(spark):
+    from sparklucene.facets import range_facet_date
+    out = {r["bucket"]: r["cnt"] for r in range_facet_date(
+        _events(spark), "ts", "2024-01-03 00:00:00",
+        "2024-01-24 00:00:00", 6, hardend=True).collect()}
+    # hardend: range ends at 01-24 exactly; the 01-25 event is `after`
+    assert out["2024-01-21 00:00:00"] == 1   # 23 only
+    assert out["after"] == 3                 # 25, 28, 30
+    assert out["between"] == 7
+
+
+def test_date_range_zero_count_buckets_present(spark):
+    from sparklucene.facets import range_facet_date
+    df = _events(spark).filter(F.col("event_id") == 0)  # one event, day 1
+    out = {r["bucket"]: r["cnt"] for r in range_facet_date(
+        df, "ts", "2024-01-03 00:00:00", "2024-01-24 00:00:00", 6).collect()}
+    assert out["2024-01-03 00:00:00"] == 0
+    assert out["2024-01-15 00:00:00"] == 0
+    assert out["before"] == 1 and out["between"] == 0
