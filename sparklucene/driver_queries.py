@@ -4974,6 +4974,7 @@ def _multifield_entries() -> dict[str, tuple[Callable, str | None]]:
     from sparklucene.build import Field
     from sparklucene.query import DisMax
 
+    stop = stoplist_sql()
     e: dict[str, tuple[Callable, str | None]] = {}
     tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
                             "g.sum_dl")
@@ -5057,6 +5058,64 @@ SELECT term, df, cf FROM kv
 WHERE term IN ('lang' || chr(31) || 'en', 'lang' || chr(31) || 'de',
                'repo' || chr(31) || 'src1')
 ORDER BY term""")
+
+    # -- copyField catch-all (round 4; Solr schema <copyField source=...
+    # dest=...> — u8:solr/core/.../schema/IndexSchema.java copyFields,
+    # u8:solr/core/.../update/DocumentBuilder.java): multiple source
+    # fields concatenate into one analyzed destination field with its
+    # OWN length norms and stats — the classic `df` catch-all. Here
+    # content + lang + repo copy into `catchall` (standard chain), so a
+    # term that never appears in the text body (the lang value 'de')
+    # still matches through the catch-all, and scores use catchall's
+    # per-field dl/avgdl (body length + 2 copied tokens).
+    def copyfield(spark, sf):
+        def add_catchall(c):
+            return c.withColumn(
+                "catchall", F.concat_ws(" ", "content", "lang", "repo"))
+        idx = index_for(spark, sf, variant="copyfield",
+                        transform=add_catchall,
+                        extra_fields=(Field("catchall", "catchall"),))
+        q = Or((Term("de", field="catchall"),
+                Term("merge", field="catchall")))
+        return search(idx, q, k=10, mode="f64")
+    ca_score = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
+                              "g.sum_dl")
+    e["copyfield_catchall_search"] = (copyfield, f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           lower(text || ' ' || lang || ' ' || source),
+           '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term NOT IN {stop}
+  GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id) t
+  USING (doc_id)
+),
+meta AS (
+  SELECT doc_id, dl, {quantize_length_sql('dl')}::BIGINT AS dlq FROM doclen
+),
+gstats AS (
+  SELECT count(*) FILTER (WHERE dl >= 1)::BIGINT AS doc_count,
+         sum(dl)::BIGINT AS sum_dl
+  FROM meta
+),
+tstats AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+),
+term_scores AS (
+  SELECT tf.doc_id, {ca_score} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('de', 'merge'))
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM term_scores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""")
 
     return e
 
@@ -5802,6 +5861,26 @@ ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
     e["suggest_infix_topk"] = (infix, f"""WITH {corpus_ctes()}
 SELECT term, df, cf FROM tstats
 WHERE term LIKE '%ar%' ORDER BY cf DESC, term ASC LIMIT 8""")
+
+    # -- context-filtered suggestions (round 4; Solr suggester
+    # contextField / suggest.cfq — u8:solr/core/.../spelling/suggest/
+    # SolrSuggester.java, u8:lucene/suggest/.../analyzing/
+    # AnalyzingInfixSuggester.java contexts): the dictionary is built
+    # from ONLY the matching context slice (lang='de'), so popularity
+    # ranks differ from the corpus-wide prefix suggester.
+    def ctx_sugg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.suggest import context_suggest
+        return context_suggest(_t(spark, sf_dir, "documents"), "me",
+                               "lang", "de", k=10)
+    e["suggest_context_filtered"] = (ctx_sugg, f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents WHERE lang = 'de'),
+ts AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+              count(*)::BIGINT AS cf
+       FROM tok WHERE term NOT IN {stoplist_sql()} GROUP BY term)
+SELECT term, df, cf FROM ts WHERE term LIKE 'me%'
+ORDER BY cf DESC, term ASC LIMIT 10""")
 
     # -- free-text next-token suggestion (round 4; u8:lucene/suggest/
     # .../analyzing/FreeTextSuggester.java): corpus bigram model with

@@ -241,3 +241,34 @@ def collate(idx, words: "tuple[str, ...]", max_edits: int = 2,
     hits = int(total_hits(idx, q).collect()[0]["total_hits"])
     return idx.spark.createDataFrame(
         [(" ".join(corrected), hits)], "collation string, hits long")
+
+
+def context_suggest(docs: DataFrame, prefix: str, context_col: str,
+                    context_value: str, k: int = 10,
+                    text_col: str = "text") -> DataFrame:
+    """Context-filtered suggestions — Solr's suggester ``contextField``
+    / ``suggest.cfq`` (public knowledge: u8:solr/core/.../spelling/
+    suggest/SolrSuggester.java context filtering,
+    u8:lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java
+    contexts): the dictionary is restricted to documents whose context
+    field matches BEFORE ranking, so suggestions reflect only the
+    selected slice (e.g. one language). Returns (term, df, cf) for
+    dictionary terms starting with ``prefix``, ranked by collection
+    frequency then term.
+
+    Plan shape: the context filter pushes down to the corpus scan
+    (partition/row-group pruning on a real layout), the token stream is
+    one Arrow-batched narrow pass, and the (term) aggregation partial-
+    aggregates before one vocab-sized shuffle; ordering+limit is
+    ``TakeOrderedAndProject``.
+    """
+    from sparklucene.analysis import token_stream_df
+    sl = docs.filter(F.col(context_col) == context_value) \
+             .select("doc_id", text_col)
+    toks = token_stream_df(sl, text_col)
+    return (toks.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count("*").alias("cf"))
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .limit(k))
