@@ -3020,6 +3020,68 @@ SELECT doc_id, "offset", cost::BIGINT AS n_tokens_sep,
        (("offset" + cost - 1) // 128)::BIGINT AS last_seq
 FROM o""")
 
+    # -- URL/domain blocklist filtering (round 4; the UT1-style pass of
+    # web pretraining pipelines — CCNet/RefinedWeb/Dolma). The synthetic
+    # corpus has no URL column, so both sides derive the SAME url from
+    # doc_id/source (docs where doc_id % 3 = 0 get a 'www.' subdomain —
+    # exercising the suffix-match rule). One narrow expression: no join,
+    # no UDF; the predicate sits inside the scan at any scale.
+    _BLOCKED = ("src32.example.com", "src115.example.com", "nosuch.org")
+
+    def urlblock(spark, sf):
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.col("source"), (d % 7).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"))
+        docs = (_t(spark, sf, "documents")
+                .select("doc_id", "source", url.alias("url")))
+        out = textops.url_blocklist_filter(docs, _BLOCKED)
+        return (out.groupBy("domain", "blocked")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy("domain", "blocked"))
+    e["pipeline_url_blocklist"] = (urlblock, """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || source || (doc_id % 7) || '.example.com/p/' || doc_id AS url
+  FROM documents),
+dom AS (
+  SELECT doc_id,
+         lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS domain
+  FROM u),
+v AS (
+  SELECT domain,
+         (domain = 'nosuch.org' OR ends_with(domain, '.nosuch.org')
+          OR domain = 'src115.example.com'
+          OR ends_with(domain, '.src115.example.com')
+          OR domain = 'src32.example.com'
+          OR ends_with(domain, '.src32.example.com')) AS blocked
+  FROM dom)
+SELECT domain, blocked, count(*)::BIGINT AS cnt
+FROM v GROUP BY domain, blocked ORDER BY domain, blocked""")
+
+    # -- per-domain quota sampling (round 4; the anti-domination cap of
+    # web corpus builds: no single domain may contribute more than N
+    # docs). Deterministic md5 rank within each source group — the kept
+    # set is partitioning/engine/scale-invariant, same contract as
+    # deterministic_sample.
+    def domcap(spark, sf):
+        out = textops.domain_cap_sample(
+            _t(spark, sf, "documents").select("doc_id", "source"), cap=5)
+        return out.select("doc_id", "source", "rk").orderBy("source", "rk")
+    e["pipeline_domain_cap"] = (domcap, """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('domain-cap-v1:' || CAST(doc_id AS VARCHAR)),
+                    doc_id)::BIGINT AS rk
+  FROM documents)
+WHERE rk <= 5 ORDER BY source, rk""")
+
     return e
 
 

@@ -593,3 +593,59 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
         .cast("long").alias("n_phones"),
         red.alias("redacted"))
+
+
+def url_blocklist_filter(docs: DataFrame, blocklist: "tuple[str, ...]",
+                         url_col: str = "url") -> DataFrame:
+    """Domain blocklist filtering — the UT1/adult-list pass every web
+    pretraining pipeline runs (public knowledge: CCNet / RefinedWeb /
+    Dolma pipeline descriptions): extract the registrable host from the
+    URL and drop documents whose host IS a blocked domain or is a
+    SUBDOMAIN of one (``www.bad.com`` blocks under ``bad.com``).
+
+    Adds ``domain`` (lowercased host) and ``blocked`` columns; callers
+    filter ``~blocked``. The blocklist is an operator constant compiled
+    into ONE narrow boolean expression — no join, no shuffle, no UDF; at
+    100 TB this is a predicate inside the parquet scan. For blocklists
+    beyond expression size (UT1 is ~4M domains) the same semantics
+    become a broadcast left-semi join on the domain-suffix set; this
+    function pins the expression form for operator-constant lists.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)",
+                                    1))
+    blocked = F.lit(False)
+    for b in sorted(set(blocklist)):
+        d = b.lower()
+        blocked = blocked | (host == d) | host.endswith("." + d)
+    return docs.withColumn("domain", host).withColumn("blocked", blocked)
+
+
+def domain_cap_sample(docs: DataFrame, cap: int,
+                      group_col: str = "source",
+                      key_col: str = "doc_id",
+                      salt: str = "domain-cap-v1") -> DataFrame:
+    """Per-domain quota sampling — cap the number of documents any one
+    domain/source contributes (the anti-domination pass of web corpus
+    builds: one giant forum must not swamp the mixture).
+
+    Keeps at most ``cap`` rows per ``group_col`` value, chosen by a
+    DETERMINISTIC per-row rank (md5 of salt+key, ties by key) so the
+    kept set is invariant under partitioning, engine and scale — the
+    same contract as :func:`deterministic_sample`. Adds ``rk`` (1-based
+    rank within the group).
+
+    Scale shape: one hash-partitioned window (row_number per group).
+    Skewed giant domains concentrate in single partitions — that is
+    inherent to per-group ranking; at 100 TB pre-aggregate with a
+    bounded per-partition top-``cap`` (partial top-k) before the final
+    window if a single group exceeds a partition.
+    """
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.concat(F.lit(salt + ":"),
+                                F.col(key_col).cast("string"))),
+                 F.col(key_col)))
+    return (docs.withColumn("rk", rk.cast("long"))
+            .filter(F.col("rk") <= cap))

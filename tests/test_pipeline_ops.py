@@ -996,3 +996,36 @@ def test_semantic_dedup_drops_injected_copies(spark, embeddings):
     # cosine of an exact copy: dot == n2 but sqrt(n2)*sqrt(n2) can be an
     # ulp off n2, so the pinned expression yields 1.0 within 1 ulp
     assert (np.abs(out["cosine"].to_numpy() - 1.0) < 1e-15).all()
+
+
+# --------------------------------------------------------------------------
+# url_blocklist_filter / domain_cap_sample (round 4)
+# --------------------------------------------------------------------------
+
+def test_url_blocklist_subdomain_and_exact(spark):
+    from pyspark.sql import functions as F
+    from sparklucene.textops import url_blocklist_filter
+    rows = [(1, "https://bad.com/x"), (2, "https://www.bad.com/y"),
+            (3, "https://notbad.com/z"), (4, "http://a.b.bad.com:8080/q"),
+            (5, "https://bad.com.evil.org/"), (6, "https://ok.org/bad.com")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r["blocked"]
+           for r in url_blocklist_filter(df, ("bad.com",)).collect()}
+    assert out[1] and out[2] and out[4]          # exact, www., deep sub
+    assert not out[3]                            # notbad.com != *.bad.com
+    assert not out[5]                            # suffix must be label-safe
+    assert not out[6]                            # path never matches
+
+
+def test_domain_cap_membership_invariant_under_repartition(spark, docs):
+    from sparklucene.textops import domain_cap_sample
+    base = docs.select("doc_id", "source")
+    a = {(r["doc_id"], r["rk"]) for r in
+         domain_cap_sample(base, cap=3).collect()}
+    b = {(r["doc_id"], r["rk"]) for r in
+         domain_cap_sample(base.repartition(17, "doc_id"), cap=3).collect()}
+    assert a == b and len(a) > 0
+    per_src = {}
+    for r in domain_cap_sample(base, cap=3).collect():
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert max(per_src.values()) <= 3
