@@ -4380,6 +4380,51 @@ snip AS (
   FROM documents d JOIN firstp f USING (doc_id))
 SELECT t.doc_id, t.score, s.first_pos, s.snippet
 FROM topk t JOIN snip s USING (doc_id)""")
+
+    # -- multi-passage ranked highlighting (round 4; UnifiedHighlighter
+    # hl.snippets>1 — u8:lucene/highlighter/.../uhighlight/
+    # UnifiedHighlighter.java + PassageScorer.java): fixed 16-token
+    # passage tiling (no sentence breaks in this corpus), passage score
+    # = sum of matched-occurrence idfs, f32-rounded BEFORE ranking, top
+    # 2 passages per winner doc. Positions are pre-stop stream indexes
+    # (gaps preserved), same as the index stores.
+    def hl_passages(spark, sf):
+        from sparklucene.search import highlight_passages
+        idx = index_for(spark, sf)
+        return highlight_passages(idx, Or((Term("merge"), Term("join"))),
+                                  k=5, window=16, n_passages=2)
+    e["highlight_passages_topk"] = (hl_passages, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {hscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('join', 'merge')),
+topk AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 5),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM topk)) tl),
+idfs AS (
+  SELECT ts.term, ln(1 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5)) AS w
+  FROM tstats ts CROSS JOIN gstats g
+  WHERE ts.term IN ('join', 'merge')),
+pas AS (
+  SELECT doc_id, ((pos // 16) * 16)::BIGINT AS window_start,
+         count(*)::BIGINT AS n_matches,
+         CAST(CAST(sum(i.w) AS REAL) AS DOUBLE) AS passage_score
+  FROM tokp JOIN idfs i USING (term)
+  GROUP BY doc_id, (pos // 16) * 16),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY passage_score DESC, window_start ASC) AS r
+  FROM pas)
+SELECT doc_id, window_start, n_matches, passage_score
+FROM ranked WHERE r <= 2
+ORDER BY doc_id, passage_score DESC, window_start""")
     return e
 
 

@@ -656,6 +656,60 @@ def search(index: Index, query: str | Query, k: int | None = 10,
     return _hydrate(topk, hydrate)
 
 
+def highlight_passages(index: Index, query: "str | Query", k: int = 10,
+                       window: int = 16, n_passages: int = 2,
+                       mode: str = "f64") -> DataFrame:
+    """Ranked multi-passage snippets — the UnifiedHighlighter surface
+    (Solr ``hl.snippets>1``; public behavior: u8:lucene/highlighter/
+    .../uhighlight/UnifiedHighlighter.java + PassageScorer.java).
+
+    Pinned engine spec (the corpus has no sentence breaks, so passages
+    are fixed tilings rather than BreakIterator sentences): passages =
+    non-overlapping windows of ``window`` token positions starting at
+    ``floor(pos / window) * window``; passage score = sum over matched
+    occurrences of the term's BM25 idf (PassageScorer's weight without
+    length normalization), computed f64 and rounded to f32 BEFORE
+    ranking; top ``n_passages`` per winner doc by (score desc, window
+    start asc). Returns (doc_id, window_start, n_matches,
+    passage_score).
+
+    Shape at scale: reuses the two-phase highlight plan — positions
+    decode only for the <= k winners' ranges, then a k-bounded explode /
+    window / row_number; nothing corpus-proportional.
+    """
+    from sparklucene.bm25 import idf as _bm25_idf
+    from pyspark.sql import Window as _W
+    topk = search(index, query, k=k, mode=mode)
+    q = qualify(_as_query(query))
+    hterms = sorted({t for t in q.terms() if FIELD_SEP not in t})
+    tstats = index.term_stats_for(hterms)
+    hterms = [t for t in hterms if t in tstats]
+    spark = index.spark
+    out_schema = ("doc_id long, window_start long, n_matches long, "
+                  "passage_score double")
+    if not hterms:
+        return spark.createDataFrame([], out_schema)
+    n = int(index.stats["doc_count"])
+    wmap = F.create_map(*[x for t in hterms
+                          for x in (F.lit(t),
+                                    F.lit(_bm25_idf(tstats[t].df, n)))])
+    hl = _highlight_positions(index, hterms, topk)
+    occ = (hl.select("doc_id", "term",
+                     F.explode("positions").alias("pos"))
+           .withColumn("w", wmap[F.col("term")]))
+    win = (F.floor(F.col("pos") / F.lit(window)) * window).cast("long")
+    pas = (occ.groupBy("doc_id", win.alias("window_start"))
+           .agg(F.count("*").cast("long").alias("n_matches"),
+                F.sum("w").cast("float").cast("double")
+                .alias("passage_score")))
+    rk = F.row_number().over(
+        _W.partitionBy("doc_id").orderBy(F.desc("passage_score"),
+                                         F.asc("window_start")))
+    return (pas.withColumn("rk", rk)
+            .filter(F.col("rk") <= n_passages).drop("rk")
+            .orderBy("doc_id", F.desc("passage_score"), "window_start"))
+
+
 def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
                   op: str = "or", msm: int = 1,
                   pf: dict[str, float] | None = None, pf_tie: float = 0.0,
