@@ -4045,6 +4045,25 @@ FROM term_scores s JOIN documents d ON s.doc_id = d.doc_id
 GROUP BY s.doc_id
 ORDER BY score DESC, s.doc_id ASC LIMIT 10""")
 
+    # ---- distributed faceting with refinement (round 4;
+    # u8:solr/core/.../handler/component/FacetComponent.java
+    # DistribFieldFacet): phase 1 ships each shard's top
+    # (limit + overrequest) buckets; phase 2 asks shards for exact
+    # counts of candidates they did not report. With refinement the
+    # top-`limit` equals the UNSHARDED facet — which is exactly what
+    # the oracle computes (matching docs -> source counts, top 5).
+    def routed_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import routed_facet_field
+        base = _routed_base(spark, sf_dir)
+        return routed_facet_field(
+            spark, base, Term("merge"), _t(spark, sf_dir, "documents"),
+            "source", limit=5)
+    e["routed_facet_refined"] = (routed_facet, f"""WITH {corpus_ctes()}
+SELECT source AS value, count(*)::BIGINT AS cnt
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 5""")
+
     # ---- CompositeId hash-range router (round 4;
     # u8:solr/solrj/.../common/cloud/CompositeIdRouter.java): ring hash
     # (hash16(lang) << 16) | hash16(doc_id), 4 contiguous shard ranges,

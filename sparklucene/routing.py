@@ -430,3 +430,71 @@ def time_routed_search(spark: SparkSession, base_dir: str, query,
         return (spark.createDataFrame([], RESULT_SCHEMA)
                 .withColumn("route", F.lit(None).cast("string")))
     return _fanout(spark, base_dir, covered, query, k, mode, prune, stats)
+
+
+# --------------------------------------------------------------------------
+# distributed faceting with refinement
+# --------------------------------------------------------------------------
+
+def routed_facet_field(spark: SparkSession, base_dir: str, query,
+                       docs: DataFrame, facet_col: str, limit: int = 5,
+                       overrequest: int | None = None,
+                       mode: str = "f64") -> DataFrame:
+    """Two-phase distributed faceting with refinement — Solr's
+    FacetComponent algorithm over a sharded collection (public
+    knowledge: u8:solr/core/.../handler/component/FacetComponent.java
+    DistribFieldFacet + refinement requests):
+
+    Phase 1 — every shard facets its OWN matching docs and ships only
+    its top ``limit + overrequest`` buckets (overrequest defaults to
+    Solr's ``limit * 1.5 + 10`` heuristic). A bucket that is globally
+    top-``limit`` can sit below one shard's cutoff, so naive merged
+    counts would under-count or miss it.
+
+    Phase 2 — refinement: the coordinator unions the candidate bucket
+    VALUES and asks every shard that did not report a candidate for
+    that bucket's exact count. Summed counts over the candidate set are
+    then exact, and the final top-``limit`` equals the unsharded facet
+    (the property the oracle checks).
+
+    ``docs`` supplies (doc_id, facet_col); matching is route-disjoint so
+    the per-shard join never sees another shard's docs. Driver-side
+    state is the candidate VALUE list — bounded by
+    ``n_routes * (limit + overrequest)``, operator scale, never corpus
+    scale. Each per-shard count is one partial-aggregated groupBy; the
+    refinement pass reuses the same aggregate filtered to candidates
+    (exactly "ask the shard for these buckets' counts").
+
+    Returns (value, cnt) ordered cnt DESC, value ASC, LIMIT ``limit``.
+    """
+    from sparklucene.search import matches
+
+    if overrequest is None:
+        overrequest = int(limit * 1.5) + 10
+    ship = limit + overrequest
+    meta = load_routes(base_dir)
+    attrs = docs.select(F.col("doc_id"),
+                        F.col(facet_col).cast("string").alias("value"))
+    counts = []
+    for rt, info in sorted(meta["routes"].items()):
+        d = info["dir"]
+        path = d if os.path.isabs(d) else os.path.join(base_dir, d)
+        m = matches(Index(spark, path), query, mode=mode).select("doc_id")
+        counts.append(m.join(attrs, "doc_id")
+                      .groupBy("value").agg(F.count("*").alias("cnt")))
+    # phase 1: per-shard top (limit+overrequest) candidate buckets
+    shipped = [c.orderBy(F.desc("cnt"), F.asc("value")).limit(ship)
+               for c in counts]
+    cand = set()
+    for s in shipped:
+        cand.update(r["value"] for r in s.select("value").collect())
+    cand_list = sorted(cand)
+    # phase 2: exact per-shard counts for every candidate (reported
+    # buckets keep their phase-1 count; missing ones are the refinement)
+    refined = counts[0].filter(F.col("value").isin(cand_list))
+    for c in counts[1:]:
+        refined = refined.unionByName(
+            c.filter(F.col("value").isin(cand_list)))
+    return (refined.groupBy("value")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value")).limit(limit))

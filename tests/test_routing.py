@@ -72,3 +72,39 @@ def test_fanout_merges_per_shard_topk(spark, routed):
 def test_unknown_route_raises(spark, routed):
     with pytest.raises(KeyError, match="unknown route"):
         routed_search(spark, BASE, Term("merge"), route="xx")
+
+
+# --------------------------------------------------------------------------
+# distributed faceting with refinement (routed_facet_field)
+# --------------------------------------------------------------------------
+
+def test_refined_facet_fixes_naive_merge(spark, tmp_path):
+    """Crafted shard skew where naive top-(limit+over) merging returns the
+    WRONG bucket with the WRONG count, and refinement restores the exact
+    global facet (Solr FacetComponent's refinement guarantee)."""
+    import json
+    from pyspark.sql import functions as F
+    from sparklucene.routing import build_routed_index, routed_facet_field
+    from sparklucene.query import Term
+
+    # shard en: v1 x3, v2 x2  -> ships only v1 at limit=1, over=0
+    # shard de: v2 x3, v1 x1  -> ships only v2
+    # naive merge: v1=3 vs v2=3, tie -> v1 (WRONG: true v1=4, v2=5)
+    rows = []
+    did = 0
+    for lang, src, n in (("en", "v1", 3), ("en", "v2", 2),
+                         ("de", "v2", 3), ("de", "v1", 1)):
+        for _ in range(n):
+            rows.append((did, lang, src, "zz common text"))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, content string") \
+        .withColumn("repo", F.col("source")) \
+        .withColumn("path", F.concat(F.lit("p/"), F.col("doc_id"))) \
+        .withColumn("commit", F.lit("c0"))
+    base = str(tmp_path / "routed-facet")
+    build_routed_index(spark, df, base, route_col="lang", drange_size=8)
+    out = routed_facet_field(spark, base, Term("zz"),
+                             df.select("doc_id", "source"), "source",
+                             limit=1, overrequest=0).collect()
+    assert [(r["value"], r["cnt"]) for r in out] == [("v2", 5)]
