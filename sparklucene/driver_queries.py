@@ -4064,6 +4064,60 @@ FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
 GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 5""")
 
+    # ---- two-phase distributed grouping (round 4;
+    # u8:solr/core/.../search/grouping/distributed/command/
+    # {SearchGroupsFieldCommand,TopGroupsFieldCommand}.java): phase 1
+    # merges per-shard top-3 groups by group head; phase 2 merges each
+    # shard's within-group top-2. Deliberately pinned to the reference's
+    # APPROXIMATE cross-shard semantics (a group below every shard's
+    # phase-1 cutoff is missed — Solr documents the same caveat), so the
+    # oracle replays the two-phase pipeline itself, shard column = lang.
+    # stats="global" (ExactStatsCache) makes doc scores the unrouted
+    # engine's, which is what the oracle's global BM25 CTE computes.
+    def routed_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import routed_grouped_topk
+        base = _routed_base(spark, sf_dir)
+        return routed_grouped_topk(
+            spark, base, q_ms, _t(spark, sf_dir, "documents"), "source",
+            n_groups=3, group_limit=2, stats="global")
+    e["routed_grouping_topk"] = (routed_grouping, f"""WITH {corpus_ctes()},
+term_scores AS (
+  SELECT tf.doc_id, {tsc} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('merge', 'spark')),
+doc_scores AS (
+  SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+  FROM term_scores GROUP BY doc_id),
+s1 AS (
+  SELECT d.lang AS shard, d.source AS grp, ds.doc_id, ds.score
+  FROM doc_scores ds JOIN documents d USING (doc_id)),
+sheads AS (
+  SELECT shard, grp, max(score) AS shead FROM s1 GROUP BY shard, grp),
+p1 AS (
+  SELECT shard, grp FROM (
+    SELECT shard, grp, row_number() OVER (
+      PARTITION BY shard ORDER BY shead DESC, grp ASC) AS r
+    FROM sheads) WHERE r <= 3),
+cand AS (SELECT DISTINCT grp FROM p1),
+p2 AS (
+  SELECT s1.shard, s1.grp, s1.doc_id, s1.score,
+         row_number() OVER (PARTITION BY s1.shard, s1.grp
+                            ORDER BY score DESC, doc_id ASC) AS sr
+  FROM s1 WHERE s1.grp IN (SELECT grp FROM cand)),
+merged AS (
+  SELECT grp, doc_id, score,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score DESC, doc_id ASC)::BIGINT AS rk
+  FROM p2 WHERE sr <= 2),
+mtop AS (SELECT * FROM merged WHERE rk <= 2),
+ghead AS (
+  SELECT grp, max(score) AS head FROM mtop GROUP BY grp
+  ORDER BY head DESC, grp ASC LIMIT 3)
+SELECT m.grp, g.head, m.rk, m.doc_id, m.score
+FROM mtop m JOIN ghead g USING (grp)
+ORDER BY g.head DESC, m.grp ASC, m.rk ASC""")
+
     # ---- CompositeId hash-range router (round 4;
     # u8:solr/solrj/.../common/cloud/CompositeIdRouter.java): ring hash
     # (hash16(lang) << 16) | hash16(doc_id), 4 contiguous shard ranges,
