@@ -53,6 +53,8 @@ on every node).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -246,3 +248,33 @@ def monitor_match(docs: DataFrame, queries: dict[str, Query],
     out_schema = f"{id_col} long, query_id string"
     return (cand.mapInPandas(verify, schema=out_schema)
             .orderBy(id_col, "query_id"))
+
+
+def monitor_match_stream(stream_docs: DataFrame, queries: dict[str, Query],
+                         out_dir: str, checkpoint_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         stopwords: frozenset[str] = ENGLISH_STOP_WORDS,
+                         trigger: dict | None = None):
+    """Streaming alerting — the monitor's firehose deployment (Luwak's
+    classic use; u8:lucene/monitor/.../Monitor.java): standing queries
+    registered once, documents arriving as a stream, every micro-batch
+    annotated with the queries it matches.
+
+    Each micro-batch runs the SAME two-phase presearch+verify plan as
+    the batch surface (:func:`monitor_match` — anchor broadcast join +
+    exact vectorized verify), so streaming alerts are definitionally
+    identical to a batch pass over the same documents (asserted in
+    tests). Idempotent replay: a batch writes its alerts to its own
+    ``batch=<id>`` partition with overwrite, so checkpoint recovery
+    never duplicates rows.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = monitor_match(batch_df, queries, text_col=text_col,
+                            id_col=id_col, stopwords=stopwords)
+        (out.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch={batch_id}")))
+
+    w = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir))
+    w = w.trigger(**(trigger or {"availableNow": True}))
+    return w.start()

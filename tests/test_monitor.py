@@ -73,3 +73,33 @@ def test_monitor_match_semantics(spark):
 def test_monitor_empty_query_set(spark):
     docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     assert monitor_match(docs, {}).count() == 0
+
+
+def test_monitor_stream_equals_batch(spark, tmp_path):
+    """Streaming firehose alerts == one batch pass over the same docs
+    (the monitor's streaming==batch contract)."""
+    import shutil
+    from sparklucene.monitor import monitor_match_stream
+    from sparklucene.query import And, Or, Phrase, Term
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    # two part-files so availableNow sees multiple batches with
+    # maxFilesPerTrigger=1
+    docs.repartition(2).write.parquet(src)
+    qs = {"q_merge": Term("merge"),
+          "q_and": And((Term("spark"), Term("join"))),
+          "q_phrase": Phrase(("fast", "merge")),
+          "q_or": Or((Term("vector"), Term("window")))}
+    out = str(tmp_path / "alerts")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = monitor_match_stream(stream, qs, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.read.parquet(out).collect()}
+    from sparklucene.monitor import monitor_match
+    want = {(r["doc_id"], r["query_id"])
+            for r in monitor_match(docs, qs).collect()}
+    assert got == want and len(want) > 0
