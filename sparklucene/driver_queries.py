@@ -4118,6 +4118,20 @@ SELECT m.grp, g.head, m.rk, m.doc_id, m.score
 FROM mtop m JOIN ghead g USING (grp)
 ORDER BY g.head DESC, m.grp ASC, m.rk ASC""")
 
+    # ---- distributed suggester merge (round 4; u8:solr/core/.../
+    # handler/component/SpellCheckComponent.java finishStage): shards
+    # ship their full prefix dictionary slice (vocab-scale, prefix
+    # pushdown), the coordinator sums df/cf — shards partition docs, so
+    # the sums ARE the global stats and the merge equals the unsharded
+    # suggester exactly.
+    def routed_sugg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.routing import routed_suggest
+        base = _routed_base(spark, sf_dir)
+        return routed_suggest(spark, base, "s", k=8)
+    e["routed_suggest_merged"] = (routed_sugg, f"""WITH {corpus_ctes()}
+SELECT term, df, cf FROM tstats
+WHERE term LIKE 's%' ORDER BY cf DESC, term ASC LIMIT 8""")
+
     # ---- CompositeId hash-range router (round 4;
     # u8:solr/solrj/.../common/cloud/CompositeIdRouter.java): ring hash
     # (hash16(lang) << 16) | hash16(doc_id), 4 contiguous shard ranges,

@@ -580,3 +580,39 @@ def routed_grouped_topk(spark: SparkSession, base_dir: str, query,
     return (merged.join(F.broadcast(ghead), "grp")
             .select("grp", "head", "rk", "doc_id", "score")
             .orderBy(F.desc("head"), F.asc("grp"), F.asc("rk")))
+
+
+def routed_suggest(spark: SparkSession, base_dir: str, prefix: str,
+                   k: int = 10) -> DataFrame:
+    """Distributed suggester merge — Solr's cross-shard suggestion
+    merging (public knowledge: u8:solr/core/.../handler/component/
+    SpellCheckComponent.java finishStage / SuggestComponent distributed
+    merge): every shard contributes its prefix-matching dictionary
+    slice and the coordinator merges by summed weight.
+
+    Shards partition documents, so summing per-shard df/cf gives the
+    EXACT global statistics — unlike top-k bucket shipping, the full
+    prefix slice is vocab-scale metadata with the startswith predicate
+    pushed into each shard's term-sorted dictionary parquet (FST-seek
+    analog), so exactness costs nothing. Merged ranking (cf desc, term
+    asc) is therefore identical to the unsharded suggester, which is
+    what the oracle checks. Returns (term, df, cf).
+    """
+    from sparklucene.suggest import _dict_body
+
+    meta = load_routes(base_dir)
+    parts = []
+    for rt, info in sorted(meta["routes"].items()):
+        if not info.get("dir"):
+            continue
+        d = (info["dir"] if os.path.isabs(info["dir"])
+             else os.path.join(base_dir, info["dir"]))
+        parts.append(_dict_body(Index(spark, d), None)
+                     .filter(F.col("term").startswith(prefix)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (out.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("cf").cast("long").alias("cf"))
+            .orderBy(F.desc("cf"), F.asc("term")).limit(k))
