@@ -2499,6 +2499,33 @@ SELECT date_trunc('month', o_orderdate) AS month, count(*)::BIGINT AS n,
        year(date_trunc('month', o_orderdate))::BIGINT AS year_num
 FROM orders GROUP BY 1 ORDER BY month""")
 
+    # -- Solr date MATH EXPRESSIONS (round 4; u8:solr/solrj/.../util/
+    # DateMathParser.java): the `ts:[NOW/DAY-7DAYS TO NOW/DAY+1DAY]`
+    # grammar — anchor, /UNIT round-down, +/-N UNIT calendar arithmetic.
+    # Parsing is driver-side (operator constant); the bounds become
+    # pushed-down scan predicates. The oracle re-derives the SAME bounds
+    # independently with DuckDB interval arithmetic, never seeing the
+    # parser.
+    def solr_date_math(spark, sf):
+        from sparklucene.datemath import parse_date_math
+        lo = parse_date_math("2024-01-15T13:45:30Z/DAY-7DAYS")
+        hi = parse_date_math("2024-01-15T13:45:30Z/DAY+1DAY")
+        ts = F.col("ts").cast("timestamp")
+        return (_t(spark, sf, "events")
+                .filter((ts >= F.lit(lo.isoformat(sep=" ")).cast("timestamp"))
+                        & (ts < F.lit(hi.isoformat(sep=" ")).cast("timestamp")))
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     _dec_sum("value").alias("sum_value"))
+                .orderBy("event_type"))
+    e["function_solr_date_math"] = (solr_date_math, """
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-15 13:45:30') - INTERVAL 7 DAY
+  AND ts <  date_trunc('day', TIMESTAMP '2024-01-15 13:45:30') + INTERVAL 1 DAY
+GROUP BY event_type ORDER BY event_type""")
+
     def string_fns(spark, sf):
         cust = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 200)
         return cust.select(
