@@ -1304,6 +1304,31 @@ SELECT source, cnt FROM (
   FROM documents WHERE source LIKE 'w%' GROUP BY source)
 WHERE rk > 1 AND rk <= 4""")
 
+    # -- JSON facet DOMAIN CHANGE: blockChildren (round 4; u8:solr/core/
+    # .../search/facet/FacetRequest.java domain blockChildren +
+    # BlockJoin domain docs): the query matches PARENTS (source blocks
+    # whose any child matches), the facet domain switches to ALL their
+    # children, then facets a child field — the nested-document facet
+    # pattern. Domain switch = one equi-join on the block key; the
+    # matching-parent side is distinct-block-sized.
+    def facet_block_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        docs = _t(spark, sf_dir, "documents")
+        hits = matches(idx, Term("vector"), mode="f64").select("doc_id")
+        parents = (hits.join(docs.select("doc_id", "source"), "doc_id")
+                   .select("source").distinct())
+        children = docs.join(F.broadcast(parents), "source")
+        return (children.groupBy("lang").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("lang")))
+    e["json_facet_block_domain"] = (facet_block_domain, f"""
+WITH {corpus_ctes()},
+parents AS (
+  SELECT DISTINCT d.source FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'vector'))
+SELECT c.lang, count(*)::BIGINT AS cnt
+FROM documents c JOIN parents p ON c.source = p.source
+GROUP BY c.lang ORDER BY cnt DESC, c.lang ASC""")
+
     def facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         src = F.when(F.col("n_chars") % 7 == 0, F.lit(None)).otherwise(
