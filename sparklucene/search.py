@@ -1151,6 +1151,25 @@ def delete_docs(index: Index, doc_ids: list[int]) -> int:
     return index.deleted_count()
 
 
+def delete_by_query(index: Index, query: "str | Query",
+                    mode: str = "lucene8") -> int:
+    """Solr ``deleteByQuery``: hide every document matching ``query``
+    (public behavior: u8:solr/core/.../update/DirectUpdateHandler2.java
+    deleteByQuery — the reference also resolves the query to a doc set
+    and masks it from searchers until merge reclaims the docs).
+
+    The match set is appended to the deletes relation AS A DATAFRAME —
+    never collected to the driver, so a query matching billions of docs
+    costs one distributed write; duplicate ids across calls are harmless
+    (every reader dedupes, same contract as the at-scale
+    :func:`delete_docs` path). Returns the total deleted count."""
+    m = matches(index, query, mode=mode).select("doc_id")
+    path = os.path.join(index.paths.root, "deletes")
+    m.write.mode("append").parquet(path)
+    index.invalidate_deletes()
+    return index.deleted_count()
+
+
 def matches(index: Index, query: str | Query, mode: str = "lucene8"
             ) -> DataFrame:
     """Complete scored match set (unordered) — ExportWriter access path."""

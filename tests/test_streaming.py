@@ -264,3 +264,29 @@ def test_detect_followups_streaming_equals_batch(spark, tmp_path_factory):
     assert len(want) > 10
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_delete_by_query_masks_matches(spark, corpus_df, tmp_path_factory):
+    """deleteByQuery: the match set is hidden distributed-side (never
+    collected); composes with prior id deletes; non-matching docs
+    survive."""
+    from sparklucene.query import Term
+    from sparklucene.search import (Index, delete_by_query, delete_docs,
+                                    matches)
+
+    tmp = str(tmp_path_factory.mktemp("dbq"))
+    idx_dir = tmp + "/idx"
+    build_index(spark, corpus_df, idx_dir, drange_size=128)
+    idx = Index(spark, idx_dir)
+    merge_ids = {r["doc_id"] for r in matches(idx, "merge").collect()}
+    spark_ids = {r["doc_id"] for r in matches(idx, "spark").collect()}
+    survivor = sorted(spark_ids - merge_ids)
+    assert merge_ids and survivor
+    delete_docs(idx, [survivor[0]])            # id delete first
+    n = delete_by_query(idx, Term("merge"))    # then query delete
+    assert n == len(merge_ids | {survivor[0]})
+    assert matches(idx, "merge").count() == 0
+    after = {r["doc_id"] for r in matches(idx, "spark").collect()}
+    assert after == spark_ids - merge_ids - {survivor[0]}
+    # idempotent replay: same query again adds nothing
+    assert delete_by_query(idx, Term("merge")) == n
