@@ -1,0 +1,160 @@
+"""Index integrity checker — Lucene's CheckIndex on DataFrames.
+
+The reference ships an offline index verifier (public knowledge:
+``u8:lucene/core/src/java/org/apache/lucene/index/CheckIndex.java``
+~3,000 LoC — the `-exorcise`-capable tool every operator runs after a
+suspect crash): it re-reads every segment and validates postings order,
+term dictionary / postings agreement, norms presence, positions
+alignment. This module is the same contract for this engine's layout —
+and it exists for the same reason the reference's does: the one HIGH
+bug ever found in this engine (round-3 advisory) was a silently
+corrupted posting list that only systematic decode-and-verify would
+catch.
+
+``verify_index`` streams every posting cell through an Arrow-batched
+decoder and re-derives each invariant the build promises:
+
+per (term, drange) cell
+  * doc ids strictly increasing, all inside the drange's bounds
+  * ``df_part == len(docs)``, ``cf_part == sum(tfs)``, every tf >= 1
+  * one norm byte per posting
+  * block metadata (128-doc blocks): ``block_last`` = last doc per
+    block, ``block_max_tf`` = block max, ``block_min_norm`` = block min
+    norm byte, block count = ceil(df/128)
+  * positions (when stored): count == sum(tfs), strictly increasing
+    within each document
+  * payloads (when stored): one byte per position
+
+index-wide
+  * termstats (df, cf) == the postings' per-term sums (full outer —
+    a dictionary term with no postings and postings with no dictionary
+    row are both violations)
+  * every drange < ceil(n_docs / drange_size) from stats.json
+
+Returns a DataFrame of violations (term, drange, check, detail) —
+EMPTY means healthy. Scale shape: one postings scan with per-cell
+vectorized checks (no shuffle), plus one vocab-sized aggregate join for
+the dictionary cross-check; nothing is collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklucene.codec import BLOCK_SIZE, decode_doc_ids, decode_positions, \
+    decode_tfs
+
+VIOLATION_SCHEMA = "term string, drange int, check string, detail string"
+
+
+def _check_cell(row, drange_size: int, n_ranges: int, out: list) -> None:
+    term, dr = row.term, int(row.drange)
+
+    def bad(check: str, detail: str) -> None:
+        out.append((term, dr, check, detail))
+
+    if not (0 <= dr < n_ranges):
+        bad("drange_bounds", f"drange {dr} outside [0, {n_ranges})")
+    docs = decode_doc_ids(bytes(row.doc_bytes))
+    tfs = decode_tfs(bytes(row.tf_bytes))
+    n = docs.size
+    if n == 0:
+        bad("empty_cell", "cell with zero postings")
+        return
+    if docs.size > 1 and not (docs[1:] > docs[:-1]).all():
+        bad("docs_sorted", "doc ids not strictly increasing")
+        return  # downstream invariants are meaningless on unsorted docs
+    lo, hi = dr * drange_size, (dr + 1) * drange_size
+    if docs[0] < lo or docs[-1] >= hi:
+        bad("docs_in_range", f"[{docs[0]}, {docs[-1]}] not in [{lo}, {hi})")
+    if tfs.size != n:
+        bad("tf_alignment", f"{tfs.size} tfs for {n} docs")
+        return
+    if (tfs < 1).any():
+        bad("tf_positive", "tf < 1 present")
+    if int(row.df_part) != n:
+        bad("df_part", f"df_part {row.df_part} != {n} postings")
+    if int(row.cf_part) != int(tfs.sum()):
+        bad("cf_part", f"cf_part {row.cf_part} != sum(tf) {int(tfs.sum())}")
+    norms = np.frombuffer(bytes(row.norm_bytes), dtype=np.uint8)
+    if norms.size != n:
+        bad("norm_alignment", f"{norms.size} norm bytes for {n} docs")
+        norms = None
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    blast = np.asarray(row.block_last, dtype=np.int64)
+    bmax = np.asarray(row.block_max_tf, dtype=np.int64)
+    bmin = np.frombuffer(bytes(row.block_min_norm), dtype=np.uint8)
+    if blast.size != nblocks or bmax.size != nblocks or bmin.size != nblocks:
+        bad("block_count", f"{blast.size}/{bmax.size}/{bmin.size} blocks, "
+            f"expected {nblocks}")
+    else:
+        ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
+        starts = np.arange(nblocks) * BLOCK_SIZE
+        if not (blast == docs[ends - 1]).all():
+            bad("block_last", "block_last != last doc id per block")
+        if not (bmax == np.maximum.reduceat(tfs, starts)).all():
+            bad("block_max_tf", "block_max_tf != block tf maximum")
+        if norms is not None and not (
+                bmin == np.minimum.reduceat(norms, starts)).all():
+            bad("block_min_norm", "block_min_norm != block norm minimum")
+    pos_b = bytes(row.pos_bytes) if row.pos_bytes is not None else b""
+    if pos_b:
+        try:
+            pos = decode_positions(pos_b, tfs)
+        except Exception as exc:  # corrupt varint stream
+            bad("positions_decode", str(exc))
+            return
+        if pos.size != int(tfs.sum()):
+            bad("positions_count",
+                f"{pos.size} positions != sum(tf) {int(tfs.sum())}")
+        else:
+            seg = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+            inc = np.ones(pos.size, dtype=bool)
+            if pos.size > 1:
+                inc[1:] = pos[1:] > pos[:-1]
+            inc[seg[:-1]] = True  # each doc's first position stands alone
+            if not inc.all():
+                bad("positions_sorted",
+                    "positions not strictly increasing within a doc")
+        pay_b = bytes(row.pay_bytes) if row.pay_bytes is not None else b""
+        if pay_b and len(pay_b) != int(tfs.sum()):
+            bad("payload_alignment",
+                f"{len(pay_b)} payload bytes != sum(tf) {int(tfs.sum())}")
+
+
+def verify_index(index) -> DataFrame:
+    """CheckIndex: re-decode every posting cell and cross-check the term
+    dictionary; returns a violations DataFrame (empty == healthy)."""
+    drs = int(index.stats["drange_size"])
+    n_ranges = max(1, -(-int(index.stats["n_docs"]) // drs))
+
+    def scan(batches):
+        for pdf in batches:
+            out: list = []
+            for row in pdf.itertuples(index=False):
+                _check_cell(row, drs, n_ranges, out)
+            yield pd.DataFrame(out, columns=["term", "drange", "check",
+                                             "detail"])
+
+    cell_v = index.postings().mapInPandas(scan, schema=VIOLATION_SCHEMA)
+    sums = (index.postings()
+            .groupBy("term")
+            .agg(F.sum("df_part").alias("pdf"), F.sum("cf_part").alias("pcf")))
+    ts = index.termstats().select("term", "df", "cf")
+    dict_v = (ts.join(sums, "term", "full_outer")
+              .filter((F.col("df").isNull() != F.col("pdf").isNull())
+                      | (F.col("df") != F.col("pdf"))
+                      | (F.col("cf") != F.col("pcf")))
+              .select("term", F.lit(-1).alias("drange"),
+                      F.lit("dictionary_agreement").alias("check"),
+                      F.concat(F.lit("termstats (df,cf)=("),
+                               F.col("df").cast("string"), F.lit(","),
+                               F.col("cf").cast("string"),
+                               F.lit(") postings=("),
+                               F.col("pdf").cast("string"), F.lit(","),
+                               F.col("pcf").cast("string"), F.lit(")"))
+                      .alias("detail")))
+    return cell_v.unionByName(dict_v)
