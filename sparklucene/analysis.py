@@ -236,6 +236,13 @@ class AnalyzerConfig:
     #: HTMLStripCharFilter: runs FIRST (char filters precede tokenization
     #: in the reference's analyzer stack) — see :func:`strip_html`.
     html_strip: bool = False
+    #: PatternReplaceCharFilter (u8:lucene/analysis/common/.../pattern/
+    #: PatternReplaceCharFilter.java): (regex, replacement) rewrites of
+    #: the RAW character stream, applied in declaration order AFTER
+    #: html_strip and BEFORE every tokenizer/filter stage — like the
+    #: reference, the filter sees original case. Patterns must stay in
+    #: the Java∩RE2∩Python-compatible subset so engine and oracle agree.
+    char_pattern_replace: tuple[tuple[str, str], ...] = ()
     lowercase: bool = True
     ascii_fold: bool = False
     split_word_delims: bool = False
@@ -315,6 +322,8 @@ def _pretransform(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     s = texts.fillna("")
     if cfg.html_strip:
         s = strip_html(s)
+    for pat, rep in cfg.char_pattern_replace:
+        s = s.str.replace(pat, rep, regex=True)
     if cfg.split_word_delims:
         # camelCase / digit boundaries become spaces; underscores split
         s = (s.str.replace(r"([a-z0-9])([A-Z])", r"\1 \2", regex=True)

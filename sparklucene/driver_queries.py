@@ -5209,6 +5209,31 @@ ts AS (
 )
 SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 12""")
 
+    # -- PatternReplaceCharFilter (round 4; u8:lucene/analysis/common/
+    # .../pattern/PatternReplaceCharFilter.java): raw character-stream
+    # regex rewrite BEFORE tokenization/lowercasing — 'fast' -> 'quick'
+    # merges the two spellings' statistics; 'fast' vanishes from the
+    # dictionary. Probe: termstats of (fast, merge, quick).
+    def pat_replace_tstats(spark, sf):
+        idx = index_for(spark, sf, variant="patrep",
+                        analyzer=AnalyzerConfig(
+                            char_pattern_replace=(("fast", "quick"),)))
+        return (idx.termstats()
+                .filter(F.col("term").isin(["fast", "merge", "quick"]))
+                .select("term", "df", "cf").orderBy("term"))
+    e["analyzer_pattern_replace_termstats"] = (pat_replace_tstats, f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+           lower(regexp_replace(text, 'fast', 'quick', 'g')),
+           '{TOKEN_RE_SQL}')) AS term
+  FROM documents),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM tok WHERE term NOT IN {stop} GROUP BY term)
+SELECT term, df, cf FROM ts WHERE term IN ('fast', 'merge', 'quick')
+ORDER BY term""")
+
     return e
 
 
