@@ -6853,16 +6853,17 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_parser_entries())
     e.update(_classify_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
-    # ordering is evidence policy. Round 4 added 95 brand-new entries
+    # ordering is evidence policy. Round 4 added ~110 brand-new entries
     # with NO driver CORRECTNESS row at all, and never-driver-checked
     # is a strictly worse evidence state than stale-but-green (the
     # round-2 verdict's sharpest finding): every one of the 137 older
     # entries already has at least one hash-green driver row from
     # r1∪r2∪r3 AND is re-verified against DuckDB on current code every
     # session by tests/test_driver_contract.py. So NEVER-CHECKED
-    # entries lead (assembly order preserved): the round-4 window of
-    # ~50 drains the first 50, round 5's window drains the remaining
-    # 45 plus the stalest re-checks. The 87 entries whose latest row
+    # entries lead (assembly order preserved): the round-4 and round-5
+    # driver windows (~50 each) drain them in order; any remainder
+    # keeps the local mirror's value-exact evidence. The 87 entries
+    # whose latest row
     # dates from r1/r2 follow (stalest first — all 38 r1-latest, then
     # the r2-latest), and the r3-checked entries (freshest evidence)
     # close the registry. This deliberately amends the round-3
