@@ -1329,6 +1329,30 @@ SELECT c.lang, count(*)::BIGINT AS cnt
 FROM documents c JOIN parents p ON c.source = p.source
 GROUP BY c.lang ORDER BY cnt DESC, c.lang ASC""")
 
+    # -- uniqueBlock aggregation (round 4; u8:solr/core/.../search/
+    # facet/UniqueBlockAgg.java): inside a child-domain facet, count
+    # PARENT BLOCKS once instead of child docs — "how many repos have a
+    # child of this lang", the dedup companion of blockChildren.
+    def facet_unique_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        docs = _t(spark, sf_dir, "documents")
+        hits = matches(idx, Term("vector"), mode="f64").select("doc_id")
+        parents = (hits.join(docs.select("doc_id", "source"), "doc_id")
+                   .select("source").distinct())
+        children = docs.join(F.broadcast(parents), "source")
+        return (children.groupBy("lang")
+                .agg(F.countDistinct("source").cast("long")
+                     .alias("unique_blocks"))
+                .orderBy(F.desc("unique_blocks"), F.asc("lang")))
+    e["json_facet_unique_block"] = (facet_unique_block, f"""
+WITH {corpus_ctes()},
+parents AS (
+  SELECT DISTINCT d.source FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'vector'))
+SELECT c.lang, count(DISTINCT c.source)::BIGINT AS unique_blocks
+FROM documents c JOIN parents p ON c.source = p.source
+GROUP BY c.lang ORDER BY unique_blocks DESC, c.lang ASC""")
+
     def facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         src = F.when(F.col("n_chars") % 7 == 0, F.lit(None)).otherwise(

@@ -88,3 +88,19 @@ def test_date_range_zero_count_buckets_present(spark):
     assert out["2024-01-03 00:00:00"] == 0
     assert out["2024-01-15 00:00:00"] == 0
     assert out["before"] == 1 and out["between"] == 0
+
+
+def test_date_range_counts_partition_total(spark):
+    """other=all partitions the table: before + between + after == rows,
+    and the bucket spine sums to between — for arbitrary gap/ends."""
+    from sparklucene.facets import range_facet_date
+    ev = _events(spark)
+    total = ev.count()
+    for gap, end in ((2, "2024-01-20 00:00:00"), (5, "2024-01-29 12:00:00")):
+        out = {r["bucket"]: r["cnt"] for r in range_facet_date(
+            ev, "ts", "2024-01-02 06:00:00", end, gap).collect()}
+        others = out["before"] + out["between"] + out["after"]
+        assert others == total
+        bucket_sum = sum(v for k, v in out.items()
+                         if k not in ("before", "between", "after"))
+        assert bucket_sum == out["between"]
