@@ -576,6 +576,20 @@ def _search_entries() -> dict[str, tuple[Callable, str | None]]:
                  min_should_match=2), k=10),
         bm25_topk_sql(["vector", "stream", "agg"], k=10, msm=2))
 
+    # -- Solr mm SPEC (round 4; u8:solr/core/.../util/
+    # SolrPluginUtils.java calculateMinShouldMatch): the edismax mm
+    # grammar — "2<75%" over 4 optional clauses resolves to
+    # 4*75/100 = 3 (Java integer truncation); the oracle hardcodes the
+    # independently-computed 3.
+    from sparklucene.query import parse_min_should_match
+    _MM_TERMS = ("vector", "stream", "agg", "window")
+    _mm_val = parse_min_should_match("2<75%", len(_MM_TERMS))
+    assert _mm_val == 3
+    e["bm25_msm_percent"] = (
+        _bm25(Or(tuple(Term(t) for t in _MM_TERMS),
+                 min_should_match=_mm_val), k=10),
+        bm25_topk_sql(list(_MM_TERMS), k=10, msm=3))
+
     e["bm25_and_missing_term"] = (
         # AND with an unindexed term -> empty (Lucene null-scorer semantics)
         _bm25(And((Term("spark"), Term("zzz_not_in_corpus"))), k=10),

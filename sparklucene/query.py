@@ -963,3 +963,47 @@ def apply_synonyms(q: Query,
     if isinstance(q, ConstantScore):
         return ConstantScore(apply_synonyms(q.child, rules), q.boost)
     return q
+
+
+def parse_min_should_match(spec: str, n_optional: int) -> int:
+    """Solr's ``mm`` specification parser (public behavior:
+    u8:solr/core/.../util/SolrPluginUtils.java calculateMinShouldMatch):
+
+    * ``"3"``    — absolute count
+    * ``"-2"``   — all but 2 (``n - 2``)
+    * ``"75%"``  — integer-truncated percentage of the optional clauses
+    * ``"-25%"`` — all but that percentage
+    * conditionals ``"k<spec"`` space-separated (``"2<-25% 9<-3"``):
+      the segment with the LARGEST k strictly below ``n_optional``
+      applies; when ``n_optional`` <= every k, ALL clauses are required
+      (mm = n) — the reference's exact rule.
+
+    Percentage arithmetic is Java's ``n * p / 100`` integer truncation.
+    The result is clamped to [0, n_optional] like the reference (a
+    negative spec larger than n yields 0 → pure OR).
+    """
+    spec = spec.strip()
+
+    def _simple(s: str) -> int:
+        s = s.strip()
+        if s.endswith("%"):
+            p = int(s[:-1])
+            calc = n_optional * abs(p) // 100
+            v = n_optional - calc if p < 0 else calc
+        else:
+            v = int(s)
+            if v < 0:
+                v = n_optional + v
+        return max(0, min(n_optional, v))
+
+    if "<" not in spec:
+        return _simple(spec)
+    best_k, best_v = None, None
+    for seg in spec.split():
+        k_s, _, v_s = seg.partition("<")
+        k = int(k_s)
+        if k < n_optional and (best_k is None or k > best_k):
+            best_k, best_v = k, v_s
+    if best_k is None:
+        return n_optional          # n <= every k: all required
+    return _simple(best_v)

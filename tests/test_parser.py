@@ -88,3 +88,18 @@ def test_reverse_wildcards_rewrite():
     q = reverse_wildcards(
         Or((Wildcard("*ing", boost=2.0), Term("merge"))), "rev")
     assert q == Or((Prefix("gni", boost=2.0, field="rev"), Term("merge")))
+
+
+def test_min_should_match_spec_pinned_cases():
+    """SolrPluginUtils.calculateMinShouldMatch grammar (round 4)."""
+    from sparklucene.query import parse_min_should_match as mm
+    assert mm("3", 5) == 3
+    assert mm("-2", 5) == 3
+    assert mm("75%", 10) == 7          # Java integer truncation
+    assert mm("-25%", 9) == 7
+    assert mm("3<90%", 3) == 3         # n <= k: all required
+    assert mm("3<90%", 10) == 9
+    assert mm("2<-25% 9<-3", 8) == 6   # k=2 segment applies
+    assert mm("2<-25% 9<-3", 20) == 17 # k=9 segment applies
+    assert mm("2<-25% 9<-3", 2) == 2
+    assert mm("-10", 4) == 0           # clamped at 0
