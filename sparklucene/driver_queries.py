@@ -121,12 +121,15 @@ LIMIT {k}"""
 
 
 def phrase_ctes_and_score(slots: list[tuple[int, str]],
-                          boost: float = 1.0) -> tuple[str, str]:
+                          boost: float = 1.0, name: str = "pf",
+                          with_tokp: bool = True) -> tuple[str, str]:
     """(extra CTEs, score expression) for an exact PhraseQuery oracle.
 
     Positional semantics mirror the engine: positions index the PRE-stop
     token stream, so stopword gaps survive; tf = phrase frequency; weight
     = sum of slot-term idfs in slot order (PhraseWeight behavior).
+    ``name``/``with_tokp`` let one query host SEVERAL phrase relations
+    (pf2/pf3 shingles) sharing a single ``tokp`` CTE.
     """
     off0 = slots[0][0]
     conds = [f"t0.term = '{slots[0][1]}'"]
@@ -135,14 +138,15 @@ def phrase_ctes_and_score(slots: list[tuple[int, str]],
         joins.append(f"JOIN tokp t{i} ON t{i}.doc_id = t0.doc_id "
                      f"AND t{i}.pos = t0.pos + {off - off0}")
         conds.append(f"t{i}.term = '{term}'")
-    ctes = f"""
+    tokp = f"""
 tokp AS (
   SELECT doc_id, unnest(toks) AS term,
          unnest(range(1, len(toks) + 1)) - 1 AS pos
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
         FROM documents) tl
-),
-pf AS (
+),""" if with_tokp else "\n"
+    ctes = f"""{tokp}
+{name} AS (
   SELECT t0.doc_id, count(*)::BIGINT AS tfp
   FROM tokp t0
   {' '.join(joins)}
@@ -154,13 +158,13 @@ pf AS (
         f" / ((SELECT df FROM tstats WHERE term = '{t}') + 0.5))"
         for _, t in slots)
     avgdl = "(g.sum_dl / CAST(g.doc_count AS DOUBLE))"
-    denom = f"(pf.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl}))"
+    denom = f"({name}.tfp + 1.2 * (1.0 - 0.75 + 0.75 * m.dlq / {avgdl}))"
     w = f"({idf_sum})"
     if boost != 1.0:
         # BoostQuery fold: one f64 multiply on the summed idf, exactly
         # where the engine applies Phrase.boost (scorer._phrase_weighted)
         w = f"(CAST({float(boost)!r} AS DOUBLE) * {w})"
-    score = f"CAST(({w} * pf.tfp) / {denom} AS REAL)"
+    score = f"CAST(({w} * {name}.tfp) / {denom} AS REAL)"
     return ctes, score
 
 
@@ -749,6 +753,37 @@ term_scores AS (
   FROM tf JOIN tstats ts ON tf.term = ts.term
   JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
   WHERE tf.term IN ('hash', 'query')),
+allscores AS (
+  SELECT * FROM term_scores UNION ALL SELECT * FROM phrase_scores)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score
+FROM allscores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
+
+    # -- edismax pf2 shingled bigram boost (round 4; the wordGrams=2
+    # branch of addShingledPhraseQueries — every adjacent pair of
+    # surviving query terms becomes its own boosted phrase SHOULD
+    # clause; matching still requires the main query alone).
+    edx_pf2_q = _edx("fast merge join", {"content": 1.0},
+                     pf2={"content": 1.5})
+    _b1_ctes, _b1_score = phrase_ctes_and_score(
+        [(0, "fast"), (1, "merge")], boost=1.5, name="pfa")
+    _b2_ctes, _b2_score = phrase_ctes_and_score(
+        [(1, "merge"), (2, "join")], boost=1.5, name="pfb",
+        with_tokp=False)
+    e["edismax_pf2_bigram_boost"] = (_bm25(edx_pf2_q, k=10),
+                                     f"""WITH {corpus_ctes()},{_b1_ctes},{_b2_ctes},
+phrase_scores AS (
+  SELECT pfa.doc_id, {_b1_score} AS s
+  FROM pfa JOIN meta m ON pfa.doc_id = m.doc_id CROSS JOIN gstats g
+  UNION ALL
+  SELECT pfb.doc_id, {_b2_score} AS s
+  FROM pfb JOIN meta m ON pfb.doc_id = m.doc_id CROSS JOIN gstats g),
+term_scores AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term IN ('fast', 'join', 'merge')),
 allscores AS (
   SELECT * FROM term_scores UNION ALL SELECT * FROM phrase_scores)
 SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE) AS score

@@ -713,7 +713,10 @@ def highlight_passages(index: Index, query: "str | Query", k: int = 10,
 def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
                   op: str = "or", msm: int = 1,
                   pf: dict[str, float] | None = None, pf_tie: float = 0.0,
-                  pf_slop: int = 0) -> Query:
+                  pf_slop: int = 0,
+                  pf2: dict[str, float] | None = None, pf2_slop: int = 0,
+                  pf3: dict[str, float] | None = None,
+                  pf3_slop: int = 0) -> Query:
     """ExtendedDismaxQParser's core query shape (Solr ``defType=edismax``,
     public behavior): analyze the user text, turn EACH term into a
     DisjunctionMax over the ``qf`` fields with boosts
@@ -728,7 +731,18 @@ def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
     with ``pf_tie``, attached as a score-only SHOULD clause — matching
     still requires the main query alone (``Filtered(Or((main, pfq)),
     main)``, the MUST(main)+SHOULD(phrase) BooleanQuery shape). A
-    one-token query has no phrase, so pf is a no-op (Solr behavior)."""
+    one-token query has no phrase, so pf is a no-op (Solr behavior).
+
+    ``pf2``/``pf3`` are edismax's SHINGLED phrase boosts (the same
+    addShingledPhraseQueries with wordGrams=2/3): every adjacent pair /
+    triple of surviving query terms becomes its own boosted phrase
+    clause (``pf2_slop``/``pf3_slop`` = Solr ps2/ps3). Pinned position
+    spec, consistent with pf: each shingle keeps the member tokens'
+    ORIGINAL pre-stop positions rebased to its first member, so a
+    stopword between two query words survives as a gap inside the
+    shingle too. Per shingle the per-field phrases combine in a DisMax
+    with ``pf_tie``; every shingle is a separate score-only SHOULD
+    clause."""
     import re as _re
 
     from sparklucene.analysis import ENGLISH_STOP_WORDS, tokenize_text
@@ -745,18 +759,32 @@ def edismax_query(text: str, qf: dict[str, float], tie: float = 0.0,
         return MatchNoDocs()
     main = rewrite(And(tuple(clauses)) if op == "and"
                    else Or(tuple(clauses), msm))
-    if not pf:
+    if not pf and not pf2 and not pf3:
         return main
     slots = tuple(
         (i, t) for i, t in enumerate(
             _re.findall(r"[a-z0-9_]+", text.lower()))
         if t not in ENGLISH_STOP_WORDS)
-    if len(slots) < 2:
+    boost_clauses: list[Query] = []
+    if pf and len(slots) >= 2:
+        phrases = tuple(Phrase(slots, slop=pf_slop, field=f, boost=b)
+                        for f, b in sorted(pf.items()))
+        boost_clauses.append(DisMax(phrases, pf_tie)
+                             if len(phrases) > 1 else phrases[0])
+    for pfd, size, slop_n in ((pf2, 2, pf2_slop), (pf3, 3, pf3_slop)):
+        if not pfd or len(slots) < size:
+            continue
+        for j in range(len(slots) - size + 1):
+            grp = slots[j:j + size]
+            base = grp[0][0]
+            rebased = tuple((p - base, t) for p, t in grp)
+            phrases = tuple(Phrase(rebased, slop=slop_n, field=f, boost=b)
+                            for f, b in sorted(pfd.items()))
+            boost_clauses.append(DisMax(phrases, pf_tie)
+                                 if len(phrases) > 1 else phrases[0])
+    if not boost_clauses:
         return main
-    phrases = tuple(Phrase(slots, slop=pf_slop, field=f, boost=b)
-                    for f, b in sorted(pf.items()))
-    pfq = DisMax(phrases, pf_tie) if len(phrases) > 1 else phrases[0]
-    return rewrite(Filtered(Or((main, pfq)), main))
+    return rewrite(Filtered(Or((main, *boost_clauses)), main))
 
 
 def common_terms_query(index: Index, terms: list[str],
