@@ -4193,10 +4193,10 @@ GROUP BY source ORDER BY cnt DESC, value ASC LIMIT 5""")
     # u8:solr/core/.../search/grouping/distributed/command/
     # {SearchGroupsFieldCommand,TopGroupsFieldCommand}.java): phase 1
     # merges per-shard top-3 groups by group head; phase 2 merges each
-    # shard's within-group top-2. Deliberately pinned to the reference's
-    # APPROXIMATE cross-shard semantics (a group below every shard's
-    # phase-1 cutoff is missed — Solr documents the same caveat), so the
-    # oracle replays the two-phase pipeline itself, shard column = lang.
+    # shard's within-group top-2. For max-score heads the two-phase
+    # merge is provably exact (see routed_grouped_topk's docstring), so
+    # the oracle's replay of the pipeline equals the unsharded grouped
+    # top-k; shard column = lang.
     # stats="global" (ExactStatsCache) makes doc scores the unrouted
     # engine's, which is what the oracle's global BM25 CTE computes.
     def routed_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -521,13 +521,18 @@ def routed_grouped_topk(spark: SparkSession, base_dir: str, query,
     Groups are finally re-ranked by merged head and cut to
     ``n_groups``.
 
-    Parity note, pinned deliberately: like the reference, phase 1 is
-    APPROXIMATE when a group spans shards — a globally-top group can be
-    missed if it sits below the per-shard cutoff on every shard. Solr
-    documents the same caveat and recommends routing by the group key
-    for exact distributed grouping; the oracle replays this exact
-    two-phase pipeline rather than pretending it is the unsharded
-    grouping. ``stats="global"`` (ExactStatsCache) makes doc scores
+    Exactness, pinned and provable for THIS group sort (head = max doc
+    score, ties by group value): a global top-``n_groups`` group is
+    always shipped by the shard holding its best doc — any group ranked
+    above it there has a shard-local head >= its global head, hence a
+    global head at least as good, so at most ``n_groups - 1`` groups
+    can outrank it on that shard (ties break by group value identically
+    at both levels). Phase 1's union therefore contains every final
+    group and the merged result EQUALS the unsharded grouped top-k —
+    which is what the oracle's replay of the pipeline computes. Solr's
+    documented distributed-grouping caveats concern group sorts this
+    operator does not offer (sort-by-field heads, group.offset,
+    ngroups). ``stats="global"`` (ExactStatsCache) makes doc scores
     equal the unrouted engine's.
 
     Returns (grp, head, rk, doc_id, score) ordered by
