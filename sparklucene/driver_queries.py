@@ -3490,6 +3490,32 @@ SELECT 3::BIGINT, doc_id, CAST(CAST(mmr AS REAL) AS DOUBLE) FROM s3""")
 
     # -- int8 scalar quantization + compressed brute-force ANN (round 4;
     # standard absmax scheme; per-vector scales cancel in the cosine) --
+    # -- 1-bit binary quantization + Hamming search (round 4; sign-
+    # random-projection binary hashing, the 32x-compressed coarse mode
+    # of modern vector stores): bit i of word j set iff x[32j+i] > 0
+    # (32 dims/word keeps every word positive in both engines); query
+    # words are plan literals, distance = summed popcount(xor).
+    def binary_hamming(spark, sf):
+        return sim.hamming_topk(_t(spark, sf, "embeddings"),
+                                query_vec_id=0, dim=64, k=10)
+    e["ann_binary_hamming_topk"] = (binary_hamming, """
+WITH words AS (
+  SELECT vec_id,
+    CAST(coalesce(list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+           ELSE 0 END)), 0) AS BIGINT) AS w0,
+    CAST(coalesce(list_sum(list_transform(range(33, 65),
+      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+           ELSE 0 END)), 0) AS BIGINT) AS w1
+  FROM embeddings),
+qw AS (SELECT w0 AS q0, w1 AS q1 FROM words WHERE vec_id = 0)
+SELECT w.vec_id,
+       (bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1)))::BIGINT
+         AS hamming
+FROM words w CROSS JOIN qw q
+WHERE w.vec_id != 0
+ORDER BY hamming ASC, w.vec_id ASC LIMIT 10""")
+
     e["ann_int8_quantized_topk"] = (
         lambda spark, sf: sim.cosine_topk_int8(
             _t(spark, sf, "embeddings"), QIDS, k=5),

@@ -772,3 +772,56 @@ def cluster_results(index, query, embeddings: DataFrame, k_docs: int = 30,
                      "doc_id")
             .orderBy(F.asc("cluster"), F.desc("score"), F.asc("doc_id"))
             .select("doc_id", "score", "cluster"))
+
+
+def quantize_binary(df: DataFrame, dim: int,
+                    col: str = "embedding") -> DataFrame:
+    """1-bit sign quantization — the binary-hashing compression of the
+    SimHash family (public knowledge: Charikar 2002 sign-random-
+    projection, and the 'binary quantization' mode of modern vector
+    stores): bit ``i`` of word ``j`` is set iff ``x[32j + i] > 0``.
+
+    32 dims pack per BIGINT word (shifts stay < 32, so every word is
+    positive in every engine — no sign-bit portability trap), 32×
+    smaller than float32. Adds ``bvec array<bigint>``.
+
+    Scale shape: pure narrow expressions — no shuffle, no UDF.
+    """
+    nwords = -(-dim // 32)
+    words = []
+    for j in range(nwords):
+        seg = F.slice(F.col(col), j * 32 + 1, 32)
+        # shiftleft() takes a Python int only; 2.0**i is exact in f64
+        # for i < 32, so pow -> long is the same bit
+        bits = F.transform(
+            seg, lambda v, i: F.when(v.cast("double") > 0,
+                                     F.pow(F.lit(2.0), i).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+        words.append(F.aggregate(bits, F.lit(0).cast("long"),
+                                 lambda a, b: a.bitwiseOR(b)))
+    return df.withColumn("bvec", F.array(*words))
+
+
+def hamming_topk(df: DataFrame, query_vec_id: int, dim: int, k: int = 10,
+                 id_col: str = "vec_id",
+                 col: str = "embedding") -> DataFrame:
+    """Binary-quantized nearest neighbours: Hamming distance between
+    sign words (``sum_j popcount(bvec_j XOR query_j)``), ascending —
+    the 32×-compressed coarse search binary quantization exists for.
+    The query's words are plan literals (one bounded 1-row lookup, the
+    same centroids-as-literals shape as IVF); candidates never touch a
+    float. Returns (vec_id, hamming) — ties by vec_id, self excluded.
+    """
+    q = quantize_binary(df, dim, col=col)
+    qrow = q.filter(F.col(id_col) == query_vec_id).select("bvec").collect()
+    if not qrow:
+        raise KeyError(f"query vector {query_vec_id} not found")
+    qw = [int(w) for w in qrow[0]["bvec"]]
+    dist = None
+    for j, w in enumerate(qw):
+        d = F.bit_count(F.col("bvec")[j].bitwiseXOR(F.lit(w)))
+        dist = d if dist is None else dist + d
+    return (q.filter(F.col(id_col) != query_vec_id)
+            .select(id_col, dist.cast("long").alias("hamming"))
+            .orderBy(F.asc("hamming"), F.asc(id_col))
+            .limit(k))
