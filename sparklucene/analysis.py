@@ -243,6 +243,9 @@ class AnalyzerConfig:
     #: reference, the filter sees original case. Patterns must stay in
     #: the Java∩RE2∩Python-compatible subset so engine and oracle agree.
     char_pattern_replace: tuple[tuple[str, str], ...] = ()
+    #: delimiter for tokenizer="path_hierarchy" (PathHierarchyTokenizer:
+    #: every ancestor prefix of the path is a token at position 0).
+    path_delimiter: str = "/"
     lowercase: bool = True
     ascii_fold: bool = False
     split_word_delims: bool = False
@@ -348,6 +351,29 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
         pos = np.zeros(docs.size, dtype=np.int64)
         keep = np.array([bool(t) for t in toks])
         return toks[keep], docs[keep], pos[keep]
+    if cfg.tokenizer == "path_hierarchy":
+        # PathHierarchyTokenizer (u8:lucene/analysis/common/.../path/
+        # PathHierarchyTokenizer.java): 'a/b/c' emits 'a', 'a/b',
+        # 'a/b/c' — every ancestor prefix, all with position increment
+        # 0 after the first (pinned: position 0 for every token), so
+        # prefix faceting / drill-down on paths is one term lookup.
+        s = _pretransform(texts, cfg)
+        delim = cfg.path_delimiter
+        out_t: list = []
+        out_d: list = []
+        for did, val in zip(np.asarray(doc_ids, dtype=np.int64),
+                            s.to_numpy(dtype=object)):
+            if not val:
+                continue
+            parts = [p for p in str(val).split(delim) if p]
+            acc = None
+            for p in parts:
+                acc = p if acc is None else acc + delim + p
+                out_t.append(acc)
+                out_d.append(did)
+        toks = np.asarray(out_t, dtype=object)
+        docs = np.asarray(out_d, dtype=np.int64)
+        return toks, docs, np.zeros(docs.size, dtype=np.int64)
     s = _pretransform(texts, cfg)
     token_lists = s.str.findall(cfg.token_regex())
     lengths = token_lists.str.len().to_numpy(dtype=np.int64)

@@ -5333,6 +5333,37 @@ ts AS (
 SELECT term, df, cf FROM ts WHERE term IN ('fast', 'merge', 'quick')
 ORDER BY term""")
 
+    # -- PathHierarchyTokenizer (round 4; u8:lucene/analysis/common/
+    # .../path/PathHierarchyTokenizer.java): the corpus `path` column
+    # ('doc/<id>.txt') indexed as every ancestor prefix — directory
+    # drill-down / prefix faceting as single term lookups. Probe: top
+    # dictionary entries by df ('doc' covers the corpus; full paths tie
+    # at df=1, term-ordered).
+    def path_hier_tstats(spark, sf):
+        from sparklucene.build import Field
+        fld = Field("path_h", "path",
+                    AnalyzerConfig(tokenizer="path_hierarchy",
+                                   stopwords=frozenset()))
+        idx = index_for(spark, sf, variant="pathh", extra_fields=(fld,))
+        fk = "path_h\x1f"
+        t = idx.termstats().filter(F.col("term").startswith(fk))
+        body = F.col("term").substr(F.lit(len(fk) + 1),
+                                    F.length(F.col("term")))
+        return (t.select(body.alias("term"), "df", "cf")
+                .orderBy(F.desc("df"), F.asc("term")).limit(10))
+    e["analyzer_path_hierarchy_termstats"] = (path_hier_tstats, """
+WITH pref AS (
+  SELECT doc_id, unnest(list_transform(range(1, 3),
+    i -> array_to_string(list_slice(
+           str_split('doc/' || doc_id || '.txt', '/'), 1, i), '/')))
+    AS term
+  FROM documents),
+ts AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM pref GROUP BY term)
+SELECT term, df, cf FROM ts ORDER BY df DESC, term ASC LIMIT 10""")
+
     return e
 
 

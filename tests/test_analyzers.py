@@ -150,3 +150,17 @@ def test_common_grams_filter():
                           stopwords=frozenset())
     assert analyze_text("hash the query", cfg2) == \
         ["hash", "the", "query", "hash_the", "the_query"]
+
+
+def test_path_hierarchy_tokenizer_prefixes():
+    """PathHierarchyTokenizer pinned spec: every ancestor prefix, all at
+    position 0; empty segments collapse; empty input emits nothing."""
+    import numpy as np
+    from sparklucene.analysis import AnalyzerConfig, analyze_flat
+    import pandas as pd
+    cfg = AnalyzerConfig(tokenizer="path_hierarchy", stopwords=frozenset())
+    toks, docs, pos = analyze_flat(
+        pd.Series(["a/b/c", "", "x//y/"]), np.array([1, 2, 3]), cfg)
+    got = list(zip(docs.tolist(), toks.tolist(), pos.tolist()))
+    assert got == [(1, "a", 0), (1, "a/b", 0), (1, "a/b/c", 0),
+                   (3, "x", 0), (3, "x/y", 0)]
