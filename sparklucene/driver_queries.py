@@ -6774,6 +6774,49 @@ SELECT d.doc_id, coalesce(u.lang_u, d.lang) AS lang, d.source,
        (d.n_chars + coalesce(u.inc_u, 0))::BIGINT AS n_chars
 FROM documents d LEFT JOIN up u USING (doc_id)
 ORDER BY d.doc_id""")
+
+    # -- multivalued atomic ops (round 4; AtomicUpdateDocumentMerger
+    # doAdd/doAddDistinct/doRemove): both sides derive the same array
+    # columns from doc_id (the corpus has none); docs with doc_id % 5
+    # = 0 get 'extra' appended to tags (add-distinct — half already
+    # contain it via % 6) and every 'x' removed from labels.
+    def atomic_mv(spark, sf):
+        from sparklucene.updates import apply_atomic_updates
+        d = F.col("doc_id")
+        base = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.array(F.concat(F.lit("t"), (d % 3).cast("string")),
+                    F.when(d % 6 == 0, F.lit("extra"))
+                    .otherwise(F.lit("common"))).alias("tags"),
+            F.array(F.concat(F.lit("l"), (d % 2).cast("string")),
+                    F.lit("x")).alias("labels"))
+        ups = (base.filter(d % 5 == 0)
+               .select("doc_id",
+                       F.array(F.lit("extra")).alias("tags"),
+                       F.array(F.lit("x")).alias("labels")))
+        out = apply_atomic_updates(base, ups,
+                                   {"tags": "add-distinct",
+                                    "labels": "remove"})
+        return (out.select("doc_id",
+                           F.array_join("tags", ",").alias("tags"),
+                           F.array_join("labels", ",").alias("labels"))
+                .orderBy("doc_id"))
+    e["atomic_update_multivalued"] = (atomic_mv, """
+WITH base AS (
+  SELECT doc_id,
+         ['t' || (doc_id % 3),
+          CASE WHEN doc_id % 6 = 0 THEN 'extra' ELSE 'common' END] AS tags,
+         ['l' || (doc_id % 2), 'x'] AS labels
+  FROM documents),
+upd AS (SELECT doc_id FROM base WHERE doc_id % 5 = 0)
+SELECT b.doc_id,
+       array_to_string(CASE WHEN u.doc_id IS NULL THEN b.tags
+            WHEN list_contains(b.tags, 'extra') THEN b.tags
+            ELSE list_concat(b.tags, ['extra']) END, ',') AS tags,
+       array_to_string(CASE WHEN u.doc_id IS NULL THEN b.labels
+            ELSE list_filter(b.labels, v -> v != 'x') END, ',') AS labels
+FROM base b LEFT JOIN upd u USING (doc_id)
+ORDER BY b.doc_id""")
     return e
 
 

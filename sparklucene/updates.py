@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from sparklucene.build import (IndexPaths, _COMPACTED_MANIFESTS, invert,
                                load_stats, merge)
 
-_OPS = ("set", "inc")
+_OPS = ("set", "inc", "add", "add-distinct", "remove")
 
 
 def apply_atomic_updates(corpus: DataFrame, updates: DataFrame,
@@ -54,11 +54,16 @@ def apply_atomic_updates(corpus: DataFrame, updates: DataFrame,
     ``corpus`` not in the batch pass through unchanged; update rows for
     unknown doc_ids are ignored (the reference would create a new doc —
     creation goes through the normal indexing path here, documented).
+
+    Multivalued (array-typed) fields support the reference's remaining
+    ops (u8:solr/core/.../update/processor/AtomicUpdateDocumentMerger
+    .java): ``"add"`` (append, duplicates kept), ``"add-distinct"``
+    (append values not already present, update order) and ``"remove"``
+    (delete every occurrence of each listed value).
     """
     bad = [o for o in ops.values() if o not in _OPS]
     if bad:
-        raise ValueError(f"unsupported atomic ops {bad}: multivalued "
-                         "add/remove have no corpus field to act on; "
+        raise ValueError(f"unsupported atomic ops {bad}; "
                          f"supported: {_OPS}")
     missing = [c for c in ops if c not in updates.columns]
     if missing:
@@ -72,12 +77,36 @@ def apply_atomic_updates(corpus: DataFrame, updates: DataFrame,
             merged.append(F.col(c))
         elif ops[c] == "set":
             merged.append(F.coalesce(F.col(f"_up_{c}"), F.col(c)).alias(c))
-        else:  # inc
+        elif ops[c] == "inc":
             merged.append((F.col(c)
                            + F.coalesce(F.col(f"_up_{c}"),
                                         F.lit(0)).cast(corpus.schema[c]
                                                        .dataType))
                           .alias(c))
+        elif ops[c] == "add":
+            # multivalued append (u8:solr/core/.../update/processor/
+            # AtomicUpdateDocumentMerger.java doAdd): update values
+            # concatenate AFTER the existing ones, duplicates kept
+            merged.append(
+                F.when(F.col(f"_up_{c}").isNull(), F.col(c))
+                .otherwise(F.concat(F.col(c), F.col(f"_up_{c}")))
+                .alias(c))
+        elif ops[c] == "add-distinct":
+            # doAddDistinct: append only values not already present,
+            # in update order
+            up_c = F.col(f"_up_{c}")
+            missing = F.filter(
+                up_c, lambda u: ~F.exists(F.col(c), lambda v: v == u))
+            merged.append(
+                F.when(up_c.isNull(), F.col(c))
+                .otherwise(F.concat(F.col(c), missing)).alias(c))
+        else:  # remove
+            # doRemove: delete EVERY occurrence of each listed value
+            up_c = F.col(f"_up_{c}")
+            kept = F.filter(
+                F.col(c), lambda v: ~F.exists(up_c, lambda u: u == v))
+            merged.append(
+                F.when(up_c.isNull(), F.col(c)).otherwise(kept).alias(c))
     # `merged` was built by iterating corpus.columns, so the projection
     # preserves the corpus schema (order and names) exactly
     return out.select(*merged)

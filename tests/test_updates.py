@@ -27,7 +27,7 @@ def test_merge_semantics(spark):
     # schema preserved exactly
     assert [f.name for f in corpus.schema] == ["doc_id", "tag", "n"]
     with pytest.raises(ValueError, match="unsupported atomic ops"):
-        apply_atomic_updates(corpus, updates, {"tag": "add"})
+        apply_atomic_updates(corpus, updates, {"tag": "bogus-op"})
     with pytest.raises(ValueError, match="lacks columns"):
         apply_atomic_updates(corpus, updates.select("doc_id", "tag"),
                              {"tag": "set", "n": "inc"})
@@ -79,3 +79,27 @@ def test_update_index_equals_full_rebuild(spark, tmp_path):
     from sparklucene.build import IndexPaths, _manifests
     mans = _manifests(IndexPaths(d_inc))
     assert len(mans) == len(_manifests(IndexPaths(d_full)))
+
+
+def test_multivalued_atomic_ops(spark):
+    """add / add-distinct / remove over array fields (the reference's
+    AtomicUpdateDocumentMerger multivalued semantics)."""
+    from pyspark.sql import functions as F
+    corpus = spark.createDataFrame(
+        [(0, ["a", "b"], ["x", "y", "x"]),
+         (1, ["a"], ["x"]),
+         (2, ["c"], ["y"])],
+        "doc_id long, tags array<string>, labels array<string>")
+    ups = spark.createDataFrame(
+        [(0, ["b", "d"], ["x"]), (2, ["c", "c"], None)],
+        "doc_id long, tags array<string>, labels array<string>")
+    got = {r["doc_id"]: (r["tags"], r["labels"])
+           for r in apply_atomic_updates(
+               corpus, ups, {"tags": "add-distinct", "labels": "remove"})
+           .collect()}
+    assert got[0] == (["a", "b", "d"], ["y"])      # b present; ALL x gone
+    assert got[1] == (["a"], ["x"])                # not in batch
+    assert got[2] == (["c"], ["y"])                # add-distinct: no dup
+    got2 = {r["doc_id"]: r["tags"] for r in apply_atomic_updates(
+        corpus, ups, {"tags": "add"}).collect()}
+    assert got2[0] == ["a", "b", "b", "d"]         # plain add keeps dups
