@@ -6830,6 +6830,44 @@ def _parser_entries() -> dict[str, tuple[Callable, str | None]]:
     tscore = bm25.score_sql("tf.tf", "m.dlq", "ts.df", "g.doc_count",
                             "g.sum_dl")
 
+    # -- SimpleQueryParser (round 4; u8:lucene/queryparser/.../simple/
+    # SimpleQueryParser.java — ES simple_query_string): the lenient
+    # end-user grammar parsed into Not(And(merge, Or(join, "fast
+    # merge")), slow) and executed; the oracle re-derives the nested
+    # boolean: merge required, the or-branch required non-empty, slow
+    # excluded, score = sum of matched positive leaf scores.
+    def simple_q(spark, sf):
+        from sparklucene.query import parse_simple
+        q = parse_simple('merge +(join | "fast merge") -slow')
+        return search(index_for(spark, sf), q, k=10, mode="f64")
+    _sq_ctes, _sq_pscore = phrase_ctes_and_score([(0, "fast"),
+                                                  (1, "merge")])
+    e["simple_query_topk"] = (simple_q, f"""WITH {corpus_ctes()},{_sq_ctes},
+s_m AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'merge'),
+s_j AS (
+  SELECT tf.doc_id, {tscore} AS s
+  FROM tf JOIN tstats ts ON tf.term = ts.term
+  JOIN meta m ON tf.doc_id = m.doc_id CROSS JOIN gstats g
+  WHERE tf.term = 'join'),
+s_p AS (
+  SELECT pf.doc_id, {_sq_pscore} AS s
+  FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g),
+matched AS (
+  SELECT sm.doc_id,
+         CAST(sm.s AS DOUBLE) + coalesce(CAST(sj.s AS DOUBLE), 0)
+           + coalesce(CAST(sp.s AS DOUBLE), 0) AS tot
+  FROM s_m sm
+  LEFT JOIN s_j sj USING (doc_id)
+  LEFT JOIN s_p sp USING (doc_id)
+  WHERE (sj.doc_id IS NOT NULL OR sp.doc_id IS NOT NULL)
+    AND sm.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow'))
+SELECT doc_id, CAST(CAST(tot AS REAL) AS DOUBLE) AS score
+FROM matched ORDER BY score DESC, doc_id ASC LIMIT 10""")
+
     def mixed(spark, sf):
         q = parse("+merge +jo* -parallel")
         return search(index_for(spark, sf), q, k=10, mode="f64")

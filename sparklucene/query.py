@@ -1007,3 +1007,112 @@ def parse_min_should_match(spec: str, n_optional: int) -> int:
     if best_k is None:
         return n_optional          # n <= every k: all required
     return _simple(best_v)
+
+
+def parse_simple(query: str, stopwords=ENGLISH_STOP_WORDS,
+                 default_op: str = "or") -> Query:
+    """Lucene SimpleQueryParser surface (public behavior:
+    u8:lucene/queryparser/.../simple/SimpleQueryParser.java — the
+    end-user grammar Elasticsearch exposes as simple_query_string):
+    ``+`` AND, ``|`` OR, ``-`` negation, ``"..."`` phrases (``~N``
+    slop), trailing ``*`` prefix, ``term~N`` fuzzy, ``( )`` grouping —
+    and TOTAL leniency: malformed input never raises. Pinned leniency
+    rules (the reference's spec pins the operator set and that errors
+    are tolerated, not each recovery): an unbalanced quote swallows to
+    end-of-string as a phrase, an unmatched ``)`` is ignored, an
+    unclosed ``(`` groups to end-of-string, dangling operators drop,
+    an empty group vanishes.
+
+    Pinned structure rules: ``+`` binds tighter than ``|``; adjacency
+    uses ``default_op``; a ``-`` clause attaches to the CURRENT
+    and-group as MUST_NOT regardless of the pending connective (a
+    pure-negative group gets a MatchAllDocs base — Lucene's
+    pure-negative boolean behavior).
+    """
+    import re as _re
+
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch in "+|()-":
+            toks.append((ch, None))
+            i += 1
+            continue
+        if ch == '"':
+            j = query.find('"', i + 1)
+            body, i = ((query[i + 1:], n) if j == -1
+                       else (query[i + 1:j], j + 1))
+            slop = 0
+            sm = _re.match(r"~(\d+)", query[i:])
+            if sm:
+                slop, i = int(sm.group(1)), i + sm.end()
+            toks.append(("PHRASE", (body, slop)))
+            continue
+        j = i
+        while j < n and not query[j].isspace() and query[j] not in '+|()-"':
+            j += 1
+        toks.append(("TERM", query[i:j]))
+        i = j
+
+    def expr(i: int, depth: int) -> tuple[Query | None, int]:
+        clauses: list[tuple[str, bool, Query]] = []  # (conn, neg, q)
+        pending: str | None = None
+        neg_next = False
+        while i < len(toks):
+            kind, val = toks[i]
+            if kind == ")":
+                if depth:
+                    i += 1
+                    break
+                i += 1            # leniency: stray ')' ignored
+                continue
+            if kind in ("+", "|"):
+                pending = "and" if kind == "+" else "or"
+                i += 1
+                continue
+            if kind == "-":
+                neg_next = True
+                i += 1
+                continue
+            if kind == "(":
+                sub, i = expr(i + 1, depth + 1)
+                q = sub
+            elif kind == "PHRASE":
+                body, slop = val
+                ph = analyze_phrase(body, stopwords)
+                if isinstance(ph, Phrase) and slop:
+                    ph = Phrase(ph.slots, slop=slop)
+                q = None if isinstance(ph, MatchNoDocs) else ph
+                i += 1
+            else:
+                got = _parse_simple_token(val, None, 1.0, stopwords)
+                q = got[0] if got else None
+                i += 1
+            if q is not None:
+                clauses.append((pending or default_op, neg_next, q))
+            pending, neg_next = None, False
+        # assemble: '-' joins the current and-group as MUST_NOT; '+'
+        # extends it; '|'/adjacency-or starts a new or-item
+        groups: list[tuple[list[Query], list[Query]]] = []
+        for conn, neg, q in clauses:
+            if not groups or (not neg and conn == "or"):
+                groups.append(([], []))
+            (groups[-1][1] if neg else groups[-1][0]).append(q)
+        items: list[Query] = []
+        for pos, negs in groups:
+            base: Query = (And(tuple(pos)) if len(pos) > 1
+                           else pos[0] if pos else MatchAllDocs())
+            if negs:
+                base = Not(base, Or(tuple(negs)) if len(negs) > 1
+                           else negs[0])
+            items.append(base)
+        if not items:
+            return None, i
+        return (Or(tuple(items)) if len(items) > 1 else items[0]), i
+
+    q, _ = expr(0, 0)
+    return rewrite(q) if q is not None else MatchNoDocs()

@@ -103,3 +103,36 @@ def test_min_should_match_spec_pinned_cases():
     assert mm("2<-25% 9<-3", 20) == 17 # k=9 segment applies
     assert mm("2<-25% 9<-3", 2) == 2
     assert mm("-10", 4) == 0           # clamped at 0
+
+
+def test_simple_query_parser_structure_and_leniency():
+    """SimpleQueryParser grammar (round 4): operators, grouping,
+    precedence pins, and total leniency — malformed input never raises."""
+    from sparklucene.query import (And, Fuzzy, MatchAllDocs, MatchNoDocs,
+                                   Not, Or, Phrase, Prefix, Term,
+                                   parse_simple)
+    q = parse_simple('merge +(join | "fast merge") -slow')
+    assert isinstance(q, Not) and isinstance(q.positive, And)
+    inner = q.positive.clauses
+    assert inner[0] == Term("merge") and isinstance(inner[1], Or)
+    assert q.negative == Term("slow")
+    # '+' binds tighter than '|'
+    q2 = parse_simple("merge +join | slow")
+    assert isinstance(q2, Or) and isinstance(q2.clauses[0], And)
+    assert q2.clauses[1] == Term("slow")
+    # pure negative gets a MatchAll base
+    q3 = parse_simple("-zebra")
+    assert isinstance(q3, Not) and isinstance(q3.positive, MatchAllDocs)
+    # prefix + fuzzy postfixes
+    q4 = parse_simple("spar* name~1")
+    assert isinstance(q4.clauses[0], Prefix)
+    assert isinstance(q4.clauses[1], Fuzzy)
+    # leniency: unbalanced quote -> phrase to end; stray ')'/dangling
+    # ops vanish; empty -> MatchNoDocs
+    assert isinstance(parse_simple('"unclosed ph'), Phrase)
+    assert isinstance(parse_simple(") | +"), MatchNoDocs)
+    assert isinstance(parse_simple("(merge"), Term)  # unclosed group
+    assert isinstance(parse_simple(""), MatchNoDocs)
+    # phrase slop
+    q5 = parse_simple('"fast merge"~2')
+    assert isinstance(q5, Phrase) and q5.slop == 2
