@@ -82,6 +82,18 @@ def register_qparser(name: str, fn: Callable[[str], Query]) -> None:
 
 def parse_with(name: str, text: str) -> Query:
     if name not in _QPARSERS:
+        # built-in defTypes resolve lazily (Solr's lucene/simple/
+        # surround parser plugins)
+        if name == "lucene":
+            from sparklucene.query import parse as _p
+            _QPARSERS[name] = _p
+        elif name == "simple":
+            from sparklucene.query import parse_simple as _p
+            _QPARSERS[name] = _p
+        elif name == "surround":
+            from sparklucene.spans import parse_surround as _p
+            _QPARSERS[name] = _p
+    if name not in _QPARSERS:
         raise ValueError(f"unknown qparser {name!r} (register via "
                          "plugins.register_qparser)")
     return _QPARSERS[name](text)
