@@ -1402,6 +1402,28 @@ SELECT c.lang, count(DISTINCT c.source)::BIGINT AS unique_blocks
 FROM documents c JOIN parents p ON c.source = p.source
 GROUP BY c.lang ORDER BY unique_blocks DESC, c.lang ASC""")
 
+    # -- facet.field over a MULTIVALUED field (round 4; SimpleFacets on
+    # a multiValued="true" schema field: a document contributes one
+    # count to EVERY value it holds). The corpus has no array column,
+    # so both sides derive the same doc_id-keyed tags array.
+    def facet_multivalued(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = F.col("doc_id")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.array(F.concat(F.lit("t"), (d % 4).cast("string")),
+                    F.concat(F.lit("t"), (d % 7).cast("string")),
+                    F.lit("all")).alias("tags"))
+        return (docs.select(F.explode("tags").alias("tag"))
+                .groupBy("tag").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("tag")))
+    e["facet_multivalued_field"] = (facet_multivalued, """
+WITH tagged AS (
+  SELECT doc_id, unnest(['t' || (doc_id % 4), 't' || (doc_id % 7),
+                         'all']) AS tag
+  FROM documents)
+SELECT tag, count(*)::BIGINT AS cnt
+FROM tagged GROUP BY tag ORDER BY cnt DESC, tag ASC""")
+
     def facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         src = F.when(F.col("n_chars") % 7 == 0, F.lit(None)).otherwise(
