@@ -4766,6 +4766,28 @@ SELECT doc_id, CAST(CAST(sum(pay) AS REAL) AS DOUBLE) AS score
 FROM occ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 10""")
+
+    # -- SpanPayloadCheckQuery (round 4; u8:lucene/queries/.../payloads/
+    # SpanPayloadCheckQuery.java): an occurrence matches only when its
+    # payload byte equals the required value — freq = matching count,
+    # phrase-weighted with the term's full-df idf (the wrapped span's
+    # scoring).
+    def pay_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.query import PayloadCheck
+        idx = index_for(spark, sf_dir, variant="pay",
+                        payloads="position_mix")
+        return search(idx, PayloadCheck(_t, payload=3), k=10, mode="f64")
+    e["payload_check_topk"] = (pay_check, f"""WITH {corpus_ctes()},{_tokp},
+occ AS (
+  SELECT doc_id FROM tokp
+  WHERE term = '{_t}' AND 1 + ((pos * 31 + {len(_t)}) % 8) = 3
+),
+a AS (SELECT doc_id, count(*)::BIGINT AS tf FROM occ GROUP BY doc_id)
+SELECT a.doc_id AS doc_id,
+       CAST(CAST(({_idf} * a.tf) / {_denom} AS REAL) AS DOUBLE) AS score
+FROM a JOIN meta m ON a.doc_id = m.doc_id CROSS JOIN gstats g
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
     return e
 
 

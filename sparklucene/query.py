@@ -280,6 +280,32 @@ class Span(Query):
         return leaf_terms(self.root, include_only=True)
 
 
+@dataclass(frozen=True)
+class PayloadCheck(Query):
+    """SpanPayloadCheckQuery over a span term — Lucene's
+    ``u8:lucene/queries/.../payloads/SpanPayloadCheckQuery.java``
+    wrapping a SpanTermQuery: an occurrence MATCHES only when its
+    stored payload byte equals ``payload`` (the reference checks a
+    payload list against the span's collected payloads; the single-term
+    wrap checks exactly one byte).
+
+    Pinned scoring spec: freq = matching-occurrence count; scored with
+    the single-term summed-idf phrase weight (the wrapped span's
+    scoring — same float path as SpanFirst). Ties break by doc_id."""
+
+    term: str
+    payload: int
+    #: non-default indexed field (payloads are per-field streams)
+    field: str | None = None
+
+    def __post_init__(self):
+        if not (0 <= int(self.payload) <= 255):
+            raise ValueError("payload byte must be in [0, 255]")
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
 #: PayloadScore aggregation functions (Lucene's Max/Min/Average/Sum
 #: PayloadFunction classes — ``u8:lucene/queries/.../payloads/``)
 PAYLOAD_FNS = ("max", "min", "avg", "sum")
@@ -534,6 +560,10 @@ def qualify(q: Query) -> Query:
             return q
         return PayloadScore(field_key(q.field, q.term), q.fn,
                             q.include_span_score)
+    if isinstance(q, PayloadCheck):
+        if q.field is None:
+            return q
+        return PayloadCheck(field_key(q.field, q.term), q.payload)
     if isinstance(q, (And, Or)):
         clauses = tuple(qualify(c) for c in q.clauses)
         return (And(clauses) if isinstance(q, And)
@@ -607,6 +637,8 @@ def rewrite(q: Query) -> Query:
     if isinstance(q, SpanFirst):
         return MatchNoDocs() if q.end <= 0 else q
     if isinstance(q, PayloadScore):
+        return q
+    if isinstance(q, PayloadCheck):
         return q
     if isinstance(q, Span):
         from sparklucene.spans import SpanTerm, simplify
@@ -697,6 +729,8 @@ def prune_missing(q: Query, present: set[str]) -> Query:
     if isinstance(q, SpanFirst):
         return q if q.match in present else MatchNoDocs()
     if isinstance(q, PayloadScore):
+        return q if q.term in present else MatchNoDocs()
+    if isinstance(q, PayloadCheck):
         return q if q.term in present else MatchNoDocs()
     if isinstance(q, Span):
         from sparklucene.spans import prune as span_prune

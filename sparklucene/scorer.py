@@ -42,7 +42,8 @@ from sparklucene.codec import (BLOCK_SIZE, decode_doc_ids, decode_positions,
 from sparklucene.norms import LENGTH_TABLE
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered,
                                MatchAllDocs, MatchNoDocs, MultiPhrase, Not,
-                               Or, PayloadScore, Phrase, Query, Span,
+                               Or, PayloadCheck, PayloadScore, Phrase,
+                               Query, Span,
                                SpanFirst, Synonym, Term, Within)
 from sparklucene.spans import empty_spans, eval_spans, leaf_terms
 
@@ -468,6 +469,8 @@ class RangeScorer:
             slot_terms = list(q.members)
         elif isinstance(q, SpanFirst):
             slot_terms = [q.match]
+        elif isinstance(q, PayloadCheck):
+            slot_terms = [q.term]
         elif isinstance(q, Span):
             slot_terms = q.weight_terms()
         else:
@@ -838,6 +841,37 @@ class RangeScorer:
         self.metrics.docs_scored -= int(docs.size)  # counted once above
         return docs, (factor * base.astype(np.float64)).astype(np.float32)
 
+    def _payloadcheck_scores(self, q: PayloadCheck
+                             ) -> tuple[np.ndarray, np.ndarray]:
+        """SpanPayloadCheckQuery matcher — the pinned spec lives on the
+        PayloadCheck dataclass: an occurrence matches only when its
+        payload byte equals the required value; freq = matching count,
+        phrase-weighted. Payload segments align to the UNFILTERED
+        posting list, exactly like PayloadScore."""
+        cell = self.cells.get(q.term)
+        if cell is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        docs, tfs = cell.decode()
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        if not cell.pay_bytes:
+            raise ValueError(
+                "PayloadCheck requires an index built with payloads=... "
+                f"(term {q.term!r} has no payload stream)")
+        pay = cell.payloads()
+        docs_rep = np.repeat(docs, tfs)
+        pdocs, pfreq = np.unique(docs_rep[pay == np.uint8(q.payload)],
+                                 return_counts=True)
+        if self._neg_mask_docs is not None and self._neg_mask_docs.size:
+            keep = ~np.isin(pdocs, self._neg_mask_docs, assume_unique=True)
+            pdocs, pfreq = pdocs[keep], pfreq[keep]
+        if pdocs.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        self.metrics.docs_scored += int(pdocs.size)
+        self.metrics.docs_total += int(pdocs.size)
+        nb = cell.norms()[np.searchsorted(docs, pdocs)]
+        return pdocs, self._phrase_weighted(q, pfreq, nb)
+
     def _spanfirst_scores(self, q: SpanFirst
                           ) -> tuple[np.ndarray, np.ndarray]:
         """SpanFirst matcher — the pinned spec lives on the SpanFirst
@@ -881,6 +915,8 @@ class RangeScorer:
             return self._spanfirst_scores(c)
         if isinstance(c, PayloadScore):
             return self._payload_scores(c)
+        if isinstance(c, PayloadCheck):
+            return self._payloadcheck_scores(c)
         if isinstance(c, Span):
             return self._span_scores(c)
         if isinstance(c, And):
