@@ -2441,6 +2441,24 @@ ORDER BY doc_id""")
 SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'mergee') <= 1
 ORDER BY doc_id""")
 
+    # FuzzyQuery prefixLength (round 4; u8:lucene/core/.../search/
+    # FuzzyQuery.java prefixLength): the first N characters must match
+    # EXACTLY and never count as edits — the distance automaton runs on
+    # the suffixes only, and the dictionary scan becomes a prefix seek.
+    # 'mirge'~1 with prefixLength=1: candidates must start with 'm'
+    # and have lev(suffix, 'irge') <= 1 — a term like 'irged' with
+    # lev('irged','mirge') = 2-via-prefix paths can never sneak in
+    # through prefix edits, and the dictionary scan prefix-prunes.
+    def fuzzy_pl(spark, sf):
+        return search(index_for(spark, sf),
+                      Fuzzy("mirge", max_edits=1, prefix_length=1),
+                      k=None, mode="f64").select("doc_id").orderBy("doc_id")
+    e["fuzzy_query_prefix_length"] = (fuzzy_pl, f"""WITH {corpus_ctes()}
+SELECT DISTINCT doc_id FROM tf
+WHERE term LIKE 'm%'
+  AND levenshtein(substr(term, 2), 'irge') <= 1
+ORDER BY doc_id""")
+
     # TOP_TERMS scoring rewrite (round 4; u8:lucene/core/.../search/
     # MultiTermQuery.java TopTermsScoringBooleanQueryRewrite): instead of
     # constant-score, keep the best-n expansions with per-term boosts and

@@ -449,6 +449,11 @@ class Fuzzy(MultiTermQuery):
     boost: float = 1.0
     field: str | None = None
     transpositions: bool = False
+    #: FuzzyQuery prefixLength: the first N characters must match
+    #: EXACTLY and never count as edits — distance applies to the
+    #: suffixes only (Lucene computes the automaton over the suffix).
+    #: Also the dictionary-scan prune: candidates prefix-seek.
+    prefix_length: int = 0
 
 
 @dataclass(frozen=True)

@@ -190,15 +190,25 @@ class Index:
         elif isinstance(q, Fuzzy):
             body = term.substr(F.lit(len(fk) + 1), F.length(term)) if fk \
                 else term
+            pl = int(q.prefix_length or 0)
+            if pl:
+                # prefixLength: exact shared prefix (a prefix-seek on the
+                # sorted dictionary), distance computed on SUFFIXES only
+                body = body.substr(F.lit(pl + 1), F.length(body))
+                suffix = q.term[pl:]
+            else:
+                suffix = q.term
             if q.transpositions:
                 # JVM prefilter: damerau <= k implies levenshtein <= 2k
                 # (a transposition costs at most two plain edits), so the
                 # dictionary scan stays pushdown-cheap; the exact
                 # Damerau cut runs Arrow-batched on the survivors only.
-                pred = F.levenshtein(body, F.lit(q.term)) <= 2 * q.max_edits
+                pred = F.levenshtein(body, F.lit(suffix)) <= 2 * q.max_edits
             else:
-                pred = F.levenshtein(body, F.lit(q.term)) <= q.max_edits
-            if fk:
+                pred = F.levenshtein(body, F.lit(suffix)) <= q.max_edits
+            if pl:
+                pred = term.startswith(fk + q.term[:pl]) & pred
+            elif fk:
                 pred = term.startswith(fk) & pred
         elif isinstance(q, TermRange):
             pred = term.startswith(fk) if fk else F.lit(True)
@@ -221,7 +231,8 @@ class Index:
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
-            qt, fkl, k = q.term, len(fk), q.max_edits
+            pl = int(q.prefix_length or 0)
+            qt, fkl, k = q.term[pl:], len(fk) + pl, q.max_edits
 
             @pandas_udf("int")
             def _dam(s: pd.Series) -> pd.Series:
