@@ -228,7 +228,8 @@ def _span_node_sql(node, ctr: list[int], ctes: list[str]) -> str:
         ctes.append(f"""
 {me} AS (SELECT i.doc_id, i.s, i.e FROM {inc} i
   WHERE NOT EXISTS (SELECT 1 FROM {exc} x
-    WHERE x.doc_id = i.doc_id AND x.s < i.e AND x.e > i.s))""")
+    WHERE x.doc_id = i.doc_id AND x.s < i.e + {node.post}
+      AND x.e > i.s - {node.pre}))""")
         return me
     if isinstance(node, SpanNearNode):
         kids = [_span_node_sql(c, ctr, ctes) for c in node.clauses]
@@ -4532,6 +4533,18 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
                     _ST("hash"))
     e["span_not_exclusion"] = (
         _bm25(Span(_not_tree), k=10), span_topk_sql(_not_tree, k=10))
+
+    # SpanNot pre/post exclusion distances (round 4; u8:lucene/core/
+    # .../search/spans/SpanNotQuery.java 4-arg form): the include
+    # window also dies when 'hash' occurs up to 2 tokens BEFORE or 3
+    # tokens AFTER it — proximity-guarded exclusion, stricter than the
+    # plain overlap test above.
+    _not_dist_tree = _SX(_SN((_ST("merge"), _ST("join")), slop=8,
+                             in_order=True),
+                         _ST("hash"), pre=2, post=3)
+    e["span_not_dist_exclusion"] = (
+        _bm25(Span(_not_dist_tree), k=10),
+        span_topk_sql(_not_dist_tree, k=10))
 
     # surround query language (round 4; u8:lucene/queryparser/.../
     # surround/parser/QueryParser.jj): nW/nN/OR/NOT syntax parsed into

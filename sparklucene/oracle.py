@@ -303,7 +303,8 @@ def _span_eval_doc(node, pos_of: dict[str, list[int]]) -> list[tuple[int, int]]:
         inc = _span_eval_doc(node.include, pos_of)
         exc = _span_eval_doc(node.exclude, pos_of)
         return [(s, e) for s, e in inc
-                if not any(xs < e and xe > s for xs, xe in exc)]
+                if not any(xs < e + node.post and xe > s - node.pre
+                           for xs, xe in exc)]
     if isinstance(node, SpanFirstNode):
         return [(s, e) for s, e in _span_eval_doc(node.match, pos_of)
                 if e <= node.limit]

@@ -35,10 +35,11 @@ sloppy-phrase and Within specs):
   spans (anchor included), the anchor matches when
   ``(hi - lo) - sum(span widths) <= slop``; the result span is the
   covering ``(lo, hi)``.
-* ``SpanNotNode(include, exclude)`` — an include span survives iff no
-  exclude span in the same doc overlaps it
-  (``x.start < i.end and x.end > i.start`` — SpanNotQuery with
-  pre = post = 0).
+* ``SpanNotNode(include, exclude, pre=0, post=0)`` — an include span
+  survives iff no exclude span in the same doc overlaps its widened
+  window (``x.start < i.end + post and x.end > i.start - pre`` —
+  SpanNotQuery's pre/post exclusion distances; pre = post = 0 is the
+  plain overlap test).
 * ``SpanFirstNode(match, limit)`` — spans of ``match`` with
   ``end <= limit`` (SpanFirstQuery over an arbitrary sub-span).
 * ``SpanContainingNode(big, little)`` — spans of ``big`` that enclose
@@ -89,6 +90,12 @@ class SpanOrNode:
 class SpanNotNode:
     include: "SpanNode"
     exclude: "SpanNode"
+    #: SpanNotQuery's pre/post exclusion distances
+    #: (u8:lucene/core/.../search/spans/SpanNotQuery.java): the include
+    #: span dies when an exclude span overlaps the WIDENED window
+    #: [start - pre, end + post).
+    pre: int = 0
+    post: int = 0
 
 
 @dataclass(frozen=True)
@@ -187,7 +194,8 @@ def map_terms(node: SpanNode, fn: Callable[[str], str]) -> SpanNode:
         return SpanOrNode(tuple(map_terms(c, fn) for c in node.clauses))
     if isinstance(node, SpanNotNode):
         return SpanNotNode(map_terms(node.include, fn),
-                           map_terms(node.exclude, fn))
+                           map_terms(node.exclude, fn),
+                           node.pre, node.post)
     if isinstance(node, SpanFirstNode):
         return SpanFirstNode(map_terms(node.match, fn), node.limit)
     if isinstance(node, SpanPositionRangeNode):
@@ -227,7 +235,8 @@ def simplify(node: SpanNode) -> SpanNode | None:
         if inc is None:
             return None
         exc = simplify(node.exclude)
-        return inc if exc is None else SpanNotNode(inc, exc)
+        return inc if exc is None else SpanNotNode(inc, exc, node.pre,
+                                                   node.post)
     if isinstance(node, SpanFirstNode):
         if node.limit <= 0:
             return None
@@ -276,7 +285,8 @@ def prune(node: SpanNode, present: set[str]) -> SpanNode | None:
         if inc is None:
             return None
         exc = prune(node.exclude, present)
-        return inc if exc is None else SpanNotNode(inc, exc)
+        return inc if exc is None else SpanNotNode(inc, exc, node.pre,
+                                                   node.post)
     if isinstance(node, SpanFirstNode):
         m = prune(node.match, present)
         return None if m is None else SpanFirstNode(m, node.limit)
@@ -394,7 +404,8 @@ def _eval_near_unordered(sets: list[SpanSet], slop: int) -> SpanSet:
     return _canon(ad[m], lo[m], hi[m])
 
 
-def _eval_not(inc: SpanSet, exc: SpanSet) -> SpanSet:
+def _eval_not(inc: SpanSet, exc: SpanSet, pre: int = 0,
+              post: int = 0) -> SpanSet:
     d, s, e = inc
     if d.size == 0 or exc[0].size == 0:
         return inc
@@ -405,11 +416,12 @@ def _eval_not(inc: SpanSet, exc: SpanSet) -> SpanSet:
     acc = np.maximum.accumulate(_pack(xd, xe))
     prefmax_end = (acc & np.uint64((1 << 32) - 1)).astype(np.int64)
     key_x = _pack(xd, xs)
-    jr = np.searchsorted(key_x, _pack(d, e), side="left")
+    jr = np.searchsorted(key_x, _pack(d, e + np.int64(post)), side="left")
     lo_d = np.searchsorted(xd, d, side="left")
-    has_prior = jr > lo_d  # some exclude in this doc starts before inc.end
+    # some exclude in this doc starts before the widened window's end
+    has_prior = jr > lo_d
     pm = prefmax_end[np.maximum(jr, 1) - 1]
-    overlap = has_prior & (pm > s)
+    overlap = has_prior & (pm > s - np.int64(pre))
     keep = ~overlap
     if keep.all():
         return inc
@@ -479,7 +491,8 @@ def eval_spans(node: SpanNode, leaf: Callable[[str], SpanSet]) -> SpanSet:
         return _eval_near_unordered(sets, node.slop)
     if isinstance(node, SpanNotNode):
         return _eval_not(eval_spans(node.include, leaf),
-                         eval_spans(node.exclude, leaf))
+                         eval_spans(node.exclude, leaf),
+                         node.pre, node.post)
     if isinstance(node, SpanFirstNode):
         d, st, en = eval_spans(node.match, leaf)
         keep = en <= node.limit

@@ -75,7 +75,9 @@ def _rand_span_node(rng: random.Random, depth: int = 0):
                      for _ in range(rng.randint(2, 3)))
         return SpanOrNode(kids)
     return SpanNotNode(_rand_span_node(rng, depth + 1),
-                       _rand_span_node(rng, depth + 1))
+                       _rand_span_node(rng, depth + 1),
+                       pre=rng.choice([0, 0, 1, 2]),
+                       post=rng.choice([0, 0, 1, 3]))
 
 
 def _rand_synonym(rng: random.Random) -> Synonym:
