@@ -6326,6 +6326,24 @@ SELECT term, levenshtein(term, 'sprk')::INT AS distance, df FROM tstats
 WHERE levenshtein(term, 'sprk') <= 2 AND term <> 'sprk' AND term LIKE 's%'
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
 
+    # -- onlyMorePopular (round 4; Solr spellcheck.onlyMorePopular /
+    # u8:lucene/suggest/.../spell/SpellChecker.java morePopular): the
+    # input 'scan' IS indexed, so only suggestions with df strictly
+    # above scan's own df survive — "did you mean the more common
+    # spelling".
+    def spell_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = index_for(spark, sf_dir)
+        return spellcheck(idx, "scan", k=5, max_edits=2, min_prefix=1,
+                          only_more_popular=True)
+    e["spellcheck_more_popular"] = (spell_pop, f"""WITH {corpus_ctes()},
+wdf AS (SELECT coalesce(
+          (SELECT df FROM tstats WHERE term = 'scan'), 0) AS df)
+SELECT t.term, levenshtein(t.term, 'scan')::INT AS distance, t.df
+FROM tstats t CROSS JOIN wdf w
+WHERE levenshtein(t.term, 'scan') <= 2 AND t.term <> 'scan'
+  AND t.term LIKE 's%' AND t.df > w.df
+ORDER BY distance ASC, t.df DESC, t.term ASC LIMIT 5""")
+
     # -- infix suggestions (round 4; u8:lucene/suggest/.../analyzing/
     # AnalyzingInfixSuggester.java): dictionary terms CONTAINING the
     # fragment, weight-ranked — the "search-anywhere-in-the-suggestion"

@@ -129,13 +129,20 @@ def free_text_suggest(docs: DataFrame, contexts: "tuple[str, ...]",
 
 
 def spellcheck(idx, word: str, k: int = 5, max_edits: int = 2,
-               min_prefix: int = 1, field: str | None = None) -> DataFrame:
+               min_prefix: int = 1, field: str | None = None,
+               only_more_popular: bool = False) -> DataFrame:
     """Did-you-mean correction: dictionary terms within ``max_edits``
     Levenshtein distance of ``word`` that share its first ``min_prefix``
     characters (DirectSpellChecker's minPrefix, which also narrows the
     dictionary scan to one prefix range), ranked by edit distance, then
     document frequency (popularity), then term. The exact input word is
     excluded (it is not a correction). Returns (term, distance, df).
+
+    ``only_more_popular`` (Solr ``spellcheck.onlyMorePopular`` /
+    Lucene SpellChecker ``morePopular``): keep only suggestions whose
+    document frequency EXCEEDS the input word's own df — "did you mean
+    the more common spelling"; an unindexed word has df 0, so every
+    candidate qualifies. The word's df is one dictionary-point lookup.
     """
     d = _dict_body(idx, field)
     term = F.col("term")
@@ -143,6 +150,10 @@ def spellcheck(idx, word: str, k: int = 5, max_edits: int = 2,
     pred = (dist <= max_edits) & (term != word)
     if min_prefix > 0 and word:
         pred = term.startswith(word[:min_prefix]) & pred
+    if only_more_popular:
+        row = d.filter(term == word).select("df").collect()
+        word_df = int(row[0]["df"]) if row else 0
+        pred = pred & (F.col("df") > word_df)
     return (d.filter(pred)
             .withColumn("distance", dist)
             .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
