@@ -226,3 +226,49 @@ def ltr_rerank(index: Index, query: str | Query,
     return (feats.withColumn("ltr_score", model._score().cast("double"))
             .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
             .limit(k))
+
+
+def load_model_json(payload: "str | dict"):
+    """Parse a Solr LTR model JSON document into an engine model —
+    the store format users PUT to ``/schema/model-store`` (public
+    knowledge: u8:solr/contrib/ltr/.../store/rest/ManagedModelStore.java
+    and the reference guide's model JSON examples).
+
+    Supported classes:
+    * ``...ltr.model.LinearModel`` — ``params.weights`` {feature: w};
+      an optional non-standard ``params.intercept`` is honored (0.0
+      default, matching the reference which has none).
+    * ``...ltr.model.MultipleAdditiveTreesModel`` — ``params.trees``:
+      [{weight, root}] where a node is either a split
+      {feature, threshold, left, right} or a leaf {value}.
+
+    The ``features`` list is returned as declared names so callers can
+    check coverage against their Feature declarations; normalizers
+    travel WITH features in Solr's store, so they stay on the engine's
+    Feature objects, not the model.
+    """
+    import json as _json
+
+    doc = _json.loads(payload) if isinstance(payload, str) else payload
+    cls = doc.get("class", "")
+    params = doc.get("params", {})
+    names = tuple(f["name"] for f in doc.get("features", ()))
+    if cls.endswith("LinearModel"):
+        weights = tuple(sorted(
+            (str(k), float(v))
+            for k, v in params.get("weights", {}).items()))
+        model = LinearModel(weights,
+                            intercept=float(params.get("intercept", 0.0)))
+        return model, names
+    if cls.endswith("MultipleAdditiveTreesModel"):
+        def node(d: dict) -> TreeNode:
+            if "value" in d:
+                return TreeNode(value=float(d["value"]))
+            return TreeNode(feature=str(d["feature"]),
+                            threshold=float(d["threshold"]),
+                            left=node(d["left"]), right=node(d["right"]))
+        trees = tuple((float(t["weight"]), node(t["root"]))
+                      for t in params.get("trees", ()))
+        model = AdditiveTreesModel(trees)
+        return model, names
+    raise ValueError(f"unsupported LTR model class: {cls!r}")

@@ -143,3 +143,30 @@ def test_tree_node_validation(spark, idx):
     with pytest.raises(ValueError, match="undeclared"):
         ltr_rerank(idx, Term("merge"), (OriginalScore("orig"),), bad,
                    k=5, rerank_k=10)
+
+
+def test_model_json_roundtrip_scores_equal(spark):
+    """A Solr LTR model JSON loads into the same rerank scores as the
+    directly-constructed model (the /schema/model-store surface)."""
+    import json
+    from sparklucene.ltr import (AdditiveTreesModel, LinearModel, TreeNode,
+                                 load_model_json)
+    direct = LinearModel((("a", 0.5), ("b", 2.0)), intercept=0.25)
+    loaded, names = load_model_json(json.dumps({
+        "class": "org.apache.solr.ltr.model.LinearModel",
+        "name": "m", "features": [{"name": "a"}, {"name": "b"}],
+        "params": {"weights": {"a": 0.5, "b": 2.0}, "intercept": 0.25}}))
+    assert loaded == direct and set(names) == {"a", "b"}
+    droot = TreeNode(feature="a", threshold=1.5,
+                     left=TreeNode(value=-1.0), right=TreeNode(value=3.0))
+    dtrees = AdditiveTreesModel(((0.7, droot),))
+    ltrees, _ = load_model_json({
+        "class": "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+        "features": [{"name": "a"}],
+        "params": {"trees": [{"weight": 0.7, "root": {
+            "feature": "a", "threshold": 1.5,
+            "left": {"value": -1.0}, "right": {"value": 3.0}}}]}})
+    assert ltrees == dtrees
+    import pytest
+    with pytest.raises(ValueError, match="unsupported"):
+        load_model_json({"class": "x.NeuralModel", "params": {}})
