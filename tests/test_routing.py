@@ -108,3 +108,38 @@ def test_refined_facet_fixes_naive_merge(spark, tmp_path):
                              df.select("doc_id", "source"), "source",
                              limit=1, overrequest=0).collect()
     assert [(r["value"], r["cnt"]) for r in out] == [("v2", 5)]
+
+
+def test_routed_grouping_equals_unsharded(spark, routed):
+    """With global stats and max-score heads, the two-phase distributed
+    grouping must EQUAL the unsharded grouped top-k (the exactness
+    argument in routed_grouped_topk's docstring), computed here
+    independently from a single whole-corpus index."""
+    import shutil
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from sparklucene.build import build_index
+    from sparklucene.routing import routed_grouped_topk
+
+    corpus, _ = routed
+    docs = corpus.select("doc_id", F.col("repo").alias("source"))
+    got = routed_grouped_topk(
+        spark, BASE, Or((Term("merge"), Term("spark"))), docs, "source",
+        n_groups=3, group_limit=2, mode="f64", stats="global").collect()
+
+    one = BASE + "-whole"
+    shutil.rmtree(one, ignore_errors=True)
+    build_index(spark, corpus, one, drange_size=128)
+    scored = (search(Index(spark, one), Or((Term("merge"), Term("spark"))),
+                     k=None, mode="f64")
+              .join(docs.withColumnRenamed("source", "grp"), "doc_id"))
+    rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id")))
+    merged = scored.withColumn("rk", rk.cast("long")).filter("rk <= 2")
+    ghead = (merged.groupBy("grp").agg(F.max("score").alias("head"))
+             .orderBy(F.desc("head"), F.asc("grp")).limit(3))
+    want = (merged.join(ghead, "grp")
+            .select("grp", "head", "rk", "doc_id", "score")
+            .orderBy(F.desc("head"), F.asc("grp"), F.asc("rk")).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
