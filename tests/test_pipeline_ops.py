@@ -1029,3 +1029,19 @@ def test_domain_cap_membership_invariant_under_repartition(spark, docs):
     for r in domain_cap_sample(base, cap=3).collect():
         per_src[r["source"]] = per_src.get(r["source"], 0) + 1
     assert max(per_src.values()) <= 3
+
+
+def test_binary_hamming_matches_numpy_mirror(spark, embeddings):
+    import numpy as np
+    from sparklucene.similarity import hamming_topk
+    got = [(r["vec_id"], r["hamming"]) for r in
+           hamming_topk(embeddings, query_vec_id=3, dim=64, k=8).collect()]
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    bits = (mat > 0)
+    q = bits[pdf.index[pdf["vec_id"] == 3][0]]
+    ham = (bits != q).sum(axis=1)
+    order = sorted((int(h), int(v)) for v, h in
+                   zip(pdf["vec_id"], ham) if v != 3)[:8]
+    want = [(v, h) for h, v in order]
+    assert got == want
