@@ -477,7 +477,9 @@ def routed_facet_field(spark: SparkSession, base_dir: str, query,
                         F.col(facet_col).cast("string").alias("value"))
     counts = []
     for rt, info in sorted(meta["routes"].items()):
-        d = info["dir"]
+        d = info.get("dir")
+        if not d:
+            continue  # empty hash-range shard (compositeId manifests)
         path = d if os.path.isabs(d) else os.path.join(base_dir, d)
         m = matches(Index(spark, path), query, mode=mode).select("doc_id")
         counts.append(m.join(attrs, "doc_id")
