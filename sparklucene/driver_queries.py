@@ -1425,6 +1425,19 @@ WITH tagged AS (
 SELECT tag, count(*)::BIGINT AS cnt
 FROM tagged GROUP BY tag ORDER BY cnt DESC, tag ASC""")
 
+    # -- facet.contains (round 4; SimpleFacets facet.contains /
+    # facet.contains.ignoreCase): bucket VALUES filtered by substring
+    # before the topN cut — the type-ahead filter over facet values.
+    def facet_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return (docs.filter(F.col("source").contains("rc1"))
+                .groupBy("source").agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("source")).limit(5))
+    e["facet_contains_filter"] = (facet_contains, """
+SELECT source, count(*)::BIGINT AS cnt FROM documents
+WHERE contains(source, 'rc1')
+GROUP BY source ORDER BY cnt DESC, source ASC LIMIT 5""")
+
     def facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         src = F.when(F.col("n_chars") % 7 == 0, F.lit(None)).otherwise(
