@@ -340,11 +340,37 @@ def _pretransform(texts: pd.Series, cfg: AnalyzerConfig) -> pd.Series:
     return s
 
 
+def _reject_filter_stages(cfg: AnalyzerConfig) -> None:
+    """The keyword / path_hierarchy branches emit their tokens directly
+    and never reach the post-tokenization filter stages, so a config
+    combining them with those stages must fail LOUDLY instead of
+    silently ignoring the filters (round-4 advisory). Char-filter
+    stages (html_strip / char_pattern_replace / ascii_fold / lowercase
+    / split_word_delims) still apply — they run in _pretransform."""
+    active = [name for name, on in (
+        ("stopwords", bool(cfg.stopwords)),
+        ("min_len", cfg.min_len > 1),
+        ("term_map", bool(cfg.term_map)),
+        ("stem", bool(cfg.stem)),
+        ("common_grams", bool(cfg.common_grams)),
+        ("ngram", cfg.ngram is not None),
+        ("edge_ngram", cfg.edge_ngram is not None),
+        ("shingle", cfg.shingle is not None),
+        ("reverse_tokens", cfg.reverse_tokens),
+    ) if on]
+    if active:
+        raise ValueError(
+            f"tokenizer={cfg.tokenizer!r} emits terminal tokens and does "
+            f"not run the post-tokenization filter chain; drop {active} "
+            "from the AnalyzerConfig (e.g. stopwords=frozenset())")
+
+
 def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Configurable-analyzer version of :func:`flat_tokens` (same position
     semantics: pre-stop-filter indexes, stop/length gaps preserved)."""
     if cfg.tokenizer == "keyword":
+        _reject_filter_stages(cfg)
         s = _pretransform(texts, cfg)
         toks = s.to_numpy(dtype=object)
         docs = np.asarray(doc_ids, dtype=np.int64)
@@ -352,6 +378,7 @@ def analyze_flat(texts: pd.Series, doc_ids: np.ndarray, cfg: AnalyzerConfig
         keep = np.array([bool(t) for t in toks])
         return toks[keep], docs[keep], pos[keep]
     if cfg.tokenizer == "path_hierarchy":
+        _reject_filter_stages(cfg)
         # PathHierarchyTokenizer (u8:lucene/analysis/common/.../path/
         # PathHierarchyTokenizer.java): 'a/b/c' emits 'a', 'a/b',
         # 'a/b/c' — every ancestor prefix, all with position increment

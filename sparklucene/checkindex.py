@@ -58,8 +58,15 @@ def _check_cell(row, drange_size: int, n_ranges: int, out: list) -> None:
 
     if not (0 <= dr < n_ranges):
         bad("drange_bounds", f"drange {dr} outside [0, {n_ranges})")
-    docs = decode_doc_ids(bytes(row.doc_bytes))
-    tfs = decode_tfs(bytes(row.tf_bytes))
+    # a corrupt varint stream must yield a violation ROW, not fail the
+    # whole verify job — the silently-corrupted-posting-list scenario is
+    # exactly what this checker exists for (round-4 advisory).
+    try:
+        docs = decode_doc_ids(bytes(row.doc_bytes))
+        tfs = decode_tfs(bytes(row.tf_bytes))
+    except Exception as exc:  # corrupt varint stream
+        bad("decode_error", f"doc/tf varint decode failed: {exc}")
+        return
     n = docs.size
     if n == 0:
         bad("empty_cell", "cell with zero postings")
@@ -79,27 +86,32 @@ def _check_cell(row, drange_size: int, n_ranges: int, out: list) -> None:
         bad("df_part", f"df_part {row.df_part} != {n} postings")
     if int(row.cf_part) != int(tfs.sum()):
         bad("cf_part", f"cf_part {row.cf_part} != sum(tf) {int(tfs.sum())}")
-    norms = np.frombuffer(bytes(row.norm_bytes), dtype=np.uint8)
-    if norms.size != n:
-        bad("norm_alignment", f"{norms.size} norm bytes for {n} docs")
-        norms = None
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    blast = np.asarray(row.block_last, dtype=np.int64)
-    bmax = np.asarray(row.block_max_tf, dtype=np.int64)
-    bmin = np.frombuffer(bytes(row.block_min_norm), dtype=np.uint8)
-    if blast.size != nblocks or bmax.size != nblocks or bmin.size != nblocks:
-        bad("block_count", f"{blast.size}/{bmax.size}/{bmin.size} blocks, "
-            f"expected {nblocks}")
-    else:
-        ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
-        starts = np.arange(nblocks) * BLOCK_SIZE
-        if not (blast == docs[ends - 1]).all():
-            bad("block_last", "block_last != last doc id per block")
-        if not (bmax == np.maximum.reduceat(tfs, starts)).all():
-            bad("block_max_tf", "block_max_tf != block tf maximum")
-        if norms is not None and not (
-                bmin == np.minimum.reduceat(norms, starts)).all():
-            bad("block_min_norm", "block_min_norm != block norm minimum")
+    try:
+        norms = np.frombuffer(bytes(row.norm_bytes), dtype=np.uint8)
+        if norms.size != n:
+            bad("norm_alignment", f"{norms.size} norm bytes for {n} docs")
+            norms = None
+        nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        blast = np.asarray(row.block_last, dtype=np.int64)
+        bmax = np.asarray(row.block_max_tf, dtype=np.int64)
+        bmin = np.frombuffer(bytes(row.block_min_norm), dtype=np.uint8)
+        if (blast.size != nblocks or bmax.size != nblocks
+                or bmin.size != nblocks):
+            bad("block_count", f"{blast.size}/{bmax.size}/{bmin.size} "
+                f"blocks, expected {nblocks}")
+        else:
+            ends = np.minimum(np.arange(1, nblocks + 1) * BLOCK_SIZE, n)
+            starts = np.arange(nblocks) * BLOCK_SIZE
+            if not (blast == docs[ends - 1]).all():
+                bad("block_last", "block_last != last doc id per block")
+            if not (bmax == np.maximum.reduceat(tfs, starts)).all():
+                bad("block_max_tf", "block_max_tf != block tf maximum")
+            if norms is not None and not (
+                    bmin == np.minimum.reduceat(norms, starts)).all():
+                bad("block_min_norm", "block_min_norm != block norm minimum")
+    except Exception as exc:  # malformed norm/block buffer
+        bad("decode_error", f"norm/block metadata decode failed: {exc}")
+        return
     pos_b = bytes(row.pos_bytes) if row.pos_bytes is not None else b""
     if pos_b:
         try:

@@ -1338,10 +1338,14 @@ SELECT CASE WHEN n_chars < 300 THEN '[0,300)'
        count(*)::BIGINT AS cnt
 FROM documents GROUP BY 1 ORDER BY interval""")
 
+    # prefix 'src1' matches 11 fixture sources (src1, src10..src19) so
+    # the offset window (rk 2..4) actually observes data — round 4's
+    # 'w' prefix matched nothing and the driver compared 0 rows to
+    # 0 rows (a vacuous pass; the round-4 verdict flagged it).
     def facet_prefix_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         from pyspark.sql import Window
-        return (docs.filter(F.col("source").startswith("w"))
+        return (docs.filter(F.col("source").startswith("src1"))
                 .groupBy("source").agg(F.count("*").alias("cnt"))
                 .withColumn("rk", F.row_number().over(
                     Window.orderBy(F.desc("cnt"), F.asc("source"))))
@@ -1351,7 +1355,7 @@ FROM documents GROUP BY 1 ORDER BY interval""")
 SELECT source, cnt FROM (
   SELECT source, count(*)::BIGINT AS cnt,
          row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rk
-  FROM documents WHERE source LIKE 'w%' GROUP BY source)
+  FROM documents WHERE source LIKE 'src1%' GROUP BY source)
 WHERE rk > 1 AND rk <= 4""")
 
     # -- JSON facet DOMAIN CHANGE: blockChildren (round 4; u8:solr/core/
@@ -1874,14 +1878,21 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""")
 
+    # complement vs F-status orders only: every fixture customer has at
+    # least one order, so the r1 "customers with no orders" slice
+    # compared 0 rows to 0 rows (a vacuous pass, caught by
+    # tests/test_oracle_nonvacuous.py); customers with no FULFILLED
+    # order exist at every sf.
     def compl(spark, sf):
         cust = _t(spark, sf, "customer").select("c_custkey")
-        orders = (_t(spark, sf, "orders").select("o_custkey")
-                  .withColumnRenamed("o_custkey", "c_custkey"))
+        orders = (_t(spark, sf, "orders")
+                  .filter(F.col("o_orderstatus") == "F")
+                  .select(F.col("o_custkey").alias("c_custkey")))
         return st.complement_stream(cust, orders, ["c_custkey"])
     e["stream_complement"] = (compl, """
 SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""")
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')""")
 
     def rollup(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -3271,12 +3282,26 @@ def _dedup_entries() -> dict[str, tuple[Callable, str | None]]:
     from sparklucene import dedup
     e: dict[str, tuple[Callable, str | None]] = {}
 
-    e["dedup_exact_groups"] = (
-        lambda spark, sf: dedup.exact_dup_groups(_t(spark, sf, "documents")),
-        """
+    # the fixture corpus has no exact-duplicate texts, so the plain
+    # entry returned 0 rows at the driver's sf (a vacuous r2 pass; the
+    # round-4 verdict flagged it). Both sides apply the same pinned
+    # deterministic augmentation — every doc_id % 13 == 3 doc gains an
+    # exact copy at doc_id + 10_000_000 — so every group has exactly
+    # 2 copies and the keeper is always the original (min doc_id).
+    def exact_groups(spark, sf):
+        docs = _t(spark, sf, "documents")
+        aug = (docs.filter(F.col("doc_id") % 13 == 3)
+               .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+        return dedup.exact_dup_groups(docs.unionByName(aug))
+    e["dedup_exact_groups"] = (exact_groups, """
+WITH aug AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM documents
+  WHERE doc_id % 13 = 3)
 SELECT sha256(text) AS content_sha, count(*)::BIGINT AS n_copies,
        min(doc_id) AS keeper_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1""")
+FROM aug GROUP BY 1 HAVING count(*) > 1""")
 
     sig_cols = ",\n       ".join(
         f"min(({a} * h30 + {b}) % {dedup.LSH_PRIME})::BIGINT AS sig{i}"
@@ -6210,7 +6235,11 @@ _R01_COVERED = frozenset({
     "events_time_window_agg", "stream_select_eval", "stream_top_k",
     "stream_unique", "stream_merge_sorted", "stream_hash_join",
     "stream_outer_hash_join", "stream_sortmerge_join_rollup",
-    "stream_intersect", "stream_complement", "stream_rollup_metrics",
+    # stream_complement's r1 row was VACUOUS (0 rows == 0 rows: every
+    # fixture customer has at least one order) — deliberately NOT
+    # listed here so the F-status variant re-enters the round-5 window
+    # as a no-driver-row entry.
+    "stream_intersect", "stream_rollup_metrics",
     "stream_stats", "stream_fetch_enrich", "sort_multi_field",
     "paging_page2",
 })
@@ -6232,7 +6261,11 @@ _R02_COVERED = frozenset({
     "grouping_top2_per_group", "collapse_expand_by_source",
     "function_termfreq", "numeric_range_query", "term_in_set_query",
     "text_token_stats", "text_quality_score", "text_language_id",
-    "text_fingerprint", "dedup_exact_groups", "dedup_minhash_signatures",
+    # dedup_exact_groups' r2 row was VACUOUS (0 rows == 0 rows: the
+    # fixture corpus has no exact duplicates) — deliberately NOT listed
+    # here so the augmented, non-vacuous version re-enters the round-5
+    # window as a no-driver-row entry.
+    "text_fingerprint", "dedup_minhash_signatures",
     "dedup_lsh_candidates", "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "ann_cosine_topk_exact",
     "ann_lsh_bucketed_topk", "ann_lsh_multiprobe_topk",
@@ -6269,8 +6302,100 @@ _R03_COVERED = frozenset({
     "bm25_phrase_stopword_gap",
 })
 
-#: every entry with at least one driver CORRECTNESS row (r1 ∪ r2 ∪ r3)
-_ANY_DRIVER_ROW = _DRIVER_COVERED | _R03_COVERED
+#: entries the driver's round-4 CORRECTNESS window verified
+#: (CORRECTNESS_r04.json — 50 entries, all hash-green, all brand-new
+#: round-4 entries per the never-checked-first policy)
+_R04_COVERED = frozenset({
+    "bm25_msm_percent", "mlt_interesting_terms", "edismax_pf_phrase_boost",
+    "edismax_pf2_bigram_boost", "synonym_query_blended",
+    "synonym_graph_multiword", "common_terms_query",
+    "complex_phrase_prefix", "bm25_omit_norms_or",
+    "copyfield_catchall_search", "analysis_field_token_stream",
+    "analyzer_pattern_replace_termstats",
+    "analyzer_path_hierarchy_termstats", "block_join_children_of_parents",
+    "block_join_child_transformer", "join_score_mode_total_avg",
+    "luke_field_summary", "postings_term_positions",
+    "explain_score_components", "terms_component_prefix_index",
+    "terms_component_regex_count", "index_sorted_topk",
+    "index_sorted_topk_filtered", "facet_stats_percentiles",
+    "facet_multiselect_tagged", "json_facet_nested_terms",
+    # facet_prefix_offset_page's r4 row was VACUOUS (0 rows == 0 rows:
+    # the old 'w' prefix matched nothing) — deliberately NOT listed
+    # here so the de-vacuated version re-enters the round-5 window as
+    # a no-driver-row entry.
+    "facet_interval_nchars",
+    "json_facet_block_domain", "json_facet_unique_block",
+    "facet_multivalued_field", "facet_contains_filter",
+    "facet_missing_bucket", "facet_multiselect_exclude_tag",
+    "facet_range_date_events", "grouping_ngroups_matches",
+    "grouping_group_facet_lang", "json_facet_stat_sorted",
+    "stream_having", "stream_cartesian_product", "graph_query_fixpoint",
+    "graph_gather_nodes_2hop", "graph_shortest_path", "graph_score_nodes",
+    "stream_timeseries_gapfill", "stream_features_igain",
+    "stream_train_logit", "stream_detect_followups",
+    "stream_sessionize_users", "stream_random_seeded",
+})
+
+#: every entry with at least one driver CORRECTNESS row (r1∪r2∪r3∪r4)
+_ANY_DRIVER_ROW = _DRIVER_COVERED | _R03_COVERED | _R04_COVERED
+
+#: round-5 driver-window ordering for the 73 entries that have NEVER
+#: had a driver CORRECTNESS row (they are value-green in the local
+#: 260-entry DuckDB mirror, but mirror-only is weaker evidence).
+#: Highest-complexity operators lead so they land inside the ~50-entry
+#: round-5 window: nested spans, payloads, LTR, monitor, frange,
+#: routed/hashed/time-routed/distributed serving, parsers, classifiers,
+#: ANN quantization + hybrid fusion, then fuzzy/wildcard scoring
+#: rewrites and the remaining pipeline/suggest/scalar entries (lowest
+#: risk — simple plans with strong local mirror evidence).
+_R05_PRIORITY = (
+    # nested span algebra (8)
+    "span_near_ordered_nested", "span_near_unordered_or",
+    "span_not_exclusion", "span_not_dist_exclusion",
+    "surround_query_topk", "span_containing_topk", "span_within_topk",
+    "span_position_range_topk",
+    # payloads (4)
+    "postings_term_payloads", "payload_score_avg_topk",
+    "payload_score_sum_raw_topk", "payload_check_topk",
+    # LTR / monitor / frange (5)
+    "ltr_linear_rerank", "ltr_trees_rerank", "monitor_match_docs",
+    "frange_filtered_search", "frange_matchall_function",
+    # routed / hashed / time-routed / distributed serving (6)
+    "routed_search_global_stats", "routed_facet_refined",
+    "routed_grouping_topk", "routed_suggest_merged",
+    "hashed_search_route_key", "time_routed_search_window",
+    # parsers (3) + classifiers (2)
+    "parser_classic_mixed", "parser_range_boost", "simple_query_topk",
+    "classify_naive_bayes", "classify_knn_vote",
+    # ANN quantization + hybrid fusion + semantic dedup (10)
+    "ann_pq_adc_topk", "ann_int8_quantized_topk",
+    "ann_binary_hamming_topk", "ann_filtered_topk", "hybrid_rrf_search",
+    "hybrid_linear_search", "dedup_semantic_semdedup",
+    "dedup_lsh_incremental", "dedup_duplicate_clusters",
+    "search_mmr_diversified",
+    # fuzzy/wildcard scoring rewrites (6)
+    "fuzzy_query_transpositions", "fuzzy_query_prefix_length",
+    "fuzzy_query_scored", "fuzzy_query_blended", "wildcard_query_scored",
+    "reversed_leading_wildcard",
+    # function scoring / expressions / updates / highlight (6)
+    "boost_by_external_field", "feature_field_saturation",
+    "expression_sort_topk", "atomic_update_merge",
+    "atomic_update_multivalued", "highlight_passages_topk",
+    # ---- window boundary (~50) — entries below have the simplest
+    # plans and strongest local evidence; they keep mirror coverage
+    # if the round-5 window does not reach them ----
+    "cursor_fieldsort_page2", "sort_missing_last", "stream_knn_regress",
+    "spellcheck_more_popular", "suggest_infix_topk",
+    "suggest_context_filtered", "suggest_free_text",
+    "spellcheck_word_break", "spellcheck_word_combine",
+    "spellcheck_collation", "spatial_geofilt_radius",
+    "function_solr_date_math", "function_conditional",
+    "function_scale_map", "text_pii_scan", "text_unigram_logppl",
+    "pipeline_quality_filter", "pipeline_boilerplate_lines",
+    "pipeline_dup_span_removal", "pipeline_mixture_sample",
+    "pipeline_chunk_overlap", "pipeline_url_blocklist",
+    "pipeline_domain_cap",
+)
 
 #: the 87 entries whose LATEST driver row dates from r1/r2, ordered
 #: stalest-first (the 38 whose only row is r1, in r1 window order, then
@@ -6341,20 +6466,26 @@ ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
 
     # -- onlyMorePopular (round 4; Solr spellcheck.onlyMorePopular /
     # u8:lucene/suggest/.../spell/SpellChecker.java morePopular): the
-    # input 'scan' IS indexed, so only suggestions with df strictly
-    # above scan's own df survive — "did you mean the more common
-    # spelling".
+    # input 'part' IS indexed, so only suggestions with df strictly
+    # above part's own df survive — "did you mean the more common
+    # spelling". min_prefix=0 because the fixture vocab (29 terms) has
+    # no same-first-letter pairs within edit distance 2; with 'part'
+    # the filter visibly BITES at sf0.01: 'sort' (higher df) survives
+    # while 'fast' (lower df) and 'spark' (equal df — strict >) are
+    # excluded. Round 4's input 'scan' had no edit-2 neighbor at all,
+    # so the driver compared 0 rows to 0 rows (vacuous pass, caught by
+    # tests/test_oracle_nonvacuous.py).
     def spell_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = index_for(spark, sf_dir)
-        return spellcheck(idx, "scan", k=5, max_edits=2, min_prefix=1,
+        return spellcheck(idx, "part", k=5, max_edits=2, min_prefix=0,
                           only_more_popular=True)
     e["spellcheck_more_popular"] = (spell_pop, f"""WITH {corpus_ctes()},
 wdf AS (SELECT coalesce(
-          (SELECT df FROM tstats WHERE term = 'scan'), 0) AS df)
-SELECT t.term, levenshtein(t.term, 'scan')::INT AS distance, t.df
+          (SELECT df FROM tstats WHERE term = 'part'), 0) AS df)
+SELECT t.term, levenshtein(t.term, 'part')::INT AS distance, t.df
 FROM tstats t CROSS JOIN wdf w
-WHERE levenshtein(t.term, 'scan') <= 2 AND t.term <> 'scan'
-  AND t.term LIKE 's%' AND t.df > w.df
+WHERE levenshtein(t.term, 'part') <= 2 AND t.term <> 'part'
+  AND t.df > w.df
 ORDER BY distance ASC, t.df DESC, t.term ASC LIMIT 5""")
 
     # -- infix suggestions (round 4; u8:lucene/suggest/.../analyzing/
@@ -7170,28 +7301,29 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     e.update(_parser_entries())
     e.update(_classify_entries())
     # the driver checks a bounded PREFIX of the registry each round, so
-    # ordering is evidence policy. Round 4 added ~110 brand-new entries
-    # with NO driver CORRECTNESS row at all, and never-driver-checked
-    # is a strictly worse evidence state than stale-but-green (the
-    # round-2 verdict's sharpest finding): every one of the 137 older
-    # entries already has at least one hash-green driver row from
-    # r1∪r2∪r3 AND is re-verified against DuckDB on current code every
-    # session by tests/test_driver_contract.py. So NEVER-CHECKED
-    # entries lead (assembly order preserved): the round-4 and round-5
-    # driver windows (~50 each) drain them in order; any remainder
-    # keeps the local mirror's value-exact evidence. The 87 entries
-    # whose latest row
-    # dates from r1/r2 follow (stalest first — all 38 r1-latest, then
-    # the r2-latest), and the r3-checked entries (freshest evidence)
-    # close the registry. This deliberately amends the round-3
-    # verdict's "oldest 50 lead round 4" ask, which predated the 95
-    # new entries: zero-row > old-row on the priority scale it itself
-    # established. Every entry keeps a deterministic position.
-    fresh_new = {k: v for k, v in e.items() if k not in _ANY_DRIVER_ROW}
-    stale = {k: e[k] for k in _STALE_FIRST if k in e and k not in fresh_new}
+    # ordering is evidence policy (never-driver-checked entries lead —
+    # the round-2/round-4 verdicts' priority scale: zero-row is a
+    # strictly worse evidence state than stale-but-green, because every
+    # entry is re-verified against DuckDB on current code each session
+    # by tests/test_driver_contract.py regardless). Round-5 ordering:
+    #   1. brand-new round-5 entries (no driver row, not in the frozen
+    #      _R05_PRIORITY list) — novel code, highest evidence value;
+    #   2. the 73 entries never checked by any of r1–r4, in
+    #      _R05_PRIORITY order (highest-complexity operators first so
+    #      they land inside the ~50-entry round-5 window);
+    #   3. the 87 entries whose latest row dates from r1/r2, stalest
+    #      first (_STALE_FIRST — r4 re-checked none of these, its
+    #      window was all brand-new r4 entries per CORRECTNESS_r04);
+    #   4. r3/r4-checked entries (freshest evidence) close the
+    #      registry. Every entry keeps a deterministic position.
+    no_row = {k for k in e if k not in _ANY_DRIVER_ROW}
+    brand_new = {k: e[k] for k in e
+                 if k in no_row and k not in _R05_PRIORITY}
+    never = {k: e[k] for k in _R05_PRIORITY if k in e}
+    stale = {k: e[k] for k in _STALE_FIRST if k in e and k not in no_row}
     tail = {k: v for k, v in e.items()
-            if k not in fresh_new and k not in stale}
-    return {**fresh_new, **stale, **tail}
+            if k not in brand_new and k not in never and k not in stale}
+    return {**brand_new, **never, **stale, **tail}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -453,9 +453,21 @@ def routed_facet_field(spark: SparkSession, base_dir: str, query,
 
     Phase 2 — refinement: the coordinator unions the candidate bucket
     VALUES and asks every shard that did not report a candidate for
-    that bucket's exact count. Summed counts over the candidate set are
-    then exact, and the final top-``limit`` equals the unsharded facet
-    (the property the oracle checks).
+    that bucket's exact count. Counts for every RETURNED bucket are
+    therefore exact (each is summed over all shards).
+
+    Exactness of the top-``limit`` SET matches Solr's documented
+    contract, which is conditional: because ``limit(ship)`` ships a
+    shard's ENTIRE bucket list whenever that shard has at most
+    ``limit + overrequest`` distinct values, the result equals the
+    unsharded facet whenever every shard's bucket domain fits in the
+    ship window (low-cardinality fields — the common case, and the
+    fixture case the oracle checks). When a shard truncates, a bucket
+    that falls below the ship cutoff on EVERY shard never enters the
+    candidate set and cannot be refined, so the returned top-``limit``
+    can miss it — Solr's FacetComponent has the same
+    overrequest-dependent failure mode (its cure is raising
+    ``facet.overrequest.count``, mirrored here by ``overrequest``).
 
     ``docs`` supplies (doc_id, facet_col); matching is route-disjoint so
     the per-shard join never sees another shard's docs. Driver-side
@@ -484,6 +496,8 @@ def routed_facet_field(spark: SparkSession, base_dir: str, query,
         m = matches(Index(spark, path), query, mode=mode).select("doc_id")
         counts.append(m.join(attrs, "doc_id")
                       .groupBy("value").agg(F.count("*").alias("cnt")))
+    if not counts:  # manifest where every hash-range shard is empty
+        return spark.createDataFrame([], "value string, cnt long")
     # phase 1: per-shard top (limit+overrequest) candidate buckets
     shipped = [c.orderBy(F.desc("cnt"), F.asc("value")).limit(ship)
                for c in counts]
@@ -545,6 +559,9 @@ def routed_grouped_topk(spark: SparkSession, base_dir: str, query,
                  else os.path.join(base_dir, info["dir"]))
             for rt, info in sorted(meta["routes"].items())
             if info.get("dir")}
+    if not dirs:  # manifest where every hash-range shard is empty
+        return spark.createDataFrame(
+            [], "grp string, head double, rk long, doc_id long, score double")
     override = None
     if stats == "global":
         from sparklucene.query import qualify
@@ -616,6 +633,8 @@ def routed_suggest(spark: SparkSession, base_dir: str, prefix: str,
              else os.path.join(base_dir, info["dir"]))
         parts.append(_dict_body(Index(spark, d), None)
                      .filter(F.col("term").startswith(prefix)))
+    if not parts:  # manifest where every hash-range shard is empty
+        return spark.createDataFrame([], "term string, df long, cf long")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

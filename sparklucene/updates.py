@@ -93,8 +93,11 @@ def apply_atomic_updates(corpus: DataFrame, updates: DataFrame,
                 .alias(c))
         elif ops[c] == "add-distinct":
             # doAddDistinct: append only values not already present,
-            # in update order
-            up_c = F.col(f"_up_{c}")
+            # in update order. The reference checks against the
+            # collection AS IT GROWS, so a value repeated within one
+            # update array is appended once — array_distinct keeps the
+            # first occurrence (round-4 advisory).
+            up_c = F.array_distinct(F.col(f"_up_{c}"))
             missing = F.filter(
                 up_c, lambda u: ~F.exists(F.col(c), lambda v: v == u))
             merged.append(
