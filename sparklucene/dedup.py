@@ -325,7 +325,18 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     return labels.orderBy("node")
 
 
-def semantic_dedup(embeddings: DataFrame, n_clusters: int = 4,
+def semdedup_cluster_count(n_vectors: int) -> int:
+    """Default SemDeDup cluster count: ~10k vectors per cluster with a
+    floor of 4. The n²/k within-cluster pair bound is only as good as
+    k, so k MUST scale with corpus size — a fixed k at 100× the data
+    means 100× the pairs per cluster. 10k/cluster keeps each cluster's
+    pair block ~10^8 integer-dot comparisons (one executor-core-scale
+    task) regardless of corpus size; the paper uses the same
+    clusters-proportional-to-data regime."""
+    return max(4, int(n_vectors) // 10_000)
+
+
+def semantic_dedup(embeddings: DataFrame, n_clusters: int | None = None,
                    iters: int = 2, min_cosine: float = 0.9) -> DataFrame:
     """SemDeDup (public knowledge: Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -349,12 +360,18 @@ def semantic_dedup(embeddings: DataFrame, n_clusters: int = 4,
     equi-keyed on centroid); assignment reuses ivf_index's audited plan
     (centroids as plan literals, partial-agg updates). Pair cosines are
     exact integer dot/norms in one double expression — JVM codegen, no
-    Python.
+    Python. ``n_clusters=None`` (the default) auto-sizes k to the
+    corpus via :func:`semdedup_cluster_count` (~10k vectors/cluster,
+    floor 4) — the n²/k bound is only as good as k, so k must grow
+    with n; pass an explicit k only for pinned fixtures or when an
+    external sizing rule applies.
     """
     from pyspark.sql import Window
 
     from sparklucene.similarity import ivf_index
 
+    if n_clusters is None:
+        n_clusters = semdedup_cluster_count(embeddings.count())
     assigned, _cents = ivf_index(embeddings, n_centroids=n_clusters,
                                  iters=iters)
     m = assigned.filter(F.col("norm2") > 0) \

@@ -4593,6 +4593,61 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
     e["surround_query_topk"] = (
         _bm25(Span(_sur_tree), k=10), span_topk_sql(_sur_tree, k=10))
 
+    # SpanMultiTermQueryWrapper (round 5; u8:lucene/core/.../search/
+    # spans/SpanMultiTermQueryWrapper.java): a wildcard inside a span
+    # tree — 'merge' followed (slop 4) by any dictionary term matching
+    # s*a* (scan/small/spark/stream at fixture scale). The engine
+    # expands against the term dictionary at query-build time
+    # (search.span_multi_term -> SpanOr of SpanTerms); the oracle
+    # re-derives BOTH the expansion (LIKE over the re-derived
+    # dictionary) and the ordered-chase span sets from raw positions,
+    # with the span weight summing idf over every pattern match — the
+    # pinned include-side leaf rule applied to the rewritten OR.
+    def span_wc_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.query import Wildcard
+        from sparklucene.search import span_multi_term
+        idx = index_for(spark, sf_dir)
+        wc = span_multi_term(idx, Wildcard("s*a*"))
+        q = Span(_SN((_ST("merge"), wc), slop=4, in_order=True))
+        return search(idx, q, k=10, mode="f64", prune=True)
+    e["span_wildcard_near"] = (span_wc_near, f"""WITH {corpus_ctes()},
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(1, len(toks) + 1)) - 1 AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+        FROM documents) tl
+),
+spL AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tokp
+        WHERE term = 'merge'),
+spR AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tokp
+        WHERE term LIKE 's%a%'
+          AND term IN (SELECT term FROM tstats)),
+n0 AS (SELECT doc_id, s AS s0, e AS pe, 0 AS gap FROM spL),
+n1 AS (
+  SELECT a.doc_id, a.s0, c.e AS pe, a.gap + (c.s - a.pe) AS gap
+  FROM n0 a JOIN spR c ON c.doc_id = a.doc_id AND c.s >= a.pe
+  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.s0, a.pe, a.gap
+                             ORDER BY c.s, c.e) = 1),
+sp AS (SELECT DISTINCT doc_id, s0 AS s, pe AS e FROM n1 WHERE gap <= 4),
+pf AS (SELECT doc_id, count(*)::BIGINT AS tfp FROM sp GROUP BY doc_id),
+widf AS (
+  SELECT (SELECT ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5))
+            FROM tstats ts WHERE ts.term = 'merge')
+       + (SELECT sum(ln(1.0 + (g.doc_count - df + 0.5) / (df + 0.5)))
+            FROM tstats
+            WHERE term LIKE 's%a%' AND term <> 'merge') AS w
+  FROM gstats g)
+SELECT pf.doc_id AS doc_id,
+       CAST(CAST((widf.w * pf.tfp)
+            / (pf.tfp + 1.2 * (1.0 - 0.75
+                               + 0.75 * m.dlq
+                                 / (g.sum_dl / CAST(g.doc_count AS DOUBLE))))
+            AS REAL) AS DOUBLE) AS score
+FROM pf JOIN meta m ON pf.doc_id = m.doc_id
+CROSS JOIN gstats g CROSS JOIN widf
+ORDER BY score DESC, doc_id ASC
+LIMIT 10""")
+
     # SpanContaining / SpanWithin (round 4; u8:lucene/core/.../search/
     # spans/{SpanContainingQuery,SpanWithinQuery}.java): enclosure tests
     # between two span trees. Containing keeps the windows ('merge ..
@@ -6341,7 +6396,7 @@ _ANY_DRIVER_ROW = _DRIVER_COVERED | _R03_COVERED | _R04_COVERED
 
 #: round-5 driver-window ordering for the 73 entries that have NEVER
 #: had a driver CORRECTNESS row (they are value-green in the local
-#: 260-entry DuckDB mirror, but mirror-only is weaker evidence).
+#: full-registry DuckDB mirror, but mirror-only is weaker evidence).
 #: Highest-complexity operators lead so they land inside the ~50-entry
 #: round-5 window: nested spans, payloads, LTR, monitor, frange,
 #: routed/hashed/time-routed/distributed serving, parsers, classifiers,
@@ -6693,6 +6748,41 @@ SELECT doc_id,
 FROM pts
 WHERE round({geodist_sql('lat', 'lon', '10.5', '20.25')}, 3) <= 3000.0
 ORDER BY dist_km ASC, doc_id ASC""")
+
+    # -- geohash encode (round 5; u8:solr/core/.../schema/GeoHashField
+    # .java / geohash() function via spatial4j GeohashUtils): bucket
+    # counts over precision-2 geohash cells — the geohash-facet shape.
+    # Integer bit arithmetic end-to-end (the only double steps are the
+    # divide-first quantizations, IEEE-identical on both engines), so
+    # cells match bit-for-bit.
+    def geoh(spark, sf):
+        from sparklucene.spatial import geohash_col
+        pts = _pts(spark, sf)
+        return (pts.groupBy(geohash_col("lat", "lon", precision=2)
+                            .alias("cell"))
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("cell")).limit(15))
+    from sparklucene.spatial import geohash_sql, point_in_polygon_sql
+    e["spatial_geohash_facet"] = (geoh, f"""WITH {_PTS_SQL}
+SELECT {geohash_sql('lat', 'lon', 2)} AS cell, count(*)::BIGINT AS n
+FROM pts GROUP BY 1 ORDER BY n DESC, cell ASC LIMIT 15""")
+
+    # -- point-in-polygon (round 5; query-shape slice of
+    # u8:lucene/spatial-extras RecursivePrefixTreeStrategy /
+    # LatLonPoint.newPolygonQuery): docs inside a non-convex pentagon,
+    # even-odd ray casting as one division-free literal predicate
+    # (identical op tree on both engines — membership is bit-exact).
+    _POLY = ((10.0, -30.0), (45.0, 10.0), (20.0, 60.0), (-15.0, 40.0),
+             (5.0, 5.0))
+    def pip(spark, sf):
+        from sparklucene.spatial import point_in_polygon
+        pts = _pts(spark, sf)
+        return (point_in_polygon(pts, "lat", "lon", _POLY)
+                .orderBy("doc_id").limit(25))
+    e["spatial_point_in_polygon"] = (pip, f"""WITH {_PTS_SQL}
+SELECT doc_id, lat, lon FROM pts
+WHERE {point_in_polygon_sql('lat', 'lon', _POLY)}
+ORDER BY doc_id LIMIT 25""")
 
     return e
 

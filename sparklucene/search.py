@@ -974,6 +974,52 @@ def complex_phrase(index: Index, slots, field: str | None = None,
     return MultiPhrase(tuple(out), field=field)
 
 
+def span_multi_term(index: Index, q, field: str | None = None,
+                    max_expansions: int = 128):
+    """SpanMultiTermQueryWrapper (public knowledge: ``u8:lucene/core/
+    .../search/spans/SpanMultiTermQueryWrapper.java`` with its
+    SpanRewriteMethod): rewrite a multi-term query (Prefix / Wildcard /
+    Regexp / Fuzzy / TermRange / TermInSet) into a span OR over the
+    dictionary expansions, so wildcards compose inside any span tree —
+    ``SpanNear(SpanTerm("merge"), span_multi_term(idx, Wildcard("jo*")))``
+    is Lucene's "phrase with a wildcard position" via spans.
+
+    Returns a ``spans.SpanNode`` (``SpanOrNode`` of ``SpanTerm``s in
+    sorted term order; a single expansion collapses to the bare
+    ``SpanTerm``), or ``None`` when nothing in the dictionary matches —
+    a span position that can never be filled matches nothing, exactly
+    Lucene's empty-rewrite behavior (callers turn None into
+    MatchNoDocs).
+
+    Scoring follows the engine's pinned span spec: every expanded term
+    becomes an include-side leaf, so the span weight is the summed idf
+    over the expansions (pre-order dedup) — the analog of Lucene scoring
+    the rewritten SpanOr through SpanWeight.
+
+    Scale shape: expansion is a dictionary-pushdown scan capped at
+    ``max_expansions`` (maxClauseCount analog, memoized per handle);
+    postings are touched only for the expanded terms, inside the
+    ordinary per-range span matcher — no extra shuffle.
+    """
+    from sparklucene.spans import SpanOrNode, SpanTerm
+
+    node = q
+    if field is not None and getattr(q, "field", None) is None:
+        import dataclasses as _dc
+        node = _dc.replace(q, field=field)
+    exp = index.expand_terms(node, max_expansions=max_expansions)
+    if field is not None:
+        # expand_terms returns internal field keys; query.Span(field=...)
+        # re-qualifies at rewrite, so strip back to bare terms
+        pre = field_key(field, "")
+        exp = [t[len(pre):] if t.startswith(pre) else t for t in exp]
+    if not exp:
+        return None
+    if len(exp) == 1:
+        return SpanTerm(exp[0])
+    return SpanOrNode(tuple(SpanTerm(t) for t in sorted(exp)))
+
+
 def feature_query(index: Index, query: str | Query, attrs: DataFrame,
                   feature, kind: str = "saturation", weight: float = 1.0,
                   pivot: float = 1.0, exponent: float = 1.0,

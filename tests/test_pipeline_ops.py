@@ -998,6 +998,26 @@ def test_semantic_dedup_drops_injected_copies(spark, embeddings):
     assert (np.abs(out["cosine"].to_numpy() - 1.0) < 1e-15).all()
 
 
+def test_semdedup_cluster_count_scales_with_corpus(spark, embeddings):
+    """The n²/k bound needs k ∝ n: the default heuristic targets ~10k
+    vectors per cluster with a floor of 4, and n_clusters=None routes
+    through it (round-4 verdict ask)."""
+    from sparklucene.dedup import semantic_dedup, semdedup_cluster_count
+
+    assert semdedup_cluster_count(0) == 4
+    assert semdedup_cluster_count(50_000) == 5
+    assert semdedup_cluster_count(1_000_000) == 100
+    assert semdedup_cluster_count(10_000_000_000) == 1_000_000
+
+    # auto-sized path: fixture-scale corpora hit the floor of 4, so the
+    # result equals the explicit n_clusters=4 run
+    emb = embeddings.select("vec_id", "embedding")
+    auto = semantic_dedup(emb, iters=2, min_cosine=0.9).toPandas()
+    pinned = semantic_dedup(emb, n_clusters=4, iters=2,
+                            min_cosine=0.9).toPandas()
+    assert auto.equals(pinned)
+
+
 # --------------------------------------------------------------------------
 # url_blocklist_filter / domain_cap_sample (round 4)
 # --------------------------------------------------------------------------

@@ -266,6 +266,65 @@ def test_fuzzed_span_trees_vs_oracle(oidx, seed, mode):
     assert n_checked >= 12
 
 
+@pytest.fixture(scope="module")
+def engine_idx(spark):
+    from sparklucene.driver_queries import index_for
+
+    return index_for(spark, "/root/testdata/sf0.001")
+
+
+def test_span_multi_term_expansion_shapes(engine_idx):
+    """SpanMultiTermQueryWrapper rewrite: multi -> sorted SpanOr,
+    single -> bare SpanTerm, none -> None, cap respected."""
+    from sparklucene.query import Prefix, Wildcard
+    from sparklucene.search import span_multi_term
+
+    node = span_multi_term(engine_idx, Wildcard("s*a*"))
+    assert isinstance(node, O)
+    assert [c.term for c in node.clauses] == ["scan", "small", "spark",
+                                              "stream"]
+    assert span_multi_term(engine_idx, Prefix("gro")) == T("group")
+    assert span_multi_term(engine_idx, Prefix("zzz")) is None
+    # over-cap expansion raises, Lucene's TooManyClauses analog
+    with pytest.raises(ValueError, match="max_expansions"):
+        span_multi_term(engine_idx, Prefix("s"), max_expansions=2)
+
+
+def test_span_multi_term_fuzzed_vs_oracle(engine_idx, oidx):
+    """Wildcard/prefix/fuzzy-wrapped leaves embedded in random span
+    trees: the engine's span path must equal the brute-force oracle on
+    the rewritten tree for every seed."""
+    from tests.test_scorer import _scorer_from_oracle
+
+    from sparklucene.query import Fuzzy, Prefix, Wildcard
+    from sparklucene.search import span_multi_term
+
+    mtqs = [Wildcard("s*a*"), Prefix("s"), Prefix("ha"), Wildcard("*dow"),
+            Fuzzy("marge", max_edits=1), Prefix("jo")]
+    present = set(oidx.tf["term"].unique())
+    rng = random.Random(5150)
+    n_checked = 0
+    for _ in range(24):
+        wrapped = span_multi_term(engine_idx, rng.choice(mtqs))
+        assert wrapped is not None
+        lit = T(rng.choice(VOCAB))
+        pair = (lit, wrapped) if rng.random() < 0.5 else (wrapped, lit)
+        tree = N(pair, slop=rng.choice([0, 2, 5, 12]),
+                 in_order=rng.random() < 0.5)
+        if rng.random() < 0.3:
+            tree = X(tree, T(rng.choice(VOCAB)))
+        q = prune_missing(rewrite(Span(tree)), present)
+        if isinstance(q, MatchNoDocs):
+            continue
+        sp = _scorer_from_oracle(oidx, "f64", prune=True)
+        dp, vp = sp.topk(q, 10)
+        want = search_oracle(oidx, q, 10, mode="f64")
+        assert dp.tolist() == want["doc_id"].tolist(), f"ids {q}"
+        assert (vp == want["score"].to_numpy()).all(), f"scores {q}"
+        n_checked += 1
+    assert n_checked >= 20
+
+
 def test_span_position_range():
     """SpanPositionRangeQuery: spans fully inside [start, end); SpanFirst
     == start=0; simplify/prune traversals handle the node."""
