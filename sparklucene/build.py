@@ -36,6 +36,7 @@ import hashlib
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -431,12 +432,16 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
            analyzer: AnalyzerConfig | None = None,
            lineage: dict | None = None,
            extra_fields: tuple[Field, ...] = (),
-           payload_mode: str | None = None) -> pd.DataFrame:
+           payload_mode: str | None = None,
+           n_dranges_hint: int | None = None) -> pd.DataFrame:
     """Stage A: per-doc-range invert with per-partition checkpoints.
 
     ``lineage`` (e.g. ``{"batch_id": 7}``) is merged into every range
     manifest this call writes — callers that must detect cross-generation
     range conflicts (streaming.py) read it back via :func:`_manifests`.
+    ``n_dranges_hint`` (total ranges in ``corpus``, e.g. derived from a
+    row count the caller already paid for) skips the max(drange) sizing
+    agg; it only tunes task granularity, never correctness.
     Returns the manifest (one row per range, status built|skipped).
     """
     os.makedirs(paths.manifest_dir, exist_ok=True)
@@ -516,11 +521,15 @@ def invert(corpus: DataFrame, paths: IndexPaths, drange_size: int,
     # bound is already ≤~4 dranges/partition, and matching the task
     # count to the parallelism avoids a ragged second task wave (e.g.
     # 49 dranges on 32 cores = a 32+17 straggler tail, measured ~15%
-    # slower than one full wave). The range count comes from a narrow
-    # max(drange) agg — doc ids are dense from 0, and the scan touches
-    # one int column (<1% of corpus bytes).
-    max_dr = todo.agg(F.max("drange")).first()[0]
-    n_remaining = (int(max_dr) + 1 - len(done)) if max_dr is not None else 1
+    # slower than one full wave). The range count comes from the caller's
+    # hint when it already counted the corpus, else a narrow max(drange)
+    # agg — doc ids are dense from 0, and the scan touches one int
+    # column (<1% of corpus bytes). Either way it only sizes tasks.
+    if n_dranges_hint is not None:
+        n_remaining = max(1, int(n_dranges_hint) - len(done))
+    else:
+        max_dr = todo.agg(F.max("drange")).first()[0]
+        n_remaining = (int(max_dr) + 1 - len(done)) if max_dr is not None else 1
     n_parts = n_remaining if n_remaining > 4 * num else num
     built = (todo.repartition(n_parts, "drange")
              .mapInArrow(build_partition, schema=MANIFEST_SCHEMA)
@@ -565,10 +574,11 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
             if f.startswith("postings-") and f.endswith(".parquet"))
         n_term_buckets = max(16, -(-total_bytes // (128 << 20)))
 
-    (postings
-     .repartitionByRange(n_term_buckets, "term", "drange")
-     .sortWithinPartitions("term", "drange")
-     .write.mode("overwrite").parquet(paths.postings))
+    def write_postings() -> None:
+        (postings
+         .repartitionByRange(n_term_buckets, "term", "drange")
+         .sortWithinPartitions("term", "drange")
+         .write.mode("overwrite").parquet(paths.postings))
 
     # global term stats aggregate from the vocab-sized termstats-* partials
     # (term, drange, df_part, cf_part — no posting bytes), so this pass
@@ -595,9 +605,24 @@ def merge(spark: SparkSession, paths: IndexPaths, drange_size: int,
     else:
         stats_df = stats_src.groupBy("term").agg(F.sum("df_part").alias("df"),
                                                  F.sum("cf_part").alias("cf"))
-    (stats_df.repartitionByRange(max(1, n_term_buckets // 4), "term")
-     .sortWithinPartitions("term")
-     .write.mode("overwrite").parquet(paths.termstats))
+
+    def write_termstats() -> None:
+        (stats_df.repartitionByRange(max(1, n_term_buckets // 4), "term")
+         .sortWithinPartitions("term")
+         .write.mode("overwrite").parquet(paths.termstats))
+
+    # the two writes read disjoint partial files and target disjoint
+    # output dirs — submit both from separate threads so their fixed
+    # per-job overheads (range-boundary sampling, scheduling, commit)
+    # overlap; Spark's scheduler interleaves the task sets on the same
+    # executors, and the tiny termstats job rides the postings job's
+    # idle slots (on a cluster this also keeps 1000 executors busy
+    # instead of serialising a vocab-sized shuffle after a data-sized
+    # one)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(write_postings), pool.submit(write_termstats)]
+        for f in futs:
+            f.result()
 
     # global stats come from the per-range manifests (segment metadata) —
     # no extra pass over the data, exactly like Lucene's SegmentInfos;
@@ -651,13 +676,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, index_dir: str,
     analyzer = resolve_analyzer(analyzer)  # accepts registered names too
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
+    hint = None
     if drange_size is None:
         n = corpus.count()
         par = spark.sparkContext.defaultParallelism
         drange_size = max(64, 1 << int(np.ceil(np.log2(max(1, n / (4 * par))))))
+        hint = -(-n // drange_size)  # dense-from-0 ids: count fixes ranges
     manifest = invert(corpus, paths, drange_size, stopwords, resume,
                       store_positions, analyzer, extra_fields=extra_fields,
-                      payload_mode=payloads)
+                      payload_mode=payloads, n_dranges_hint=hint)
     stats = merge(spark, paths, drange_size, salt=salt,
                   extra_meta={"payloads": payloads} if payloads else None)
     stats["n_ranges"] = int(len(manifest))
