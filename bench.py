@@ -281,7 +281,7 @@ def main() -> None:
     # docstring for why warm-session min is the right estimator for a
     # long-lived-executor deployment; report the MIN with every raw time
     # (including the cold rep 0) disclosed
-    breps = int(os.environ.get("SPARKLUCENE_BENCH_BUILD_REPS", "3"))
+    breps = int(os.environ.get("SPARKLUCENE_BENCH_BUILD_REPS", "4"))
     b32 = build_reps(CPUS, f"c{CPUS}", breps)
     spark = b32.pop("spark")
     per_query, lat = run_queries(spark, b32["index_dir"])
