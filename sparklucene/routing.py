@@ -199,15 +199,23 @@ def _fanout(spark: SparkSession, base_dir: str, routes: dict, query, k: int,
         override = _merged_stats(spark, list(dirs.values()), terms)
     elif stats != "local":
         raise ValueError(f"stats must be 'local' or 'global': {stats!r}")
-    parts = [
-        search(Index(spark, d), query, k=k, mode=mode, prune=prune,
-               stats_override=override).withColumn("route", F.lit(rt))
-        for rt, d in dirs.items()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # Solr's coordinator shape, literally: every shard request is an
+    # INDEPENDENT query issued concurrently (a serial loop — or one
+    # union plan, whose branches the scheduler effectively serializes —
+    # pays n_routes × per-request latency), and the coordinator merges
+    # the k-bounded responses. Driver state stays <= n_routes * k rows.
+    def _part(item):
+        rt, d = item
+        rows = search(Index.shared(spark, d), query, k=k, mode=mode,
+                      prune=prune, stats_override=override).collect()
+        return [(int(r["doc_id"]), float(r["score"]), rt) for r in rows]
+
+    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+        hits = [h for part in pool.map(_part, sorted(dirs.items()))
+                for h in part]
+    hits.sort(key=lambda h: (-h[1], h[0]))  # == ORDER BY score DESC, doc_id
+    return spark.createDataFrame(hits[:k],
+                                 "doc_id long, score double, route string")
 
 
 def routed_search(spark: SparkSession, base_dir: str, query,
@@ -229,7 +237,7 @@ def routed_search(spark: SparkSession, base_dir: str, query,
         if route not in routes:
             raise KeyError(f"unknown route {route!r}: not one of "
                            f"{sorted(routes)}")
-        idx = Index(spark, os.path.join(base_dir, routes[route]["dir"]))
+        idx = Index.shared(spark, os.path.join(base_dir, routes[route]["dir"]))
         return (search(idx, query, k=k, mode=mode, prune=prune)
                 .withColumn("route", F.lit(route)))
     return _fanout(spark, base_dir, routes, query, k, mode, prune, stats)
@@ -360,7 +368,7 @@ def hashed_search(spark: SparkSession, base_dir: str, query,
         else:
             names = shards_for_route_key(meta, route_key)
         parts = [
-            search(Index(spark, os.path.join(base_dir, routes[nm]["dir"])),
+            search(Index.shared(spark, os.path.join(base_dir, routes[nm]["dir"])),
                    query, k=k, mode=mode, prune=prune)
             .withColumn("route", F.lit(nm))
             for nm in names
@@ -487,33 +495,52 @@ def routed_facet_field(spark: SparkSession, base_dir: str, query,
     meta = load_routes(base_dir)
     attrs = docs.select(F.col("doc_id"),
                         F.col(facet_col).cast("string").alias("value"))
-    counts = []
-    for rt, info in sorted(meta["routes"].items()):
-        d = info.get("dir")
-        if not d:
-            continue  # empty hash-range shard (compositeId manifests)
-        path = d if os.path.isabs(d) else os.path.join(base_dir, d)
-        m = matches(Index(spark, path), query, mode=mode).select("doc_id")
-        counts.append(m.join(attrs, "doc_id")
-                      .groupBy("value").agg(F.count("*").alias("cnt")))
-    if not counts:  # manifest where every hash-range shard is empty
+    dirs = [info["dir"] if os.path.isabs(info["dir"])
+            else os.path.join(base_dir, info["dir"])
+            for _, info in sorted(meta["routes"].items())
+            if info.get("dir")]  # skip empty hash-range shards
+    if not dirs:  # manifest where every hash-range shard is empty
         return spark.createDataFrame([], "value string, cnt long")
-    # phase 1: per-shard top (limit+overrequest) candidate buckets
-    shipped = [c.orderBy(F.desc("cnt"), F.asc("value")).limit(ship)
-               for c in counts]
-    cand = set()
-    for s in shipped:
-        cand.update(r["value"] for r in s.select("value").collect())
+
+    # phase 1: per-shard top (limit+overrequest) candidate buckets.
+    # Shard requests go out in PARALLEL (Solr's coordinator issues
+    # concurrent shard requests; a serial loop pays n_routes × the
+    # per-request fixed latency) — each thread builds its shard's
+    # count frame and collects only its shipped bucket VALUES.
+    def _shard(path):
+        m = matches(Index.shared(spark, path), query, mode=mode).select("doc_id")
+        c = (m.join(attrs, "doc_id")
+             .groupBy("value").agg(F.count("*").alias("cnt")))
+        vals = [r["value"] for r in
+                (c.orderBy(F.desc("cnt"), F.asc("value")).limit(ship)
+                 .select("value").collect())]
+        return c, vals
+
+    cand: set = set()
+    counts = []
+    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+        for c, vals in pool.map(_shard, dirs):
+            counts.append(c)
+            cand.update(vals)
     cand_list = sorted(cand)
-    # phase 2: exact per-shard counts for every candidate (reported
-    # buckets keep their phase-1 count; missing ones are the refinement)
-    refined = counts[0].filter(F.col("value").isin(cand_list))
-    for c in counts[1:]:
-        refined = refined.unionByName(
-            c.filter(F.col("value").isin(cand_list)))
-    return (refined.groupBy("value")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("value")).limit(limit))
+
+    # phase 2: exact per-shard counts for every candidate — again
+    # concurrent shard requests, each response candidate-bounded
+    # (<= n_routes * ship rows); the coordinator sums exact integer
+    # counts per bucket, exactly Solr's refinement-response merge
+    def _refine(c):
+        return [(r["value"], int(r["cnt"])) for r in
+                (c.filter(F.col("value").isin(cand_list))
+                 .groupBy("value").agg(F.sum("cnt").alias("cnt"))
+                 .collect())]
+
+    totals: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=min(8, len(counts))) as pool:
+        for resp in pool.map(_refine, counts):
+            for v, n in resp:
+                totals[v] = totals.get(v, 0) + n
+    top = sorted(totals.items(), key=lambda t: (-t[1], t[0]))[:limit]
+    return spark.createDataFrame(top, "value string, cnt long")
 
 
 def routed_grouped_topk(spark: SparkSession, base_dir: str, query,
@@ -574,27 +601,48 @@ def routed_grouped_topk(spark: SparkSession, base_dir: str, query,
     attrs = docs.select("doc_id",
                         F.col(group_col).cast("string").alias("grp"))
     from pyspark.sql import Window as _W
-    shard_scored = {}
-    cand: set[str] = set()
-    for rt, d in dirs.items():
-        scored = (search(Index(spark, d), query, k=None, mode=mode,
+
+    # phase 1 in PARALLEL shard requests (Solr coordinator shape): each
+    # thread builds its shard's scored frame and collects only its top
+    # n_groups group heads
+    def _shard(item):
+        rt, d = item
+        scored = (search(Index.shared(spark, d), query, k=None, mode=mode,
                          stats_override=override)
                   .join(attrs, "doc_id"))
-        shard_scored[rt] = scored
         heads = (scored.groupBy("grp").agg(F.max("score").alias("shead"))
                  .orderBy(F.desc("shead"), F.asc("grp")).limit(n_groups))
-        cand.update(r["grp"] for r in heads.select("grp").collect())
+        return rt, scored, [r["grp"] for r in heads.select("grp").collect()]
+
+    shard_scored = {}
+    cand: set[str] = set()
+    with ThreadPoolExecutor(max_workers=min(8, len(dirs))) as pool:
+        for rt, scored, grps in pool.map(_shard, sorted(dirs.items())):
+            shard_scored[rt] = scored
+            cand.update(grps)
     cand_list = sorted(cand)
-    per_shard_top = None
-    for rt, scored in shard_scored.items():
+
+    # phase 2 in PARALLEL shard requests: each shard returns its top
+    # group_limit docs per candidate group (<= |cand| * group_limit
+    # rows — operator scale); the coordinator merges the responses on
+    # a tiny local frame with the SAME window expressions, so merge
+    # semantics are pinned by one code path
+    def _top(item):
+        rt, scored = item
         sr = F.row_number().over(
             _W.partitionBy("grp").orderBy(F.desc("score"),
                                           F.asc("doc_id")))
         part = (scored.filter(F.col("grp").isin(cand_list))
                 .withColumn("sr", sr).filter(F.col("sr") <= group_limit)
-                .drop("sr"))
-        per_shard_top = (part if per_shard_top is None
-                         else per_shard_top.unionByName(part))
+                .select("grp", "doc_id", "score"))
+        return [(r["grp"], int(r["doc_id"]), float(r["score"]))
+                for r in part.collect()]
+
+    with ThreadPoolExecutor(max_workers=min(8, len(shard_scored))) as pool:
+        resp = [r for rows in pool.map(_top, sorted(shard_scored.items()))
+                for r in rows]
+    per_shard_top = spark.createDataFrame(
+        resp, "grp string, doc_id long, score double")
     rk = F.row_number().over(
         _W.partitionBy("grp").orderBy(F.desc("score"), F.asc("doc_id")))
     merged = (per_shard_top.withColumn("rk", rk.cast("long"))
@@ -631,7 +679,7 @@ def routed_suggest(spark: SparkSession, base_dir: str, prefix: str,
             continue
         d = (info["dir"] if os.path.isabs(info["dir"])
              else os.path.join(base_dir, info["dir"]))
-        parts.append(_dict_body(Index(spark, d), None)
+        parts.append(_dict_body(Index.shared(spark, d), None)
                      .filter(F.col("term").startswith(prefix)))
     if not parts:  # manifest where every hash-range shard is empty
         return spark.createDataFrame([], "term string, df long, cf long")

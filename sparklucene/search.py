@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import os
+import threading
+from collections import OrderedDict
 
 from sparklucene.build import IndexPaths, load_stats
 from sparklucene.query import (And, ConstantScore, DisMax, Filtered, Fuzzy,
@@ -50,6 +52,27 @@ RESULT_SCHEMA = "doc_id long, score double"
 #: deletes table
 DELETES_BROADCAST_BOUND = 1_000_000
 
+#: generation-aware shared Index handles (see Index.shared) — LRU so
+#: long sessions touching many index dirs don't pin every postings
+#: cache forever
+_SHARED_HANDLES: "OrderedDict[tuple, Index]" = OrderedDict()
+_SHARED_HANDLES_MAX = 64
+_SHARED_HANDLES_LOCK = threading.Lock()
+
+
+def _dir_mtime(path: str) -> float:
+    """Latest mtime under ``path`` (0.0 when absent) — the deletes-dir
+    generation stamp for Index.shared's cache key."""
+    if not os.path.isdir(path):
+        return 0.0
+    best = os.path.getmtime(path)
+    for name in os.listdir(path):
+        try:
+            best = max(best, os.path.getmtime(os.path.join(path, name)))
+        except OSError:
+            pass
+    return best
+
 
 class Index:
     """Handle to a built index directory (SURVEY.md §1.2 layout).
@@ -58,6 +81,41 @@ class Index:
     queries (Solr's searcher-held segment readers analog) — repeated
     queries skip the parquet scan entirely.
     """
+
+    @staticmethod
+    def shared(spark: SparkSession, index_dir: str) -> "Index":
+        """A generation-aware cached handle (Solr's core container keeps
+        its searcher open between commits; reopening per request throws
+        away the persisted postings cache and the term-stats memo).
+
+        The cache key includes the index GENERATION — mtimes of
+        stats.json (rewritten by every merge/build) and the deletes dir
+        (touched by every delete_docs) — so a rebuilt or newly-deleted-
+        from index gets a fresh handle automatically, exactly like
+        Lucene's reopen-on-commit. Evicted handles unpersist their
+        cached DataFrames (LRU, bounded driver/cache footprint)."""
+        p = IndexPaths(index_dir)
+        key = (id(spark), os.path.abspath(index_dir),
+               os.path.getmtime(p.stats_json),
+               _dir_mtime(os.path.join(p.root, "deletes")))
+        evicted: list[Index] = []
+        with _SHARED_HANDLES_LOCK:
+            hit = _SHARED_HANDLES.get(key)
+            if hit is not None:
+                _SHARED_HANDLES.move_to_end(key)
+                return hit
+            idx = Index(spark, index_dir)
+            _SHARED_HANDLES[key] = idx
+            while len(_SHARED_HANDLES) > _SHARED_HANDLES_MAX:
+                evicted.append(_SHARED_HANDLES.popitem(last=False)[1])
+        for old in evicted:
+            for df in (old._postings, old._termstats):
+                if df is not None:
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # session already stopped
+        return idx
 
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
         self.spark = spark
