@@ -132,3 +132,53 @@ def range_facet_date(df: DataFrame, field: str, start: str, end: str,
         "'between', coalesce(between, 0), "
         "'after', coalesce(after, 0)) AS (bucket, cnt)")
     return buckets.unionByName(other_rows).orderBy("bucket")
+
+
+def percentile_sketch(df: DataFrame, field: str, by: str,
+                      probs: "tuple[float, ...]" = (0.5, 0.9),
+                      method: str = "sampled", fraction: float = 0.25,
+                      salt: str = "pctl-v1", accuracy: int = 10000,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Approximate percentiles at corpus scale — Solr's percentile stats
+    agg is a mergeable t-digest sketch
+    (u8:solr/core/.../handler/component/StatsField.java,
+    u8:solr/core/.../search/facet/PercentileAgg.java); the exact twin is
+    ``percentile_agg``/``facet_stats_percentiles``.
+
+    Two scale paths, both one partial+final aggregation (no full sort):
+
+    ``method="native"`` — Spark's built-in mergeable sketch
+    (``percentile_approx``, Greenwald-Khanna): the production path for
+    10^12 rows; sketch contents are engine-specific, so like ``hll``
+    it has no cross-engine value oracle.
+
+    ``method="sampled"`` — exact interpolated percentile over a
+    DETERMINISTIC md5-prefix sample of the group (same primitive as
+    ``textops.deterministic_sample``: membership is a pure per-row
+    function of ``md5(salt || key)``, independent of partitioning,
+    engine and scale tier). Error is the classic sample-quantile bound
+    (O(1/sqrt(fraction·n)) per group), and the result is bit-for-bit
+    reproducible in any engine with md5 — which is what makes this
+    variant hash-checkable against DuckDB while remaining sublinear in
+    memory: the exact percentile runs on fraction·n rows, and the scan
+    itself is narrow (the filter pushes to the parquet scan).
+
+    Returns (``by``, q<p> estimate columns, sample_n) ordered by group.
+    """
+    if method == "native":
+        aggs = [F.percentile_approx(field, p, accuracy)
+                .cast("double").alias(f"q{int(p * 100)}_est")
+                for p in probs]
+        return (df.groupBy(by)
+                .agg(*aggs, F.count("*").cast("long").alias("sample_n"))
+                .orderBy(by))
+    if method != "sampled":
+        raise ValueError(f"unknown percentile_sketch method {method!r}")
+    from sparklucene.textops import sample_key, _frac_thr
+    s = df.filter(sample_key(F.col(key_col), salt)
+                  < F.lit(_frac_thr(fraction)))
+    aggs = [F.expr(f"percentile({field}, {p!r})")
+            .alias(f"q{int(p * 100)}_est") for p in probs]
+    return (s.groupBy(by)
+            .agg(*aggs, F.count("*").cast("long").alias("sample_n"))
+            .orderBy(by))

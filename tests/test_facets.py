@@ -104,3 +104,49 @@ def test_date_range_counts_partition_total(spark):
         bucket_sum = sum(v for k, v in out.items()
                          if k not in ("before", "between", "after"))
         assert bucket_sum == out["between"]
+
+
+def _pct_corpus(spark):
+    # 2 groups x 500 rows with a known value ladder (value == rank), so
+    # exact percentiles are analytic: qP(g) == P * 499 (+ offset).
+    rows = [(g * 1000 + i, "g%d" % g, g * 10000 + i)
+            for g in (0, 1) for i in range(500)]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+
+
+def test_percentile_sketch_native_tracks_exact(spark):
+    from sparklucene.facets import percentile_sketch
+    docs = _pct_corpus(spark)
+    out = {r["lang"]: r for r in percentile_sketch(
+        docs, "n_chars", by="lang", probs=(0.5,),
+        method="native").collect()}
+    for g in (0, 1):
+        exact = g * 10000 + 0.5 * 499
+        # GK sketch at accuracy=10000 on 500 rows is near-exact: the
+        # estimate must land within one rank of the true median.
+        assert abs(out["g%d" % g]["q50_est"] - exact) <= 1.0
+        assert out["g%d" % g]["sample_n"] == 500
+
+
+def test_percentile_sketch_sampled_is_partition_invariant(spark):
+    from sparklucene.facets import percentile_sketch
+    docs = _pct_corpus(spark)
+    a = percentile_sketch(docs.repartition(1), "n_chars", by="lang",
+                          fraction=0.3).collect()
+    b = percentile_sketch(docs.repartition(16), "n_chars", by="lang",
+                          fraction=0.3).collect()
+    # membership is a pure function of md5(salt || doc_id): identical
+    # estimates and sample sizes under any partitioning
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    n = {r["lang"]: r["sample_n"] for r in a}
+    for g in ("g0", "g1"):  # ~30% of 500, binomial 3-sigma bounds
+        assert 100 <= n[g] <= 200
+
+
+def test_percentile_sketch_rejects_unknown_method(spark):
+    import pytest
+    from sparklucene.facets import percentile_sketch
+    with pytest.raises(ValueError):
+        percentile_sketch(_pct_corpus(spark), "n_chars", by="lang",
+                          method="tdigest")
