@@ -1235,6 +1235,30 @@ SELECT event_type, count(*)::BIGINT AS n,
        CAST(CAST(quantile_cont(value, 0.95) AS REAL) AS DOUBLE) AS p95
 FROM events GROUP BY event_type ORDER BY event_type""")
 
+    # -- percentile SKETCH at scale (round 5; Solr PercentileAgg is a
+    # mergeable t-digest — u8:solr/core/.../search/facet/PercentileAgg
+    # .java). Sketch innards are engine-specific (like hll), so the
+    # hash-checkable surface is the deterministic-sample variant:
+    # exact interpolated percentile over an md5-prefix sample whose
+    # membership is a pure per-row function of md5(salt || doc_id) —
+    # DuckDB selects the SAME rows, so values match bit-for-bit while
+    # the computation stays sublinear (fraction*n rows per group).
+    # The production path (method="native" -> percentile_approx,
+    # Spark's mergeable GK sketch) is exercised by tests/test_facets.py.
+    def facet_pct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklucene.facets import percentile_sketch
+        return percentile_sketch(_t(spark, sf_dir, "documents"),
+                                 "n_chars", by="lang", probs=(0.5, 0.9),
+                                 method="sampled", fraction=0.25)
+    e["percentile_sketch_sampled"] = (facet_pct_sketch, """
+WITH s AS (
+  SELECT lang, n_chars FROM documents
+  WHERE substring(md5('pctl-v1' || doc_id::VARCHAR), 1, 8) < '40000000')
+SELECT lang, quantile_cont(n_chars, 0.5) AS q50_est,
+       quantile_cont(n_chars, 0.9) AS q90_est,
+       count(*)::BIGINT AS sample_n
+FROM s GROUP BY lang ORDER BY lang""")
+
     # -- multi-select faceting via tagged filter exclusion (round 4;
     # Solr {!tag=}/{!ex=} — u8:solr/core/.../request/SimpleFacets.java):
     # docs matching 'merge' with fq={!tag=L}lang IN (en,fr) and
@@ -7184,9 +7208,16 @@ s_p AS (
   SELECT pf.doc_id, {_sq_pscore} AS s
   FROM pf JOIN meta m ON pf.doc_id = m.doc_id CROSS JOIN gstats g),
 matched AS (
+  -- nested-boolean rounding parity: the engine's Or SUBTREE returns an
+  -- f32 (scorer._or_generic sums leaf f32s in f64, then rounds), and the
+  -- outer And sums those f32 clause results in f64 — so the or-branch
+  -- here must round to REAL before the final sum, or a doc whose total
+  -- sits near an f32 midpoint hashes 1 ULP apart (bit at sf0.01 doc 88)
   SELECT sm.doc_id,
-         CAST(sm.s AS DOUBLE) + coalesce(CAST(sj.s AS DOUBLE), 0)
-           + coalesce(CAST(sp.s AS DOUBLE), 0) AS tot
+         CAST(sm.s AS DOUBLE)
+           + CAST(CAST(coalesce(CAST(sj.s AS DOUBLE), 0)
+                       + coalesce(CAST(sp.s AS DOUBLE), 0) AS REAL)
+                  AS DOUBLE) AS tot
   FROM s_m sm
   LEFT JOIN s_j sj USING (doc_id)
   LEFT JOIN s_p sp USING (doc_id)
