@@ -5,10 +5,12 @@ tests/test_spans.py with THOUSANDS of fresh seeds (the pytest suite pins
 8/4/6 seeds for CI cost) and runs the same three invariants:
 
   1. boolean trees : pruned == exhaustive == brute-force oracle
-                     (lucene8 + f64, k in {3, 10})
+                     (lucene8 + f64 + classic + boolean, k in {3, 10})
   2. include-filter: filtered scorer == brute-force (full rank ->
                      python include filter -> re-top-k), +/- deletes
   3. span trees    : engine span path == oracle (lucene8 + f64)
+  4. cursor paging : topk(k, after=rank-k key) == ranks k+1..2k of
+                     the full ranking (searchAfter keyset invariant)
 
 No Spark: the scorer runs on oracle-encoded cells (numpy), so a seed
 costs milliseconds. Corpus defaults to sf0.001; set FUZZ_SF to try the
@@ -71,8 +73,9 @@ def main() -> None:
     for seed in range(SEED0, SEED0 + N_SEEDS):
         # --- 1. boolean trees, pruned == exhaustive == oracle ---------
         rng = random.Random(seed)
+        modes = ("lucene8", "f64", "classic", "boolean")
         scorers = {(m, p): _scorer_from_oracle(oidx, m, prune=p)
-                   for m in ("lucene8", "f64") for p in (True, False)}
+                   for m in modes for p in (True, False)}
         for _ in range(10):
             try:
                 q = rewrite(_rand_query(rng))
@@ -81,7 +84,7 @@ def main() -> None:
             q = prune_missing(q, present)
             if isinstance(q, MatchNoDocs):
                 continue
-            for mode in ("lucene8", "f64"):
+            for mode in modes:
                 for k in (3, 10):
                     dp, vp = scorers[(mode, True)].topk(q, k)
                     de, ve = scorers[(mode, False)].topk(q, k)
@@ -92,6 +95,15 @@ def main() -> None:
                             not (vp == want["score"].to_numpy()).all():
                         fail("bool/oracle", seed, q, f"{mode} k={k}")
                     n_q += 1
+            # cursor paging: page 2 via after == ranks k+1..2k (f64)
+            k = 5
+            full_d, full_v = scorers[("f64", False)].topk(q, 2 * k)
+            if full_d.size > k:
+                after = (float(full_v[k - 1]), int(full_d[k - 1]))
+                pd_, pv = scorers[("f64", True)].topk(q, k, after=after)
+                if pd_.tolist() != full_d[k:2 * k].tolist() or \
+                        not (pv == full_v[k:2 * k]).all():
+                    fail("cursor", seed, q, f"after={after}")
 
         # --- 2. include-filter (frange doc-set) + deletes -------------
         rng_f = random.Random(seed ^ 0x5F5F)
