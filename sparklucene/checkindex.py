@@ -126,11 +126,20 @@ def _check_cell(row, drange_size: int, n_ranges: int, out: list) -> None:
             seg = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
             inc = np.ones(pos.size, dtype=bool)
             if pos.size > 1:
-                inc[1:] = pos[1:] > pos[:-1]
+                # NON-decreasing, like Lucene CheckIndex ("position X <
+                # lastPosition Y" is the failure): the same term CAN
+                # legitimately repeat at one position — e.g. posInc=0
+                # analysis chains, or NGramTokenFilter emitting a gram
+                # twice within one source token ("ca" in
+                # "camelcasetoken"), all indexed at the token's position.
+                # (With this codec's unsigned per-posting delta gaps a
+                # decrease is unrepresentable, so this is a defensive
+                # cross-codec invariant, like Lucene's own.)
+                inc[1:] = pos[1:] >= pos[:-1]
             inc[seg[:-1]] = True  # each doc's first position stands alone
             if not inc.all():
                 bad("positions_sorted",
-                    "positions not strictly increasing within a doc")
+                    "positions decrease within a doc")
         pay_b = bytes(row.pay_bytes) if row.pay_bytes is not None else b""
         if pay_b and len(pay_b) != int(tfs.sum()):
             bad("payload_alignment",

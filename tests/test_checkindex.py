@@ -89,3 +89,31 @@ def test_detects_dictionary_divergence(spark, healthy):
     _corrupt(healthy, bad, fn)
     checks = {r["check"] for r in verify_index(Index(spark, bad)).collect()}
     assert {"cf_part", "dictionary_agreement"} <= checks
+
+
+def test_ngram_duplicate_positions_verify_clean(spark):
+    """NGramTokenFilter legitimately emits the same gram twice within one
+    source token, all at the token's position ('an' twice in 'banana') —
+    verify_index must treat equal positions as healthy (Lucene CheckIndex
+    allows posInc=0 repeats; found by scripts/invert_fuzz_campaign.py
+    seed 41001)."""
+    import numpy as np
+    import pandas as pd
+
+    from sparklucene.analysis import AnalyzerConfig
+    from sparklucene.search import term_positions
+
+    d = os.path.join(BASE, "ngram-dup")
+    shutil.rmtree(d, ignore_errors=True)
+    pdf = pd.DataFrame({
+        "repo": "r", "path": ["p0", "p1"], "commit": "c", "lang": "en",
+        "content": ["banana split", "merge"],
+        "doc_id": np.arange(2, dtype=np.int64)})
+    cfg = AnalyzerConfig(ngram=(2, 2), stopwords=frozenset())
+    build_index(spark, spark.createDataFrame(pdf), d, drange_size=16,
+                analyzer=cfg)
+    idx = Index(spark, d)
+    assert verify_index(idx).count() == 0
+    # 'an' occurs twice in 'banana', both at token position 0
+    tp = term_positions(idx, "an").toPandas()
+    assert sorted(map(tuple, tp.to_numpy().tolist())) == [(0, 0), (0, 0)]
