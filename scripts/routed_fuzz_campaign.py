@@ -17,6 +17,9 @@ and one whole-corpus index, and asserts for random Or/And queries:
      equals the unsharded one (the softened round-5 contract)
   3. routed_grouped_topk == grouped top-k re-derived from the whole
      index (global stats + max-score heads exactness argument)
+  4. compositeId router: hashed_search full fan-out with global stats
+     == unsharded (bit-equal), and route_key=K pruning still returns
+     EVERY matching doc whose shard key is K (ring-window correctness)
 
 Usage: python scripts/routed_fuzz_campaign.py [n_seeds] [seed0]
 """
@@ -38,7 +41,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from sparklucene.build import build_index  # noqa: E402
 from sparklucene.query import And, Or, Term  # noqa: E402
-from sparklucene.routing import (build_routed_index, routed_facet_field,  # noqa: E402
+from sparklucene.routing import (build_hashed_index, build_routed_index,  # noqa: E402
+                                 hashed_search, routed_facet_field,
                                  routed_grouped_topk, routed_search)
 from sparklucene.search import Index, search  # noqa: E402
 from sparklucene.session import get_spark  # noqa: E402
@@ -155,6 +159,38 @@ def main() -> None:
                       .collect())
             if [tuple(r) for r in got_g] != [tuple(r) for r in want_g]:
                 fail("grouping", seed, f"q={q!r}\n{got_g}\n{want_g}")
+
+        # 4. compositeId hash-range router on the same corpus
+        hbase = os.path.join(SCRATCH, f"hashed-{seed}")
+        shutil.rmtree(hbase, ignore_errors=True)
+        n_shards = rng.choice([2, 3, 5])
+        build_hashed_index(spark, corpus, hbase, n_shards=n_shards,
+                           shard_key_col="repo", drange_size=drange)
+        for _ in range(2):
+            terms = rng.sample(VOC, rng.randint(1, 2))
+            q = (Term(terms[0]) if len(terms) == 1 else
+                 Or(tuple(Term(t) for t in terms)))
+            got = (hashed_search(spark, hbase, q, k=10, mode="f64",
+                                 stats="global")
+                   .select("doc_id", "score").toPandas())
+            want = (search(widx, q, k=10, mode="f64")
+                    .select("doc_id", "score").toPandas())
+            if got["doc_id"].tolist() != want["doc_id"].tolist() or \
+                    not (got["score"].to_numpy()
+                         == want["score"].to_numpy()).all():
+                fail("hashed-search", seed, f"q={q!r}\n{got}\n{want}")
+            key = rng.choice(routes)
+            pruned = set(hashed_search(spark, hbase, q, route_key=key,
+                                       k=10_000, mode="f64")
+                         .select("doc_id").toPandas()["doc_id"])
+            want_ids = set(search(widx, q, k=None, mode="f64")
+                           .join(corpus.filter(F.col("repo") == key)
+                                 .select("doc_id"), "doc_id")
+                           .toPandas()["doc_id"])
+            if not want_ids <= pruned:
+                fail("hashed-routekey", seed,
+                     f"q={q!r} key={key} missing={want_ids - pruned}")
+        shutil.rmtree(hbase, ignore_errors=True)
 
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(whole, ignore_errors=True)
