@@ -292,11 +292,15 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     keeper of a cluster is the doc with node == comp.
 
     Scale shape: edges are symmetrized once (localCheckpoint); each
-    round is one equi-join + groupBy-min + least() merge, all keyed by
-    doc id, converging in O(component diameter) rounds — near-dup
-    clusters are shallow (diameter ~ a few hops), so the loop count is
-    an operator-scale constant. The only per-round driver action is a
-    convergence emptiness check.
+    round is one neighbor-min equi-join + groupBy-min + a POINTER-JUMP
+    join (comp := comp's comp, the union-find path-compression step),
+    all keyed by doc id. The jump halves the remaining label depth each
+    round, so convergence takes O(log diameter) rounds — ``max_iters=30``
+    covers any component a real corpus can produce (diameter up to
+    ~2^30), not just shallow near-dup clusters. The only per-round
+    driver action is a convergence emptiness check; if the loop somehow
+    exhausts ``max_iters`` unconverged it RAISES rather than silently
+    returning partial clusters (which would under-merge and over-keep).
     """
     fwd = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     rev = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
@@ -304,6 +308,7 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     labels = (edges.select(F.col("x").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(int(max_iters)):
         nbr = (edges.join(labels.select(F.col("node").alias("y"),
                                         F.col("comp").alias("ncomp")), "y")
@@ -313,6 +318,16 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                .select("node",
                        F.least(F.col("comp"),
                                F.coalesce(F.col("mn"), F.col("comp")))
+                       .alias("comp")))
+        # pointer jump: comp <- label(comp). Every comp value IS a node
+        # id (labels start as node and only ever take other labels), so
+        # the self-join is total; least() keeps monotone descent.
+        new = (new.join(new.select(F.col("node").alias("comp"),
+                                   F.col("comp").alias("_jump")),
+                        "comp", "left")
+               .select("node",
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("_jump"), F.col("comp")))
                        .alias("comp"))
                .localCheckpoint(eager=True))
         converged = (new.join(labels.select("node",
@@ -322,6 +337,11 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         labels = new
         if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "with pointer jumping this needs a component of diameter "
+            f"> 2^{max_iters}; raise max_iters")
     return labels.orderBy("node")
 
 

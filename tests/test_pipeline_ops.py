@@ -1065,3 +1065,59 @@ def test_binary_hamming_matches_numpy_mirror(spark, embeddings):
                    zip(pdf["vec_id"], ham) if v != 3)[:8]
     want = [(v, h) for h, v in order]
     assert got == want
+
+
+def test_dup_clusters_deep_chain_converges(spark):
+    """A duplicate CHAIN deeper than max_iters (n-1 hops for the min
+    label under plain propagation) must still collapse to ONE cluster —
+    the pointer-jumping step makes convergence O(log diameter). Before
+    round 5 this silently returned 50 components for an 80-chain."""
+    from sparklucene.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(i + 1, i) for i in range(79)],
+                                  "doc_a long, doc_b long")
+    out = dup_clusters(pairs).toPandas()
+    assert out["comp"].nunique() == 1
+    assert set(out["comp"]) == {0}
+    assert len(out) == 80
+
+
+def test_dup_clusters_random_graphs_match_union_find(spark):
+    """Seeded random pair graphs (stars, chains, cycles, cliques,
+    singletons mixed) vs an independent union-find."""
+    import random
+
+    from sparklucene.dedup import dup_clusters
+
+    for seed in range(3):
+        rng = random.Random(300 + seed)
+        n = 60
+        edges = []
+        for _ in range(rng.randint(10, 80)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            edges.append((a, b))
+        # one guaranteed deep descending chain segment
+        base = rng.randrange(n - 40)
+        edges += [(base + i + 1, base + i) for i in range(39)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        seen = {x for e in edges for x in e}
+        want = {x: find(x) for x in sorted(seen)}
+        # canonical min-id labels from the union-find roots
+        members: dict = {}
+        for x, r in want.items():
+            members.setdefault(r, []).append(x)
+        canon = {x: min(members[r]) for x, r in want.items()}
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["node"]: r["comp"] for r in dup_clusters(pairs).collect()}
+        assert got == canon, f"seed {seed}"
