@@ -70,6 +70,21 @@ def apply_atomic_updates(corpus: DataFrame, updates: DataFrame,
         raise ValueError(f"update batch lacks columns {missing}")
     up = updates.select(
         id_col, *[F.col(c).alias(f"_up_{c}") for c in ops])
+    # one row per doc per batch is the contract: the merge is a
+    # relational left join, so a duplicated update id would DUPLICATE
+    # corpus rows with arbitrary winners (DataFrame row order is
+    # undefined, so "apply in request order" is not implementable for a
+    # batch — the reference serializes such updates as separate
+    # requests; send separate batches here). The guard is one
+    # batch-proportional aggregation, never corpus-scale.
+    dup = (up.groupBy(id_col).count().filter(F.col("count") > 1)
+           .limit(5).collect())
+    if dup:
+        raise ValueError(
+            "update batch has multiple rows for doc_id(s) "
+            f"{sorted(r[id_col] for r in dup)} — atomic batch merge "
+            "needs one row per doc; apply sequential updates as "
+            "separate batches")
     out = corpus.join(F.broadcast(up), id_col, "left")
     merged = []
     for c in corpus.columns:

@@ -103,3 +103,20 @@ def test_multivalued_atomic_ops(spark):
     got2 = {r["doc_id"]: r["tags"] for r in apply_atomic_updates(
         corpus, ups, {"tags": "add"}).collect()}
     assert got2[0] == ["a", "b", "b", "d"]         # plain add keeps dups
+
+
+def test_duplicate_update_ids_rejected(spark):
+    """A batch with two rows for one doc_id must raise — a relational
+    left-join merge would duplicate the corpus row with arbitrary
+    winners (DataFrame batches have no request order); the reference
+    serializes such updates as separate requests."""
+    import pytest
+
+    from sparklucene.updates import apply_atomic_updates
+
+    corpus = spark.createDataFrame([(0, "a"), (1, "b")],
+                                   "doc_id long, title string")
+    up = spark.createDataFrame([(0, "x"), (0, "y"), (1, "z")],
+                               "doc_id long, title string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        apply_atomic_updates(corpus, up, {"title": "set"})
