@@ -68,7 +68,10 @@ def py_eval(sql: str, row: dict) -> float:
     env = {"ln": math.log, "log10": math.log10, "sqrt": math.sqrt,
            "abs": abs, "pow": pow, "least": min, "greatest": max,
            **row}
-    return float(eval(sql, {"__builtins__": {}}, env))  # noqa: S307
+    v = eval(sql, {"__builtins__": {}}, env)  # noqa: S307
+    if isinstance(v, complex):  # python pow(-x, 0.5) goes complex;
+        raise ValueError("complex")  # SQL returns NULL/NaN — domain error
+    return float(v)
 
 
 def main() -> None:
