@@ -64,10 +64,16 @@ def gen(rng: random.Random, depth: int = 0) -> str:
             f"{sp()}{gen(rng, depth + 1)})")
 
 
+import re  # noqa: E402
+
+_CAST = re.compile(r"CAST\((\d+(?:\.\d+)?) AS DOUBLE\)")
+
+
 def py_eval(sql: str, row: dict) -> float:
     env = {"ln": math.log, "log10": math.log10, "sqrt": math.sqrt,
            "abs": abs, "pow": pow, "least": min, "greatest": max,
            **row}
+    sql = _CAST.sub(r"(\1)", sql)  # DOUBLE-pinned literal -> bare float
     v = eval(sql, {"__builtins__": {}}, env)  # noqa: S307
     if isinstance(v, complex):  # python pow(-x, 0.5) goes complex;
         raise ValueError("complex")  # SQL returns NULL/NaN — domain error

@@ -119,7 +119,14 @@ def compile_expression(src: str, bindings: set[str]) -> CompiledExpression:
         k, v = peek()
         if k == "num":
             take("num")
-            return v if "." in v else f"{v}.0"
+            # pin the literal's TYPE, not just its spelling: bare
+            # decimal literals parse as DECIMAL in Spark SQL (and
+            # DuckDB), so a constant-only subtree like 100.0/3.25 would
+            # run scale-limited decimal arithmetic on Spark while
+            # DuckDB promotes decimal division to DOUBLE — breaking the
+            # cross-engine float64 determinism this module promises
+            # (found by scripts/expressions_fuzz_campaign.py seed 99102)
+            return f"CAST({v if '.' in v else f'{v}.0'} AS DOUBLE)"
         if k == "ident":
             take("ident")
             if peek() == ("op", "("):  # function call

@@ -15,14 +15,15 @@ B = {"_score", "x", "n_chars"}
 
 def test_canonical_emission_pins_precedence():
     c = compile_expression("_score + ln(1.0 + n_chars) * 0.25", B)
-    assert c.sql == "(_score + (ln((1.0 + n_chars)) * 0.25))"
+    assert c.sql == ("(_score + (ln((CAST(1.0 AS DOUBLE) + n_chars)) * "
+                     "CAST(0.25 AS DOUBLE)))")
     assert c.variables == ("_score", "n_chars")
 
 
 def test_unary_minus_integer_promotion_and_nesting():
     c = compile_expression("-x * (2 + 3.5) / greatest(x, 1)", B)
-    assert c.sql == "((((- x) * (2.0 + 3.5)) / greatest(x, 1.0)))" or \
-           c.sql == "(((- x) * (2.0 + 3.5)) / greatest(x, 1.0))"
+    assert c.sql == ("(((- x) * (CAST(2.0 AS DOUBLE) + CAST(3.5 AS DOUBLE)))"
+                     " / greatest(x, CAST(1.0 AS DOUBLE)))")
 
 
 def test_unknown_variable_rejected():
@@ -63,3 +64,14 @@ def test_expression_sort_reorders_by_attribute(spark):
                matches(idx, "merge", mode="f64").collect()]
     want = sorted(matched, key=lambda d: (-lens[d], d))[:3]
     assert [r["doc_id"] for r in out] == want
+
+
+def test_constant_subtree_stays_float64(spark):
+    """Bare decimal literals parse as DECIMAL in Spark SQL, so an
+    unpinned constant division (100.0/3.25) would constant-fold in
+    scale-limited decimal arithmetic (30.269231) instead of IEEE f64
+    (30.269230769230766...) — the CAST(... AS DOUBLE) literal pinning
+    keeps every engine on the same float64 tree (fuzz seed 99102)."""
+    c = compile_expression("100 / 3.25 - 0.5", B)
+    got = spark.range(1).select(c.column().alias("v")).collect()[0]["v"]
+    assert got == 100.0 / 3.25 - 0.5
