@@ -96,7 +96,9 @@ def main() -> None:
             for row in rows:
                 try:
                     w = py_eval(compiled.sql, row)
-                except (ValueError, ZeroDivisionError, OverflowError):
+                except (ValueError, ZeroDivisionError, OverflowError,
+                        TypeError):  # TypeError: complex from an inner
+                    # pow(-x, frac) reaching min/max — domain error
                     w = None  # domain error: sqrt(<0), ln(<=0), /0
                 vals.append(w)
             cases.append((src, compiled.sql, vals))
