@@ -139,8 +139,13 @@ def main() -> None:
                     continue
                 if g is None:
                     continue
+                # rtol 1e-9: JVM vs glibc transcendentals differ ~1 ULP
+                # and pow TOWERS amplify that by the outer exponent
+                # (pow(pow(x,y),100) → ~100 ULPs ≈ 2e-14 relative); a
+                # structural bug (precedence, wrong function, dropped
+                # paren) shifts values at percent scale, far above this
                 ok = (g == want or
-                      abs(g - want) <= 4 * abs(want) * 2.3e-16 + 1e-300)
+                      abs(g - want) <= 1e-9 * abs(want) + 1e-300)
                 if not ok:
                     print(f"EXPR FUZZ FAILURE seed={seed} src={src!r} "
                           f"sql={sql!r} row={rows[j]} got={g!r} "
