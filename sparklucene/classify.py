@@ -82,7 +82,16 @@ def naive_bayes_classify(train: DataFrame, test: DataFrame,
     vocab = train_tf.select("term").distinct().count()
 
     test_tf = _tf(test, text_col)
-    test_len = test_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # derive doc length from the TEST relation, not the token stream: a
+    # doc whose text tokenizes to NOTHING (all stopwords/punctuation)
+    # still classifies — by priors alone, dl=0 — like the reference's
+    # SimpleNaiveBayesClassifier; deriving from test_tf silently dropped
+    # such docs (found by scripts/classify_fuzz_campaign.py seed 150111)
+    test_len = (test.select("doc_id")
+                .join(test_tf.groupBy("doc_id")
+                      .agg(F.sum("tf").alias("_dl")), "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("_dl"), F.lit(0.0)).alias("dl")))
 
     # matched-term mass: f32-rounded addends summed in f64 (order-proof)
     addend = (F.col("tf") * F.log(F.col("cf") + F.lit(1.0))) \

@@ -86,3 +86,28 @@ def test_nb_layout_invariance(spark):
                              ).collect()
     assert [(r["doc_id"], r["label"], r["score"]) for r in a] == \
            [(r["doc_id"], r["label"], r["score"]) for r in b]
+
+
+def test_naive_bayes_classifies_tokenless_doc_by_priors(spark):
+    """A test doc whose text tokenizes to nothing (all stopwords) must
+    still classify — by class priors alone (dl=0), like the reference's
+    SimpleNaiveBayesClassifier; it was silently absent before round 5
+    (fuzz seed 150111)."""
+    import math
+
+    import numpy as np
+
+    from sparklucene.classify import naive_bayes_classify
+
+    train = spark.createDataFrame(
+        [(0, "a", "spark spark"), (1, "a", "merge"), (2, "b", "scan")],
+        "doc_id long, lang string, text string")
+    test = spark.createDataFrame(
+        [(10, "the of and"), (11, "spark")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["label"], r["score"])
+           for r in naive_bayes_classify(train, test).collect()}
+    assert set(out) == {10, 11}
+    # doc 10: pure priors -> argmax is 'a' (2 of 3 train docs)
+    assert out[10][0] == "a"
+    assert out[10][1] == float(np.float32(math.log(2 / 3)))
