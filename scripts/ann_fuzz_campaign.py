@@ -61,23 +61,20 @@ def main() -> None:
                cosine_topk(df, qids, k=k).orderBy("qid", "rank").collect()]
         want = []
         for qid in sorted(qids):
+            if n2[qid] == 0:
+                continue  # zero-norm query: excluded by the engine
             dots = qg @ qg[qid]
             denom = np.sqrt(float(n2[qid])) * np.sqrt(n2.astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / denom
-            cand = [(float(cos[i]), int(i)) for i in range(n) if i != qid]
-            # NaN (zero vector) sorts LAST like SQL DESC NULLS/NaN rules?
-            # Spark sorts NaN greater than any double in DESC... pin by
-            # filtering: grid-zero vectors produce denom 0 -> NaN; the
-            # engine emits NaN too and Spark orders NaN FIRST on DESC.
-            cand.sort(key=lambda x: (not np.isnan(x[0]),
-                                     -x[0] if not np.isnan(x[0]) else 0,
-                                     x[1]))
+            # zero-norm candidates have undefined cosine: excluded
+            cand = [(float(cos[i]), int(i)) for i in range(n)
+                    if i != qid and n2[i] > 0]
+            cand.sort(key=lambda x: (-x[0], x[1]))
             want += [(qid, r + 1, vid, c)
                      for r, (c, vid) in enumerate(cand[:k])]
-        want_cmp = [(q, r, v, None if np.isnan(c) else c)
-                    for q, r, v, c in want]
-        got_cmp = [(q, r, v, None if (c != c) else c) for q, r, v, c in got]
+        want_cmp = want
+        got_cmp = got
         if got_cmp != want_cmp:
             print(f"ANN FUZZ FAILURE [cosine] seed={seed} dim={dim}\n"
                   f" got={got_cmp[:8]}\nwant={want_cmp[:8]}", flush=True)
@@ -97,14 +94,15 @@ def main() -> None:
                 .orderBy("qid", "rank").collect()]
         want8 = []
         for qid in sorted(qids):
+            if n28[qid] == 0:
+                continue
             dots = q8 @ q8[qid]
             denom = np.sqrt(float(n28[qid])) * np.sqrt(n28.astype(np.float64))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / denom
-            cand = [(float(cos[i]), int(i)) for i in range(n) if i != qid]
-            cand.sort(key=lambda x: (not np.isnan(x[0]),
-                                     -x[0] if not np.isnan(x[0]) else 0,
-                                     x[1]))
+            cand = [(float(cos[i]), int(i)) for i in range(n)
+                    if i != qid and n28[i] > 0]
+            cand.sort(key=lambda x: (-x[0], x[1]))
             want8 += [(qid, r + 1, vid)
                       for r, (_c, vid) in enumerate(cand[:k])]
         if got8 != want8:

@@ -78,6 +78,8 @@ def cosine_topk_int8(embeddings: DataFrame, query_ids: list[int],
                        F.col("norm2_8").alias("qnorm2")))
     pairs = base.crossJoin(F.broadcast(queries)) \
         .filter(F.col("vec_id") != F.col("qid"))
+    # zero-norm codes: undefined cosine, excluded (see cosine_topk)
+    pairs = pairs.filter((F.col("norm2_8") > 0) & (F.col("qnorm2") > 0))
     dot = F.aggregate(F.zip_with("qq", "q8",
                                  lambda a, b: a.cast("long") * b.cast("long")),
                       F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -106,6 +108,11 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                        F.col("norm2").alias("qnorm2")))
     pairs = base.crossJoin(F.broadcast(queries)) \
         .filter(F.col("vec_id") != F.col("qid"))
+    # zero-norm vectors (failed encodes, padding rows) have undefined
+    # cosine: excluded from candidates AND queries — under Spark's ANSI
+    # mode the bare division would otherwise abort the whole job on one
+    # bad row (found by scripts/ann_fuzz_campaign.py)
+    pairs = pairs.filter((F.col("norm2") > 0) & (F.col("qnorm2") > 0))
     dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = pairs.select(
@@ -255,6 +262,8 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     cand = bucketed.join(F.broadcast(queries),
                          (F.col("bucket") == F.col("qbucket"))
                          & (F.col("vec_id") != F.col("qid")))
+    # zero-norm vectors: undefined cosine, excluded (see cosine_topk)
+    cand = cand.filter((F.col("norm2") > 0) & (F.col("qnorm2") > 0))
     dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = cand.select(
@@ -390,6 +399,8 @@ def ivf_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     cand = assigned.join(F.broadcast(queries),
                          (F.col("centroid") == F.col("pcentroid"))
                          & (F.col("vec_id") != F.col("qid")))
+    # zero-norm vectors: undefined cosine, excluded (see cosine_topk)
+    cand = cand.filter((F.col("norm2") > 0) & (F.col("qnorm2") > 0))
     dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = cand.select(
@@ -569,6 +580,9 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         queries = queries.withColumn(f"lut_{j}", F.array(*luts))
     cand = codes.crossJoin(F.broadcast(queries)) \
         .filter(F.col("vec_id") != F.col("qid"))
+    # zero-norm QUERY: undefined cosine, excluded (candidate side uses
+    # codebook reconstruction norms, constants > 0 by construction)
+    cand = cand.filter(F.col("qnorm2") > 0)
     dterms = [F.element_at(f"lut_{j}", (F.col(f"code_{j}") + 1).cast("int"))
               for j in range(m)]
     rterms = [F.element_at(
@@ -614,6 +628,8 @@ def cosine_topk_filtered(embeddings: DataFrame, docs: DataFrame,
     cand = base.join(allowed, "vec_id", "left_semi")
     pairs = cand.crossJoin(F.broadcast(queries)) \
         .filter(F.col("vec_id") != F.col("qid"))
+    # zero-norm vectors: undefined cosine, excluded (see cosine_topk)
+    pairs = pairs.filter((F.col("norm2") > 0) & (F.col("qnorm2") > 0))
     dot = F.aggregate(F.zip_with("qq", "q", lambda a, b: a * b),
                       F.lit(0).cast("long"), lambda acc, x: acc + x)
     scored = pairs.select(

@@ -1121,3 +1121,25 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r["node"]: r["comp"] for r in dup_clusters(pairs).collect()}
         assert got == canon, f"seed {seed}"
+
+
+def test_cosine_topk_tolerates_zero_norm_vectors(spark):
+    """A zero embedding (failed encode / padding) has undefined cosine:
+    it must be EXCLUDED from candidates and queries, not abort the job
+    (Spark 4 ANSI mode turns the bare division into DIVIDE_BY_ZERO —
+    found by scripts/ann_fuzz_campaign.py). Applies to exact, int8,
+    LSH, IVF and filtered variants; exact + int8 pinned here."""
+    from sparklucene.similarity import cosine_topk, cosine_topk_int8
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero vector
+            (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<float>")
+    out = cosine_topk(df, [0], k=10).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 2 not in ids and ids[0] == 1 and len(ids) == 2
+    # zero-norm QUERY: no rows for that qid, job still succeeds
+    assert cosine_topk(df, [2], k=5).count() == 0
+    out8 = cosine_topk_int8(df, [0, 2], k=10).collect()
+    assert all(r["vec_id"] != 2 and r["qid"] != 2 for r in out8)
