@@ -85,11 +85,16 @@ def quality_score(docs: DataFrame) -> DataFrame:
         n_chars_tok.alias("n_token_chars"), alpha_chars.alias("n_alpha_chars"),
         F.length("text").cast("long").alias("n_chars_text"),
     )
+    # try_divide: a token-less or char-less doc yields NULL ratios instead
+    # of aborting the whole job under Spark 4 ANSI (DIVIDE_BY_ZERO).
     return out.select(
         "*",
-        (F.col("n_stop_terms") / F.col("n_tokens").cast("double")).alias("stop_ratio"),
-        (F.col("n_token_chars") / F.col("n_tokens").cast("double")).alias("mean_token_len"),
-        (F.col("n_alpha_chars") / F.col("n_chars_text").cast("double")).alias("alpha_ratio"),
+        F.try_divide(F.col("n_stop_terms"),
+                     F.col("n_tokens").cast("double")).alias("stop_ratio"),
+        F.try_divide(F.col("n_token_chars"),
+                     F.col("n_tokens").cast("double")).alias("mean_token_len"),
+        F.try_divide(F.col("n_alpha_chars"),
+                     F.col("n_chars_text").cast("double")).alias("alpha_ratio"),
     )
 
 
@@ -429,6 +434,9 @@ def mixture_sample(docs: DataFrame, weights: "dict[str, int]",
     plan = (base.join(F.broadcast(wdf), strata_col)
             .groupBy(strata_col, "_w")
             .agg(F.sum("dl").alias("avail_tokens"))
+            # a stratum whose docs are all token-less has nothing to
+            # sample; dropping it here also avoids ANSI DIVIDE_BY_ZERO
+            .filter(F.col("avail_tokens") > 0)
             .withColumn("target_tokens",
                         F.expr(f"_w * CAST({int(token_budget)} AS BIGINT) "
                                f"DIV CAST({sum_w} AS BIGINT)"))

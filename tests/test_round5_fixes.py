@@ -158,3 +158,35 @@ def test_all_empty_shard_manifest_returns_empty(spark, tmp_path):
     assert routed_suggest(spark, base, "s").count() == 0
     assert routed_grouped_topk(spark, base, Term("spark"), docs,
                                "attr").count() == 0
+
+
+# -- 6. quality_score survives token-less / char-less docs (ANSI /0) ----
+
+def test_quality_score_empty_doc_null_ratios(spark):
+    from sparklucene.textops import quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox"), (2, ""), (3, "!!! ...")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 2: zero chars and zero tokens -> every ratio NULL, job survives
+    assert out[2].stop_ratio is None and out[2].mean_token_len is None
+    assert out[2].alpha_ratio is None
+    # doc 3: chars but no analyzer tokens -> token ratios NULL only
+    assert out[3].stop_ratio is None and out[3].alpha_ratio == 0.0
+    assert out[1].n_tokens == 3 and out[1].stop_ratio == 1 / 3
+
+
+# -- 7. mixture_sample drops all-empty strata instead of aborting ------
+
+def test_mixture_sample_empty_stratum(spark):
+    from sparklucene.textops import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "spark index query", "en"), (2, "", "xx"), (3, "   ", "xx")],
+        "doc_id long, text string, lang string")
+    out = mixture_sample(docs, {"en": 1, "xx": 1}, token_budget=100,
+                         salt="s").toPandas()
+    # the xx stratum has zero available tokens: excluded, not /0 abort
+    assert set(out.doc_id) == {1}
