@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparklucene.textops import TOKEN_EXPR, _hash60
+from sparklucene.textops import TOKEN_EXPR, _gram_idxs, _hash60
 
 MERSENNE61 = 2305843009213693951
 LSH_PRIME = 2147483647          # 2^31 - 1 universal-hash modulus
@@ -51,7 +51,10 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 def _shingle_hashes(docs: DataFrame, shingle: int) -> DataFrame:
     """(doc_id, h) — 60-bit hash per *distinct* token shingle of each doc."""
     toks = F.expr(TOKEN_EXPR)
-    idxs = F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle - 1), F.lit(0)))
+    # _gram_idxs guards the sub-shingle case: a doc with < shingle tokens
+    # emits NO shingles (sequence(1, 0) is the DESCENDING [1, 0], whose
+    # element_at(toks, 0) aborts the job under Spark 4 ANSI)
+    idxs = _gram_idxs(toks, shingle)
     shingles = F.array_distinct(F.transform(
         idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
                                            for j in range(shingle)])))
@@ -263,7 +266,11 @@ def embedding_neardup_pairs(embeddings: DataFrame, min_cosine: float = 0.9,
     """
     from sparklucene.similarity import hyperplane_buckets
 
+    # zero-norm vectors have no direction: cosine is undefined (and the
+    # norm product divides by zero under ANSI) — exclude them, same rule
+    # as the exact/int8/LSH/IVF/PQ ANN paths and semantic_dedup
     bucketed = hyperplane_buckets(embeddings, n_planes) \
+        .filter(F.col("norm2") > 0) \
         .select("vec_id", "q", "norm2", "bucket")
     a = bucketed.alias("a")
     b = bucketed.alias("b")

@@ -190,3 +190,35 @@ def test_mixture_sample_empty_stratum(spark):
                          salt="s").toPandas()
     # the xx stratum has zero available tokens: excluded, not /0 abort
     assert set(out.doc_id) == {1}
+
+
+# -- 8. sub-shingle docs no longer abort the minhash/jaccard stack ------
+
+def test_shingle_stack_short_docs(spark):
+    from sparklucene.dedup import (lsh_candidate_pairs, minhash_signatures,
+                                   ngram_jaccard_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e"), (3, ""), (4, "a b c d e")],
+        "doc_id long, text string")
+    # docs 1/3 have < 3 tokens: zero shingles -> absent, not an
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT abort (sequence(1,0) == [1,0])
+    assert sorted(minhash_signatures(docs, shingle=3).toPandas().doc_id) \
+        == [2, 4]
+    assert [(r.doc_a, r.doc_b) for r in
+            lsh_candidate_pairs(docs, shingle=3).collect()] == [(2, 4)]
+    d2 = docs.select("doc_id", "text", F.lit("s").alias("source"))
+    out = ngram_jaccard_pairs(d2, shingle=3).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(2, 4, 1.0)]
+
+
+# -- 9. zero-norm vectors excluded from embedding_neardup_pairs ---------
+
+def test_embedding_neardup_zero_vector(spark):
+    from sparklucene.dedup import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(emb, min_cosine=0.5, n_planes=2).collect()
+    assert [(r.vec_a, r.vec_b) for r in out] == [(1, 2)]
