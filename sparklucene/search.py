@@ -516,6 +516,31 @@ def _expand_multiterm(q: Query, index: Index, cap: int) -> Query:
     return q
 
 
+#: ranges per scoring task for narrow queries (see _scoring_parts)
+_RANGES_PER_TASK = int(os.environ.get("SPARKLUCENE_RANGES_PER_TASK", "12"))
+
+
+def _scoring_parts(spark, n_ranges: int, est_cells: int) -> int:
+    """Width of the scoring shuffle (hash-repartition on drange).
+
+    The scoring unit is the DOC-RANGE (applyInPandas groups by drange),
+    so partitions beyond ``n_ranges`` are empty — that caps the width.
+    Two floors size the rest: ``est_cells/64`` grows the fan-out with
+    per-range work (multi-term expansions decode terms x ranges cells),
+    and ``n_ranges/_RANGES_PER_TASK`` keeps NARROW queries parallel — a
+    single-term query has one cell per range, and cells/64 alone would
+    score the whole index in one serial task (measured +40 % p50 on the
+    sf0.1x40 headline suite). Both are capped by 4x the session cores,
+    the same ceiling the session shuffle knob uses, so huge corpora
+    still fan out to thousands of cells per task instead of thousands
+    of tasks per query.
+    """
+    return max(1, min(spark.sparkContext.defaultParallelism * 4,
+                      n_ranges,
+                      max(-(-n_ranges // max(1, _RANGES_PER_TASK)),
+                          -(-est_cells // 64))))
+
+
 def search(index: Index, query: str | Query, k: int | None = 10,
            mode: str = "lucene8", prune: bool = True,
            hydrate: DataFrame | None = None,
@@ -616,18 +641,13 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                              field_stats=index.stats.get("fields"))
 
     postings = index.postings().filter(F.col("term").isin(all_terms))
-    # size the scoring shuffle by the estimated number of matching cells
-    # (terms x ranges), ~64 cells per task: k=10 lookups stay a handful of
-    # tasks (sub-second), while huge corpora fan out to thousands — the
-    # session-wide shuffle.partitions knob (tuned for builds) would give
-    # tiny queries hundreds of empty python-worker tasks. The explicit
-    # hash repartition also satisfies the groupBy distribution, so no
-    # second Exchange appears in the plan.
+    # size the scoring shuffle by ranges AND cells (see _scoring_parts);
+    # the explicit hash repartition also satisfies the groupBy
+    # distribution, so no second Exchange appears in the plan
     n_ranges = max(1, -(-int(index.stats["n_docs"])
                         // int(index.stats["drange_size"])))
     est_cells = n_ranges * max(1, len(all_terms))
-    nparts = max(1, min(spark.sparkContext.defaultParallelism * 4,
-                        -(-est_cells // 64)))
+    nparts = _scoring_parts(spark, n_ranges, est_cells)
     postings = postings.repartition(nparts, "drange")
 
     def _score_cells(pdf_postings: pd.DataFrame,
@@ -1228,8 +1248,7 @@ def search_batch(index: Index, queries, k: int = 10,
     n_ranges = max(1, -(-int(index.stats["n_docs"])
                         // int(index.stats["drange_size"])))
     est_cells = n_ranges * max(1, len(needed))
-    nparts = max(1, min(spark.sparkContext.defaultParallelism * 4,
-                        -(-est_cells // 64)))
+    nparts = _scoring_parts(spark, n_ranges, est_cells)
     postings = postings.repartition(nparts, "drange")
     qitems = sorted(live.items())
 
