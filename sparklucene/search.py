@@ -351,7 +351,7 @@ def _highlight_positions(index: Index, terms: list[str],
              .filter(F.col("term").isin(sorted(set(terms))))
              .join(F.broadcast(win), "drange"))
 
-    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def emit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out: dict[str, list] = {"doc_id": [], "term": [], "positions": []}
         for term, grp in pdf.groupby("term", sort=True):
             r0 = grp.iloc[0]
@@ -691,7 +691,7 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                        "drange", (F.col("doc_id") / F.lit(drs)).cast("int"))
                    .repartition(nparts, "drange"))
 
-        def score_allowed(key, pdf_postings: pd.DataFrame,
+        def score_allowed(key: tuple, pdf_postings: pd.DataFrame,
                           pdf_allow: pd.DataFrame) -> pd.DataFrame:
             al = np.unique(pdf_allow["doc_id"].to_numpy(dtype=np.int64))
             return _score_cells(
@@ -712,7 +712,7 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                              (F.col("doc_id") / F.lit(drs)).cast("int"))
                  .repartition(nparts, "drange"))
 
-        def score_cogroup(key, pdf_postings: pd.DataFrame,
+        def score_cogroup(key: tuple, pdf_postings: pd.DataFrame,
                           pdf_del: pd.DataFrame) -> pd.DataFrame:
             rdel = np.unique(pdf_del["doc_id"].to_numpy(dtype=np.int64))
             return _score_cells(pdf_postings, rdel)
@@ -721,7 +721,7 @@ def search(index: Index, query: str | Query, k: int | None = 10,
                       .cogroup(deldf.groupby("drange"))
                       .applyInPandas(score_cogroup, schema=RESULT_SCHEMA))
     else:
-        def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+        def score_group(key: tuple, pdf_postings: pd.DataFrame) -> pd.DataFrame:
             return _score_cells(pdf_postings, None)
 
         candidates = (postings.groupBy("drange")
@@ -1252,7 +1252,7 @@ def search_batch(index: Index, queries, k: int = 10,
     postings = postings.repartition(nparts, "drange")
     qitems = sorted(live.items())
 
-    def score_group(key, pdf_postings: pd.DataFrame) -> pd.DataFrame:
+    def score_group(key: tuple, pdf_postings: pd.DataFrame) -> pd.DataFrame:
         if len(pdf_postings) == 0:
             return pd.DataFrame({"query": pd.Series(dtype=object),
                                  "doc_id": pd.Series(dtype=np.int64),
