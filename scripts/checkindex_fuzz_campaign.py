@@ -194,7 +194,8 @@ def mut_flip_pos(pdf, i, rng):
 MUTATIONS = [
     ("truncate_docs", {"decode_error", "df_part", "tf_alignment",
                        "docs_sorted", "docs_in_range", "block_last",
-                       "dictionary_agreement"}, mut_truncate_docs),
+                       "dictionary_agreement", "empty_cell"},
+     mut_truncate_docs),
     ("df_part_off", {"df_part", "dictionary_agreement"}, mut_df_part),
     ("cf_part_off", {"cf_part", "dictionary_agreement"}, mut_cf_part),
     ("zero_tf", {"tf_positive", "cf_part", "block_max_tf",
