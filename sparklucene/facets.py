@@ -182,3 +182,63 @@ def percentile_sketch(df: DataFrame, field: str, by: str,
     return (s.groupBy(by)
             .agg(*aggs, F.count("*").cast("long").alias("sample_n"))
             .orderBy(by))
+
+
+def hll_sketch_partial(df: DataFrame, field: str, by: str | None = None,
+                       lg_k: int = 12) -> DataFrame:
+    """Per-shard mergeable HLL sketch — the shard half of Solr's
+    distributed ``hll`` agg (public knowledge:
+    u8:solr/core/src/java/org/apache/solr/search/facet/HLLAgg.java —
+    each shard serializes its HyperLogLog registers; the coordinator
+    merges registers, never raw values).
+
+    Spark mapping: ``hll_sketch_agg`` builds an Apache DataSketches HLL
+    sketch per group — a BINARY column in the portable DataSketches
+    wire format, readable by the Java/C++/Python DataSketches
+    libraries, which is the cross-engine mergeable-sketch parity Solr's
+    HLL (and t-digest percentile) surfaces provide and plain
+    ``approx_count_distinct`` does not (HLL++'s internal buffer never
+    leaves the plan).
+
+    Returns (``by``?, sketch binary). One partial+final aggregation;
+    the shipped state per group is the 2^lg_k register array
+    (lg_k=12 -> ~2 KiB, relative standard error ~1.6 %), constant in
+    the row count — the right 10^12-row shape.
+    """
+    keys = [by] if by else []
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(field).cast("string"), lg_k)
+        .alias("sketch"))
+
+
+def hll_sketch_merge(partials: DataFrame, by: str | None = None,
+                     ) -> DataFrame:
+    """Coordinator half of the distributed ``hll`` agg: union the
+    per-shard register arrays (``hll_union_agg`` — register-wise max,
+    associative and commutative, so shard order and shard count cannot
+    change the result) and read the estimate off the merged sketch.
+
+    ``partials`` — union of ``hll_sketch_partial`` outputs from any
+    number of shards. Returns (``by``?, distinct_est long), ordered by
+    group. Driver-side state: nothing; the merge is one aggregation
+    whose state is a single register array per group.
+    """
+    keys = [by] if by else []
+    out = (partials.groupBy(*keys)
+           .agg(F.hll_sketch_estimate(
+               F.hll_union_agg("sketch", True))
+               .cast("long").alias("distinct_est")))
+    return out.orderBy(by) if by else out
+
+
+def hll_sketch_distinct(df: DataFrame, field: str, by: str | None = None,
+                        lg_k: int = 12) -> DataFrame:
+    """One-shot mergeable distinct count: partial + merge in a single
+    plan (Catalyst's partial aggregation pushes the sketch build
+    map-side; only register arrays cross the shuffle). Equals the
+    shard-split pipeline ``hll_sketch_merge(union of per-shard
+    hll_sketch_partial frames)`` register-for-register — the invariant
+    the tests pin — because sketch union is exactly the merge the
+    final aggregation step performs.
+    """
+    return hll_sketch_merge(hll_sketch_partial(df, field, by, lg_k), by)

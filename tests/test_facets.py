@@ -150,3 +150,72 @@ def test_percentile_sketch_rejects_unknown_method(spark):
     with pytest.raises(ValueError):
         percentile_sketch(_pct_corpus(spark), "n_chars", by="lang",
                           method="tdigest")
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL distinct sketch (Solr HLLAgg shard-merge parity)
+# ---------------------------------------------------------------------------
+
+def _hll_corpus(spark, n=3000, card=400):
+    # value v_i repeats: true distinct = card per group, split 2 groups
+    rows = [(i, f"g{i % 2}", f"v{i % card}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, grp string, val string")
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from sparklucene.facets import hll_sketch_distinct
+    df = _hll_corpus(spark)
+    out = {r["grp"]: r["distinct_est"]
+           for r in hll_sketch_distinct(df, "val", by="grp").collect()}
+    exact = {r["grp"]: r["cnt"] for r in
+             df.groupBy("grp").agg(
+                 F.countDistinct("val").alias("cnt")).collect()}
+    assert set(out) == set(exact)
+    for g, est in out.items():
+        # lg_k=12 -> RSE ~1.6 %; 5 sigma-ish bound, generous + stable
+        assert abs(est - exact[g]) <= max(3, int(0.08 * exact[g])), \
+            (g, est, exact[g])
+
+
+def test_hll_shard_merge_equals_single_pass(spark):
+    """Union of per-shard sketches == whole-corpus sketch estimate —
+    the distributed-merge invariant (shard count/order irrelevant)."""
+    from sparklucene.facets import (hll_sketch_distinct,
+                                    hll_sketch_merge, hll_sketch_partial)
+    df = _hll_corpus(spark)
+    whole = {r["grp"]: r["distinct_est"]
+             for r in hll_sketch_distinct(df, "val", by="grp").collect()}
+    # 3 deliberately skewed "shards"
+    shards = [df.filter(F.col("doc_id") % 7 < 2),
+              df.filter(F.col("doc_id") % 7 == 2),
+              df.filter(F.col("doc_id") % 7 > 2)]
+    parts = [hll_sketch_partial(s, "val", by="grp") for s in shards]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {r["grp"]: r["distinct_est"]
+              for r in hll_sketch_merge(u, by="grp").collect()}
+    assert merged == whole
+    # shard order must not matter (register-wise max is commutative)
+    u2 = parts[2].unionByName(parts[0]).unionByName(parts[1])
+    merged2 = {r["grp"]: r["distinct_est"]
+               for r in hll_sketch_merge(u2, by="grp").collect()}
+    assert merged2 == whole
+
+
+def test_hll_partition_invariance_and_ungrouped(spark):
+    from sparklucene.facets import hll_sketch_distinct
+    df = _hll_corpus(spark, n=1000, card=137)
+    a = hll_sketch_distinct(df.repartition(13), "val").collect()[0]
+    b = hll_sketch_distinct(df.coalesce(1), "val").collect()[0]
+    assert a["distinct_est"] == b["distinct_est"]
+
+
+def test_hll_empty_and_null_input(spark):
+    from sparklucene.facets import hll_sketch_distinct
+    empty = spark.createDataFrame([], "doc_id long, grp string, val string")
+    assert hll_sketch_distinct(empty, "val", by="grp").collect() == []
+    nulls = spark.createDataFrame(
+        [(1, "g", None), (2, "g", "x")],
+        "doc_id long, grp string, val string")
+    out = hll_sketch_distinct(nulls, "val", by="grp").collect()
+    # nulls don't count (Solr hll ignores missing values)
+    assert [(r["grp"], r["distinct_est"]) for r in out] == [("g", 1)]
