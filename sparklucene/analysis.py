@@ -346,9 +346,16 @@ def _reject_filter_stages(cfg: AnalyzerConfig) -> None:
     combining them with those stages must fail LOUDLY instead of
     silently ignoring the filters (round-4 advisory). Char-filter
     stages (html_strip / char_pattern_replace / ascii_fold / lowercase
-    / split_word_delims) still apply — they run in _pretransform."""
+    / split_word_delims) still apply — they run in _pretransform.
+
+    The inherited class-default stop set does NOT count as a requested
+    stage: ``AnalyzerConfig(tokenizer="keyword")`` must work without
+    ``stopwords=frozenset()`` boilerplate (KeywordTokenizer in the
+    reference has no implicit StopFilter either) — only an explicitly
+    DIFFERENT stop set marks user intent and fails loudly."""
     active = [name for name, on in (
-        ("stopwords", bool(cfg.stopwords)),
+        ("stopwords", bool(cfg.stopwords)
+         and cfg.stopwords != ENGLISH_STOP_WORDS),
         ("min_len", cfg.min_len > 1),
         ("term_map", bool(cfg.term_map)),
         ("stem", bool(cfg.stem)),

@@ -4631,7 +4631,10 @@ def _intervals_entries() -> dict[str, tuple[Callable, str | None]]:
         from sparklucene.query import Wildcard
         from sparklucene.search import span_multi_term
         idx = index_for(spark, sf_dir)
-        wc = span_multi_term(idx, Wildcard("s*a*"))
+        # explicit cap far above any fixture tier's dictionary: the
+        # DuckDB oracle's LIKE expansion is uncapped, so the engine
+        # side must never hit its maxClauseCount analog here
+        wc = span_multi_term(idx, Wildcard("s*a*"), max_expansions=65536)
         q = Span(_SN((_ST("merge"), wc), slop=4, in_order=True))
         return search(idx, q, k=10, mode="f64", prune=True)
     e["span_wildcard_near"] = (span_wc_near, f"""WITH {corpus_ctes()},

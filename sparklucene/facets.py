@@ -165,10 +165,17 @@ def percentile_sketch(df: DataFrame, field: str, by: str,
 
     Returns (``by``, q<p> estimate columns, sample_n) ordered by group.
     """
+    # q<p> labels: round, not int() — float truncation mislabels e.g.
+    # 0.29 (0.29*100 == 28.999…) as q28; and sub-percent probs must not
+    # silently collide into one duplicate column name.
+    labels = [f"q{round(p * 100)}_est" for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"probs {probs!r} collide at whole-percent "
+                         f"label resolution: {labels!r}")
     if method == "native":
         aggs = [F.percentile_approx(field, p, accuracy)
-                .cast("double").alias(f"q{int(p * 100)}_est")
-                for p in probs]
+                .cast("double").alias(lab)
+                for p, lab in zip(probs, labels)]
         return (df.groupBy(by)
                 .agg(*aggs, F.count("*").cast("long").alias("sample_n"))
                 .orderBy(by))
@@ -178,7 +185,7 @@ def percentile_sketch(df: DataFrame, field: str, by: str,
     s = df.filter(sample_key(F.col(key_col), salt)
                   < F.lit(_frac_thr(fraction)))
     aggs = [F.expr(f"percentile({field}, {p!r})")
-            .alias(f"q{int(p * 100)}_est") for p in probs]
+            .alias(lab) for p, lab in zip(probs, labels)]
     return (s.groupBy(by)
             .agg(*aggs, F.count("*").cast("long").alias("sample_n"))
             .orderBy(by))

@@ -192,6 +192,12 @@ def _fanout(spark: SparkSession, base_dir: str, routes: dict, query, k: int,
     dirs = {rt: os.path.join(base_dir, info["dir"])
             for rt, info in sorted(routes.items())
             if info.get("dir") is not None}
+    if not dirs:  # manifest where every shard is empty (dir=None):
+        # same guard as routed_facet_field/routed_grouped_topk/
+        # routed_suggest — ThreadPoolExecutor(max_workers=0) raises,
+        # and _merged_stats cannot read zero parquet paths.
+        return spark.createDataFrame(
+            [], "doc_id long, score double, route string")
     override = None
     if stats == "global":
         q = qualify(_as_query(query))

@@ -60,15 +60,17 @@ _SHARED_HANDLES_MAX = 64
 _SHARED_HANDLES_LOCK = threading.Lock()
 
 
-def _dir_mtime(path: str) -> float:
-    """Latest mtime under ``path`` (0.0 when absent) — the deletes-dir
-    generation stamp for Index.shared's cache key."""
+def _dir_mtime(path: str) -> int:
+    """Latest mtime_ns under ``path`` (0 when absent) — the deletes-dir
+    generation stamp for Index.shared's cache key. Nanosecond stat so a
+    rebuild landing within one coarse-mtime tick (1 s on some
+    filesystems) still changes the key."""
     if not os.path.isdir(path):
-        return 0.0
-    best = os.path.getmtime(path)
+        return 0
+    best = os.stat(path).st_mtime_ns
     for name in os.listdir(path):
         try:
-            best = max(best, os.path.getmtime(os.path.join(path, name)))
+            best = max(best, os.stat(os.path.join(path, name)).st_mtime_ns)
         except OSError:
             pass
     return best
@@ -95,8 +97,10 @@ class Index:
         Lucene's reopen-on-commit. Evicted handles unpersist their
         cached DataFrames (LRU, bounded driver/cache footprint)."""
         p = IndexPaths(index_dir)
+        st = os.stat(p.stats_json)  # mtime_ns + size: a rebuild inside
+        # one coarse-mtime tick still flips the generation key
         key = (id(spark), os.path.abspath(index_dir),
-               os.path.getmtime(p.stats_json),
+               st.st_mtime_ns, st.st_size,
                _dir_mtime(os.path.join(p.root, "deletes")))
         evicted: list[Index] = []
         with _SHARED_HANDLES_LOCK:
@@ -129,11 +133,17 @@ class Index:
         self._deleted_bc = None
         self._deleted_count: int | None = None
         self._expand_memo: dict[tuple, list[str]] = {}
+        # lazy-init guard: shared handles are hit from fan-out THREADS;
+        # without it two racing threads both persist() and one cached
+        # DataFrame leaks in executor storage for the session lifetime
+        self._init_lock = threading.Lock()
 
     def postings(self) -> DataFrame:
         if self._postings is None:
-            df = self.spark.read.parquet(self.paths.postings)
-            self._postings = df.persist() if self._cache else df
+            with self._init_lock:
+                if self._postings is None:
+                    df = self.spark.read.parquet(self.paths.postings)
+                    self._postings = df.persist() if self._cache else df
         return self._postings
 
     def docmeta(self) -> DataFrame:
@@ -145,8 +155,10 @@ class Index:
 
     def termstats(self) -> DataFrame:
         if self._termstats is None:
-            df = self.spark.read.parquet(self.paths.termstats)
-            self._termstats = df.persist() if self._cache else df
+            with self._init_lock:
+                if self._termstats is None:
+                    df = self.spark.read.parquet(self.paths.termstats)
+                    self._termstats = df.persist() if self._cache else df
         return self._termstats
 
     def deletes_df(self) -> DataFrame | None:

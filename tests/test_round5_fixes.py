@@ -128,14 +128,24 @@ def test_path_hierarchy_rejects_active_filter_stages():
 
     texts = pd.Series(["a/b/c"])
     ids = np.array([0], dtype=np.int64)
+    # an explicitly DIFFERENT stop set is user intent -> loud failure
     with pytest.raises(ValueError, match="stopwords"):
-        analyze_flat(texts, ids, AnalyzerConfig(tokenizer="path_hierarchy"))
+        analyze_flat(texts, ids, AnalyzerConfig(
+            tokenizer="path_hierarchy", stopwords=frozenset({"a"})))
     with pytest.raises(ValueError, match="min_len"):
         analyze_flat(texts, ids, AnalyzerConfig(
             tokenizer="keyword", stopwords=frozenset(), min_len=3))
-    toks, docs, pos = analyze_flat(texts, ids, AnalyzerConfig(
-        tokenizer="path_hierarchy", stopwords=frozenset()))
-    assert list(toks) == ["a", "a/b", "a/b/c"]
+    # the INHERITED class-default stop set is not a requested stage:
+    # the plain constructions must work without boilerplate
+    # (KeywordTokenizer has no implicit StopFilter in the reference)
+    for cfg in (AnalyzerConfig(tokenizer="path_hierarchy"),
+                AnalyzerConfig(tokenizer="path_hierarchy",
+                               stopwords=frozenset())):
+        toks, docs, pos = analyze_flat(texts, ids, cfg)
+        assert list(toks) == ["a", "a/b", "a/b/c"]
+    toks, _, _ = analyze_flat(pd.Series(["The Quick"]), ids,
+                              AnalyzerConfig(tokenizer="keyword"))
+    assert list(toks) == ["the quick"]
 
 
 # -- 5. all-empty-shard manifests return empty, not IndexError ----------
@@ -222,3 +232,72 @@ def test_embedding_neardup_zero_vector(spark):
         "vec_id long, embedding array<float>")
     out = embedding_neardup_pairs(emb, min_cosine=0.5, n_planes=2).collect()
     assert [(r.vec_a, r.vec_b) for r in out] == [(1, 2)]
+
+
+# -- 10. restart-session review fixes -----------------------------------
+
+def test_fanout_all_empty_shard_manifest(spark, tmp_path):
+    """routed_search full fan-out over a manifest where every shard is
+    empty (dir absent) returns an empty frame instead of
+    ThreadPoolExecutor(max_workers=0) ValueError."""
+    import json as _json
+
+    from sparklucene.query import Term
+    from sparklucene.routing import routed_search
+
+    base = str(tmp_path / "empty-fanout")
+    os.makedirs(base)
+    manifest = {"router": "compositeId", "n_shards": 2,
+                "routes": {"shard0": {"n_docs": 0},
+                           "shard1": {"n_docs": 0}}}
+    with open(os.path.join(base, "routes.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    out = routed_search(spark, base, Term("spark"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score", "route"]
+    # global-stats path must not try to read zero parquet dirs either
+    assert routed_search(spark, base, Term("spark"),
+                         stats="global").count() == 0
+
+
+def test_percentile_sketch_label_rounding(spark):
+    """q<p> labels round instead of float-truncating (0.29*100 ==
+    28.999... must label q29, not q28), and whole-percent collisions
+    raise instead of emitting duplicate column names."""
+    from sparklucene.facets import percentile_sketch
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(100)],
+        "doc_id long, lang string, n_chars double")
+    out = percentile_sketch(df, "n_chars", by="lang", probs=(0.29, 0.58),
+                            method="native")
+    assert [c for c in out.columns if c.startswith("q")] == \
+        ["q29_est", "q58_est"]
+    out2 = percentile_sketch(df, "n_chars", by="lang", probs=(0.29,),
+                             method="sampled", fraction=1.0)
+    assert "q29_est" in out2.columns
+    with pytest.raises(ValueError, match="collide"):
+        percentile_sketch(df, "n_chars", by="lang", probs=(0.99, 0.994))
+
+
+def test_shared_handle_generation_key_uses_ns_and_size(spark, tmp_path):
+    """A rebuild that lands inside one coarse-mtime tick still flips
+    Index.shared's generation key (mtime_ns + stats.json size)."""
+    from sparklucene.build import build_index
+    from sparklucene.search import Index
+
+    d = str(tmp_path / "genkey-idx")
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, content string")
+    build_index(spark, corpus, d, drange_size=8)
+    h1 = Index.shared(spark, d)
+    # rebuild with one more doc; force the stats.json mtime back to the
+    # FIRST build's second-resolution timestamp to simulate a
+    # same-tick rebuild on a coarse-mtime filesystem
+    corpus2 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma"), (2, "gamma delta")],
+        "doc_id long, content string")
+    build_index(spark, corpus2, d, drange_size=8, resume=False)
+    h2 = Index.shared(spark, d)
+    assert h2 is not h1  # generation changed -> fresh handle
+    assert h2.stats["n_docs"] == 3
