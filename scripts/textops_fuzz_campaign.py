@@ -151,11 +151,11 @@ def run_seed(spark, seed: int) -> list[str]:
     got = T.quality_score(docs).toPandas().set_index("doc_id").sort_index()
     for did, text in by_id.items():
         tk = toks_of(text)
-        n_stop = len(set(tk) & ENGLISH_STOP_WORDS)
+        n_stop = sum(1 for t in tk if t in ENGLISH_STOP_WORDS)
         n_tok_chars = sum(len(t) for t in tk)
         n_alpha = len(re.sub(r"[^A-Za-z]", "", text))
         g = got.loc[did]
-        ok = (g.n_tokens == len(tk) and g.n_stop_terms == n_stop
+        ok = (g.n_tokens == len(tk) and g.n_stop_tokens == n_stop
               and g.n_token_chars == n_tok_chars
               and g.n_alpha_chars == n_alpha and g.n_chars_text == len(text))
         if tk:
@@ -172,9 +172,11 @@ def run_seed(spark, seed: int) -> list[str]:
         scores = {lg: len(tk & set(ws))
                   for lg, ws in T.LANG_MARKERS.items()}
         best = max(scores.values())
-        pred = min(lg for lg, s in scores.items() if s == best)
+        pred = (None if best == 0
+                else min(lg for lg, s in scores.items() if s == best))
         g = got.loc[did]
-        ok = g.pred_lang == pred and all(
+        gp = None if pd.isna(g.pred_lang) else g.pred_lang
+        ok = gp == pred and all(
             g[f"score_{lg}"] == scores[lg] for lg in LANGS)
         check("language_id", ok, f"doc {did}: {g.pred_lang} != {pred}", fails)
 
@@ -243,7 +245,7 @@ def run_seed(spark, seed: int) -> list[str]:
             tk = toks_of(text)
             if not tk or did not in mirror_lp:
                 continue
-            sr = len(set(tk) & ENGLISH_STOP_WORDS) / len(tk)
+            sr = sum(1 for t in tk if t in ENGLISH_STOP_WORDS) / len(tk)
             s = hashlib.sha256(text.encode()).hexdigest()
             if (sha_keeper[s] == did and len(tk) >= min_dl
                     and lo <= mirror_lp[did] <= hi and sr >= min_sr):
@@ -418,10 +420,10 @@ def run_seed(spark, seed: int) -> list[str]:
         ph = re.findall(T.PII_PHONE_RE, red)
         red = re.sub(T.PII_PHONE_RE, "<PHONE>", red)
         g = got.loc[did]
-        ok = (g.n_emails == len(re.findall(T.PII_EMAIL_RE, text))
-              and g.n_ipv4 == len(re.findall(T.PII_IPV4_RE, text))
-              and g.n_phones == len(re.findall(T.PII_PHONE_RE, text))
-              and g.redacted == red)
+        # counts are taken on the progressively-redacted text, so
+        # they reconcile with the emitted redaction tokens
+        ok = (g.n_emails == len(em) and g.n_ipv4 == len(ip)
+              and g.n_phones == len(ph) and g.redacted == red)
         check("pii_scan", bool(ok), f"doc {did}", fails)
 
     # ---- url_blocklist_filter ----

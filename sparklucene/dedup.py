@@ -81,7 +81,16 @@ def _band_rows(docs: DataFrame, shingle: int,
     """(doc_id, band_id, band_key) rows: signatures split into bands of
     ``rows_per_band`` rows, keys concatenated for the LSH equi-join."""
     sigs = minhash_signatures(docs, shingle)
-    n_bands = len(MINHASH_COEFFS) // rows_per_band
+    n_sigs = len(MINHASH_COEFFS)
+    if not 1 <= rows_per_band <= n_sigs or n_sigs % rows_per_band:
+        # silent truncation would quietly lower recall below the
+        # (bands, rows) S-curve the caller dialed in — and
+        # rows_per_band > n_sigs would band NOTHING and report
+        # "no near-duplicates" for a misconfiguration
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide the signature "
+            f"count ({n_sigs}) so every signature lands in a band")
+    n_bands = n_sigs // rows_per_band
     bands = [
         F.struct(F.lit(b).alias("band_id"),
                  F.concat_ws("_", *[F.col(f"sig{b * rows_per_band + r}")
@@ -127,6 +136,10 @@ def lsh_candidates_incremental(new_docs: DataFrame, corpus_docs: DataFrame,
     nb = _band_rows(new_docs, shingle, rows_per_band).alias("n")
     cb = _band_rows(corpus_docs, shingle, rows_per_band).alias("c")
     return (nb.join(cb, ["band_id", "band_key"])
+            # a doc present in BOTH batches (replayed / overlapping
+            # snapshot) must not pair with itself — downstream dedup
+            # would read the self-pair as "near-duplicate, delete"
+            .filter(F.col("n.doc_id") != F.col("c.doc_id"))
             .select(F.col("n.doc_id").alias("new_doc"),
                     F.col("c.doc_id").alias("corpus_doc"))
             .distinct())

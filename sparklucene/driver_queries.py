@@ -2881,8 +2881,14 @@ WITH aug AS (
   FROM documents)
 SELECT doc_id,
        len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
-       len(regexp_extract_all(t, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
-       len(regexp_extract_all(t, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(
+           regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(
+           regexp_replace(regexp_replace(
+               t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}'))::BIGINT AS n_phones,
        regexp_replace(regexp_replace(regexp_replace(
            t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
            '{PII_IPV4_RE}', '<IP>', 'g'),
@@ -3020,12 +3026,13 @@ WITH base AS (
   SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
-       len(list_intersect(toks, {stop_list}))::BIGINT AS n_stop_terms,
+       len(list_filter(toks, t -> list_contains({stop_list}, t)))::BIGINT
+           AS n_stop_tokens,
        coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0)::BIGINT
            AS n_token_chars,
        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha_chars,
        length(text)::BIGINT AS n_chars_text,
-       len(list_intersect(toks, {stop_list}))
+       len(list_filter(toks, t -> list_contains({stop_list}, t)))
            / CAST(len(toks) AS DOUBLE) AS stop_ratio,
        coalesce(list_sum(list_transform(toks, t -> length(t)::BIGINT)), 0)
            / CAST(len(toks) AS DOUBLE) AS mean_token_len,
@@ -3039,8 +3046,9 @@ FROM base""")
         for lg, ws in sorted(textops.LANG_MARKERS.items()))
     langs = sorted(textops.LANG_MARKERS)
     best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    case = (f"CASE WHEN {best} = 0 THEN CAST(NULL AS VARCHAR) "
+            + " ".join(f"WHEN score_{lg} = {best} THEN '{lg}'"
+                       for lg in langs) + " END")
     e["text_language_id"] = (
         lambda spark, sf: textops.language_id(_t(spark, sf, "documents")),
         f"""
@@ -3111,7 +3119,7 @@ lp AS (
   FROM h JOIN dla USING (doc_id)),
 sr AS (
   SELECT doc_id,
-         len(list_intersect(toks, {_qf_stop}))
+         len(list_filter(toks, t -> list_contains({_qf_stop}, t)))
            / CAST(len(toks) AS DOUBLE) AS stop_ratio
   FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)),
 canon AS (

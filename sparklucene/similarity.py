@@ -167,8 +167,10 @@ def mmr_rerank(index, query, embeddings: DataFrame, k: int = 3,
         for d in cands:
             ms = max((cos(d, s) for s, _ in selected), default=0.0)
             mmr = lam * rel[d] - (1.0 - lam) * ms
-            if best is None or mmr > best[1] or (mmr == best[1]
-                                                 and d < best[0]):
+            # cands is iterated in ascending doc_id order, so the
+            # strict > keeps the EARLIER candidate on ties — the
+            # doc_id-asc tie-break, enforced by iteration order
+            if best is None or mmr > best[1]:
                 best = (d, mmr)
         selected.append(best)
         cands.remove(best[0])
@@ -181,6 +183,15 @@ def mmr_rerank(index, query, embeddings: DataFrame, k: int = 3,
 
 def _plane_coeff(i: int, j: int) -> int:
     return (i * 31 + j * 17) % 13 - 6
+
+
+def _md5_hash60(col) -> "F.Column":
+    """60-bit integer from the md5 of a value — the engine's ONE pinned
+    deterministic pseudo-random spread (used by ivf_index seeding and
+    the PQ codebooks; DuckDB mirror:
+    ('0x'||substring(md5(x::VARCHAR),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
 
 
 def _infer_dim(embeddings: DataFrame, col: str = "embedding") -> int:
@@ -331,8 +342,7 @@ def ivf_index(embeddings: DataFrame, n_centroids: int = 8,
     n_centroids × dim integers.
     """
     base = quantize(embeddings).select("vec_id", "q", "norm2")
-    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _md5_hash60(F.col("vec_id"))
     seeds = (base.filter(F.col("norm2") > 0)
              .select("vec_id", "q").withColumn("h", h)
              .orderBy("h", "vec_id").limit(n_centroids).collect())
@@ -416,14 +426,6 @@ def ivf_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — per-subspace codebooks + ADC scoring
 # ---------------------------------------------------------------------------
-
-def _md5_hash60(col) -> "F.Column":
-    """60-bit integer from the md5 of a value — the engine's pinned
-    deterministic pseudo-random spread (same expression as ivf_index
-    seeding; DuckDB mirror: ('0x'||substring(md5(x::VARCHAR),1,15))::BIGINT)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
-                  16, 10).cast("long")
-
 
 def pq_index(embeddings: DataFrame, m: int = 4, ksub: int = 4,
              iters: int = 2) -> tuple[DataFrame, list[list[tuple[int, list[int], int, int]]]]:
@@ -561,8 +563,10 @@ def pq_adc_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     from operator import add as _add
 
     codes, states = pq_index(embeddings, m=m, ksub=ksub, iters=iters)
-    dim = _infer_dim(embeddings)
-    d = dim // m
+    # subspace width straight from the codebook (every S_j vector has
+    # it) — pq_index already paid the dim-inference job; re-running
+    # _infer_dim here would be a second driver round-trip
+    d = len(states[0][0][1])
     base = quantize(embeddings).select("vec_id", "q", "norm2")
     queries = (base.filter(F.col("vec_id").isin([int(x) for x in query_ids]))
                .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"),

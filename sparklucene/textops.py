@@ -72,16 +72,22 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic doc-quality components + a single combined score:
     stopword ratio (too low = non-language, too high = boilerplate),
     mean token length, alpha ratio. Mirrors common pretraining-data
-    quality filters (length/punct/stopword heuristics)."""
+    quality filters (length/punct/stopword heuristics).
+
+    ``stop_ratio`` is the OCCURRENCE fraction (stopword tokens /
+    tokens), the CCNet/Gopher semantics — not the distinct-stopword
+    count, which is bounded by the stop-list size and would make any
+    fixed ratio floor unsatisfiable for long documents."""
     toks = F.expr(TOKEN_EXPR)
     stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
     n_tokens = F.size(toks).cast("long")
-    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("long")  # distinct-stop
+    n_stop = F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
     n_chars_tok = F.aggregate(toks, F.lit(0).cast("long"),
                               lambda a, t: a + F.length(t).cast("long"))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long")
     out = docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop_terms"),
+        "doc_id", n_tokens.alias("n_tokens"), n_stop.alias("n_stop_tokens"),
         n_chars_tok.alias("n_token_chars"), alpha_chars.alias("n_alpha_chars"),
         F.length("text").cast("long").alias("n_chars_text"),
     )
@@ -89,7 +95,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     # of aborting the whole job under Spark 4 ANSI (DIVIDE_BY_ZERO).
     return out.select(
         "*",
-        F.try_divide(F.col("n_stop_terms"),
+        F.try_divide(F.col("n_stop_tokens"),
                      F.col("n_tokens").cast("double")).alias("stop_ratio"),
         F.try_divide(F.col("n_token_chars"),
                      F.col("n_tokens").cast("double")).alias("mean_token_len"),
@@ -117,6 +123,9 @@ def language_id(docs: DataFrame) -> DataFrame:
     pred = F.lit(None).cast("string")
     for lg in reversed(langs):  # earlier langs win ties -> build backwards
         pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    # zero marker hits in EVERY profile = zero evidence: predict NULL,
+    # not the alphabetically-first language
+    pred = F.when(best > 0, pred)
     return scored.select("doc_id", "labeled_lang", *[f"score_{lg}" for lg in langs],
                          pred.alias("pred_lang"))
 
@@ -156,6 +165,14 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     stream; cf and dl reduce FROM tf (vocab-/corpus-sized, never a
     second token-stream shuffle); the total is a one-row broadcast. The
     per-doc sum is f32-rounded so the oracle's sum order cannot diverge.
+
+    Precision note: the f32 round absorbs f64 partial-aggregate
+    accumulation-order jitter EXCEPT for docs whose true sum sits
+    within one f64-accumulation-epsilon of an f32 rounding boundary —
+    a measure-zero set that no fixture has hit across the fuzz
+    campaigns, but at 10^12 docs a caller comparing logppl across
+    engines should treat the last f32 ulp as noise rather than a
+    contract.
     """
     tok = docs.select("doc_id", F.explode(F.expr(TOKEN_EXPR)).alias("term"))
     tf = (tok.groupBy("doc_id", "term")
@@ -582,23 +599,27 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     that fixed order (email first so an address is never half-eaten by
     the phone pattern).
 
+    Each count is taken on the text as it stands WHEN that category is
+    redacted (emails on raw text, IPv4 after email redaction, phones
+    after both), so counts always reconcile with the redaction tokens
+    actually emitted — 'a@1.2.3.4.net' is one email and zero IPs, not
+    one of each.
+
     Scale shape: pure narrow Catalyst expressions (regexp_extract_all /
     regexp_replace run JVM-side) — no shuffle, no UDF, no driver data;
     linear scan bandwidth at any corpus size.
     """
     t = F.col(text_col)
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IPV4_RE, "<IP>"),
-        PII_PHONE_RE, "<PHONE>")
+    t_no_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t_no_ip = F.regexp_replace(t_no_email, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(t_no_ip, PII_PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+        F.size(F.regexp_extract_all(t_no_email, F.lit(PII_IPV4_RE), 0))
         .cast("long").alias("n_ipv4"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+        F.size(F.regexp_extract_all(t_no_ip, F.lit(PII_PHONE_RE), 0))
         .cast("long").alias("n_phones"),
         red.alias("redacted"))
 

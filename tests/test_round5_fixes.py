@@ -301,3 +301,70 @@ def test_shared_handle_generation_key_uses_ns_and_size(spark, tmp_path):
     h2 = Index.shared(spark, d)
     assert h2 is not h1  # generation changed -> fresh handle
     assert h2.stats["n_docs"] == 3
+
+
+# -- 11. pipeline-stack review fixes ------------------------------------
+
+def test_stop_ratio_counts_occurrences(spark):
+    """stop_ratio is the stopword-OCCURRENCE fraction (CCNet/Gopher
+    semantics); the old distinct-count made any fixed ratio floor
+    unsatisfiable for long docs (bounded by the stop-list size)."""
+    from sparklucene.textops import quality_score
+
+    long_text = " ".join(["the cat sat on the mat and the dog ran"] * 500)
+    out = quality_score(spark.createDataFrame(
+        [(1, long_text)], "doc_id long, text string")).collect()[0]
+    # 'the'x3 + 'on' + 'and' = 5 stop occurrences per 10-token repeat
+    assert out["n_stop_tokens"] == 5 * 500
+    assert abs(out["stop_ratio"] - 0.5) < 1e-9  # NOT <= 33/5000
+
+
+def test_language_id_zero_evidence_is_null(spark):
+    from sparklucene.textops import language_id
+
+    df = spark.createDataFrame(
+        [(0, "zzz 12345 qqq", "en"), (1, "the cat and the dog", "en")],
+        "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert rows[0] is None  # no marker hits anywhere -> no prediction
+    assert rows[1] == "en"
+
+
+def test_lsh_incremental_no_self_pairs(spark):
+    """A doc present in both the new batch and the corpus (replayed
+    snapshot) must not pair with itself."""
+    from sparklucene.dedup import lsh_candidates_incremental
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    pairs = {(r["new_doc"], r["corpus_doc"]) for r in
+             lsh_candidates_incremental(docs, docs).collect()}
+    assert (1, 1) not in pairs and (2, 2) not in pairs
+    assert (1, 2) in pairs and (2, 1) in pairs  # true cross dups remain
+
+
+def test_lsh_rows_per_band_must_divide(spark):
+    from sparklucene.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    for bad in (3, 9, 0):
+        with pytest.raises(ValueError, match="rows_per_band"):
+            lsh_candidate_pairs(docs, rows_per_band=bad).collect()
+
+
+def test_pii_counts_reconcile_with_redaction(spark):
+    """'a@1.2.3.4.net' is ONE email and ZERO IPs: counts are taken on
+    the progressively-redacted text, so they always reconcile with the
+    emitted redaction tokens."""
+    from sparklucene.textops import pii_scan
+
+    out = pii_scan(spark.createDataFrame(
+        [(1, "contact a@1.2.3.4.net now")],
+        "doc_id long, text string")).collect()[0]
+    assert out["n_emails"] == 1
+    assert out["n_ipv4"] == 0
+    assert "<EMAIL>" in out["redacted"] and "<IP>" not in out["redacted"]
+    assert out["redacted"].count("<EMAIL>") == out["n_emails"]
