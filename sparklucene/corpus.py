@@ -37,6 +37,33 @@ def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
+    """Load the corpus from a CATALOG TABLE (the Iceberg input shape).
+
+    BASELINE.json's input_hint pins the production source as an Iceberg
+    table ``(repo, path, commit, lang, content)``; with an Iceberg
+    catalog configured on the session (``spark.sql.catalog.*`` — jars
+    not present in this sandbox, so tests exercise the identical
+    ``spark.read.table`` code path against the built-in catalog / temp
+    views), this reads that table directly. Columns beyond the corpus
+    shape are pruned (column pruning + partition pruning push into the
+    Iceberg scan exactly as for parquet); a missing ``doc_id`` is
+    assigned densely + deterministically via :func:`assign_doc_ids`.
+    """
+    df = spark.read.table(table)
+    missing = [c for c in CORPUS_COLS if c != "doc_id"
+               and c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"table {table!r} lacks corpus columns {missing}; expected "
+            f"{CORPUS_COLS[:-1]} (+ optional doc_id)")
+    if "doc_id" not in df.columns:
+        df = assign_doc_ids(df.select(*[c for c in CORPUS_COLS
+                                        if c != "doc_id"]))
+    return df.select(
+        *CORPUS_COLS[:-1], F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def assign_doc_ids(df: DataFrame) -> DataFrame:
     """Dense deterministic doc_id for a raw (repo,path,commit,...) corpus.
 
