@@ -9,9 +9,10 @@ Two loaders:
     (doc_id, text, lang, source, n_chars) onto the corpus shape per
     FIXTURES.md §1 (content <- text, repo <- source, ...). The driver
     doc_id is already dense + deterministic, so it is kept.
-  - ``assign_doc_ids``: for arbitrary corpora without ids — dense
-    row_number over (repo, path, commit); deterministic and stable across
-    retries (never monotonically_increasing_id, SURVEY.md §1.2).
+  - ``assign_doc_ids``: for arbitrary corpora without ids — dense,
+    deterministic ids from a distributed two-phase hash-bucketed rank
+    over (repo, path, commit); stable across retries (never
+    monotonically_increasing_id, SURVEY.md §1.2).
 
 ``expand_corpus`` deterministically replicates the corpus K-fold for
 throughput/scaling benchmarks (seeded, derived purely from driver data).
@@ -67,11 +68,40 @@ def load_corpus_table(spark: SparkSession, table: str) -> DataFrame:
 def assign_doc_ids(df: DataFrame) -> DataFrame:
     """Dense deterministic doc_id for a raw (repo,path,commit,...) corpus.
 
-    A global sort — done exactly once per corpus build (SURVEY.md §7.4.2);
-    at cluster scale this is a range-partitioned sort Spark handles natively.
+    Two-phase hash-bucketed rank, done exactly once per corpus build
+    (SURVEY.md §7.4.2), fully distributed: bucket = murmur3(key) mod B
+    (B ≈ 4× parallelism), per-bucket row counts (one tiny collect,
+    B rows), then per-bucket row_number + the bucket's cumulative
+    offset. An unpartitioned ``Window.orderBy`` would coalesce the
+    whole corpus into ONE task — a non-starter at 10^12 files — and a
+    range-partitioned sort would make ids depend on sampled partition
+    boundaries computed independently by the count and rank jobs; the
+    hash bucket is a pure row function, so both phases agree by
+    construction and ids are deterministic and stable across retries
+    for unique keys. Ids are dense and key-sorted WITHIN each bucket
+    (not globally key-ordered — the contract is density + determinism,
+    not global order).
     """
-    w = Window.orderBy("repo", "path", "commit")
-    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    keys = ["repo", "path", "commit"]
+    n_b = max(df.sparkSession.sparkContext.defaultParallelism, 8) * 4
+    bucketed = df.withColumn("_b", F.pmod(F.hash(*keys), F.lit(n_b)))
+    counts = {r["_b"]: r["c"] for r in
+              bucketed.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if not offsets:
+        return df.withColumn("doc_id", F.lit(0).cast("long")).limit(0)
+    off_col = F.element_at(
+        F.create_map(*[F.lit(x) for b in sorted(offsets)
+                       for x in (b, offsets[b])]), F.col("_b"))
+    w = Window.partitionBy("_b").orderBy(*keys)
+    return (bucketed
+            .withColumn("doc_id",
+                        (F.row_number().over(w).cast("long") - 1
+                         + off_col.cast("long")))
+            .drop("_b"))
 
 
 def expand_corpus(df: DataFrame, factor: int, n_base: int) -> DataFrame:

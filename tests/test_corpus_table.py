@@ -38,12 +38,35 @@ def test_table_load_assigns_dense_ids(spark, corpus_view):
         n = df.count()
         ids = [r.doc_id for r in df.select("doc_id").collect()]
         assert sorted(ids) == list(range(n))
-        again = [r.doc_id for r in
-                 load_corpus_table(spark, "corpus_tbl_noid")
-                 .select("doc_id").collect()]
-        assert sorted(again) == sorted(ids)
+        # deterministic across independent invocations: every key maps
+        # to the same id both times (retry-stability contract)
+        m1 = {(r.repo, r.path, r.commit): r.doc_id for r in
+              df.select("repo", "path", "commit", "doc_id").collect()}
+        m2 = {(r.repo, r.path, r.commit): r.doc_id for r in
+              load_corpus_table(spark, "corpus_tbl_noid")
+              .select("repo", "path", "commit", "doc_id").collect()}
+        assert m1 == m2
     finally:
         spark.catalog.dropTempView("corpus_tbl_noid")
+
+
+def test_assign_doc_ids_plan_has_no_global_window(spark, corpus_view):
+    """The id-assign rank must never be a single-partition global window
+    (the 10^12-file hazard): the physical plan's Window sort must carry a
+    partitioning key, and an empty input must yield an empty frame."""
+    from sparklucene.corpus import assign_doc_ids
+
+    base = spark.sql(
+        "SELECT repo, path, commit, lang, content FROM corpus_tbl")
+    plan = assign_doc_ids(base)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "partitionBy" not in line or "_b" in line
+    # an unpartitioned window plan would show 'SinglePartition' exchange
+    assert "SinglePartition" not in plan
+    empty = assign_doc_ids(base.limit(0))
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns
 
 
 def test_table_load_prunes_extra_columns(spark, corpus_view):
