@@ -93,15 +93,18 @@ def assign_doc_ids(df: DataFrame) -> DataFrame:
         acc += counts[b]
     if not offsets:
         return df.withColumn("doc_id", F.lit(0).cast("long")).limit(0)
-    off_col = F.element_at(
-        F.create_map(*[F.lit(x) for b in sorted(offsets)
-                       for x in (b, offsets[b])]), F.col("_b"))
+    # broadcast-join the B-row offset table (a literal map would bloat
+    # the expression tree once B tracks cluster parallelism)
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        [(b, offsets[b]) for b in sorted(offsets)], "_b int, _off long")
     w = Window.partitionBy("_b").orderBy(*keys)
     return (bucketed
+            .join(F.broadcast(offs), "_b")
             .withColumn("doc_id",
                         (F.row_number().over(w).cast("long") - 1
-                         + off_col.cast("long")))
-            .drop("_b"))
+                         + F.col("_off")))
+            .drop("_b", "_off"))
 
 
 def expand_corpus(df: DataFrame, factor: int, n_base: int) -> DataFrame:
