@@ -284,6 +284,100 @@ def contamination_scores(docs: DataFrame, bench: DataFrame,
                     .alias("contamination")))
 
 
+def _bloom_pos_sql(hcol: str, m: int, k: int) -> "list[str]":
+    """SQL expressions for the ``k`` double-hashed Bloom probe positions
+    of 60-bit hash column ``hcol`` in an ``m``-bit filter. Both the
+    build side and the probe side derive positions from the same pinned
+    formula, so membership is symmetric by construction."""
+    h1 = f"pmod({hcol}, {m}L)"
+    h2 = f"(pmod(xxhash64({hcol}), {m - 1}L) + 1L)"
+    return [f"pmod({h1} + {i}L * {h2}, {m}L)" for i in range(k)]
+
+
+def bloom_bitset(hashes: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """Build an ``m_bits``-bit Bloom filter over hash column ``h`` as a
+    ONE-row DataFrame ``(bits array<bigint>)`` (64-bit words, dense).
+
+    Scale shape: probe positions explode k-fold on the build side only,
+    word partials combine via ``bit_or`` partial aggregation, and the
+    driver materializes exactly ``m_bits/64`` longs — bounded by the
+    FILTER size, never by the input row count. Pure codegen'd
+    expressions throughout (no UDFs)."""
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    pos = ", ".join(_bloom_pos_sql("h", m_bits, k))
+    words = (hashes
+             .select(F.explode(F.expr(f"array({pos})")).alias("pos"))
+             .select(F.expr("cast(pos div 64 as int)").alias("w"),
+                     F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))")
+                     .alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("bw")))
+    return (words
+            .agg(F.map_from_arrays(F.collect_list("w"),
+                                   F.collect_list("bw")).alias("wm"))
+            .select(F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " w -> coalesce(wm[w], 0L))").alias("bits")))
+
+
+def bloom_might_contain_sql(hcol: str, bitscol: str, m_bits: int,
+                            k: int) -> str:
+    """Boolean SQL predicate: all ``k`` probe bits of ``hcol`` are set in
+    the packed bitset column ``bitscol``. No false negatives; false
+    positives at the filter's design rate (callers exact-verify)."""
+    tests = []
+    for p in _bloom_pos_sql(hcol, m_bits, k):
+        tests.append(
+            f"((shiftright({bitscol}[cast(({p}) div 64 as int)],"
+            f" cast(pmod({p}, 64) as int)) & 1L) = 1L)")
+    return "(" + " AND ".join(tests) + ")"
+
+
+def contamination_scores_bloom(docs: DataFrame, bench: DataFrame,
+                               n: int = 8,
+                               fp_rate: float = 0.01) -> DataFrame:
+    """``contamination_scores`` with a Bloom prefilter — IDENTICAL
+    results (the Bloom's false positives are removed by the exact
+    semi-join on survivors), different scale shape.
+
+    At 100 TB the plain equi-join shuffles every distinct corpus gram
+    hash. Here a Bloom bitset over the benchmark grams (sized for
+    ``fp_rate``; ~9.6 bits/gram at 1 %) broadcasts to every task as one
+    array<bigint> row, the corpus gram stream is filtered by the pure
+    codegen'd probe predicate BEFORE any shuffle, and the exact
+    semi-join then carries only true hits + the fp_rate sliver of
+    misses — for a typically-uncontaminated corpus that cuts the
+    shuffled volume by ~1/fp_rate. The broadcast is bounded by the
+    BENCHMARK size (e.g. 1M grams ≈ 1.2 MB); for very large benchmark
+    sets raise fp_rate or fall back to ``contamination_scores``."""
+    import math
+
+    cg = _distinct_gram_hashes(docs, n)
+    totals = cg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    bg = _distinct_gram_hashes(bench, n).select("h").distinct()
+    n_items = bg.count()
+    if n_items == 0:
+        return totals.select(
+            "doc_id", "n_grams", F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0.0).alias("contamination"))
+    m_bits = int(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    m_bits = max(64, ((m_bits + 63) // 64) * 64)
+    k = max(1, min(16, round(m_bits / n_items * math.log(2))))
+    bits = bloom_bitset(bg, m_bits, k)
+    cand = (cg.crossJoin(F.broadcast(bits))
+            .where(F.expr(bloom_might_contain_sql("h", "bits", m_bits, k)))
+            .select("doc_id", "h"))
+    hits = (cand.join(bg, "h", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .select("*", (F.col("n_hits") / F.col("n_grams").cast("double"))
+                    .alias("contamination")))
+
+
 def chunk_overlap(docs: DataFrame, size: int = 64,
                   stride: int = 48) -> DataFrame:
     """Sliding-window chunking — the RAG / long-context prep op: each
