@@ -744,6 +744,45 @@ def url_blocklist_filter(docs: DataFrame, blocklist: "tuple[str, ...]",
     return docs.withColumn("domain", host).withColumn("blocked", blocked)
 
 
+def url_blocklist_filter_table(docs: DataFrame, blocklist: DataFrame,
+                               url_col: str = "url",
+                               key_col: str = "doc_id") -> DataFrame:
+    """:func:`url_blocklist_filter` for TABLE-SIZED blocklists (UT1 is
+    ~4M domains — far past expression form): same semantics (a host is
+    blocked iff it IS a listed domain or is a subdomain of one), same
+    output columns (``domain``, ``blocked``), proven equal to the
+    expression form on shared inputs (`tests/test_blocklist_table.py`).
+
+    ``blocklist`` is a one-column (``domain``) DataFrame. Scale shape:
+    each host explodes into its label-boundary suffix chain (bounded by
+    label count, ~5/host — never a prefix-wildcard scan), hits resolve
+    via an equi-join against the distinct blocklist (Spark broadcasts
+    it when it fits, shuffle-joins otherwise), and one key-wise
+    aggregate marks the row. The wide doc columns never ride through
+    the explode — only (key, suffix) does."""
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)",
+                                    1))
+    with_host = docs.withColumn("domain", host)
+    labels = F.split(F.col("domain"), r"\.")
+    sfx = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1,
+                                       F.size(labels) - i), "."))
+    narrow = (with_host
+              .select(F.col(key_col).alias("_k"), F.explode(sfx).alias("_sfx"))
+              .filter(F.col("_sfx") != ""))
+    bl = blocklist.select(F.lower(F.col("domain")).alias("_sfx")).distinct()
+    hits = (narrow.join(bl, "_sfx", "left_semi")
+            .select(F.col("_k")).distinct()
+            .withColumn("_blk", F.lit(True)))
+    return (with_host
+            .join(hits, with_host[key_col] == hits["_k"], "left")
+            .drop("_k")
+            .withColumn("blocked", F.coalesce(F.col("_blk"), F.lit(False)))
+            .drop("_blk"))
+
+
 def domain_cap_sample(docs: DataFrame, cap: int,
                       group_col: str = "source",
                       key_col: str = "doc_id",
