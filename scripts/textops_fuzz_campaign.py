@@ -454,6 +454,57 @@ def run_seed(spark, seed: int) -> list[str]:
     check("domain_cap", set(got.doc_id) == exp_keep,
           f"{sorted(set(got.doc_id) ^ exp_keep)}", fails)
 
+    # ---- url_blocklist_filter_table (round-5 table form: per-row equal
+    # to the same independent mirror as the expression form) ----
+    hosts = []
+    for did in by_id:
+        url = pdf.loc[pdf.doc_id == did, "url"].iloc[0]
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", url)
+        if m:
+            hosts.append(m.group(1).lower())
+    tbl_bl = ["bad0.com", "absent.example"]
+    if hosts:  # draw a real suffix so the table path actually bites
+        h = rng.choice(hosts)
+        parts = h.split(".")
+        tbl_bl.append(".".join(parts[rng.randrange(len(parts)):]))
+    bl_df = spark.createDataFrame(pd.DataFrame({"domain": tbl_bl}))
+    got = T.url_blocklist_filter_table(docs, bl_df).toPandas() \
+        .set_index("doc_id").sort_index()
+    for did in by_id:
+        url = pdf.loc[pdf.doc_id == did, "url"].iloc[0]
+        m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", url)
+        host = m.group(1).lower() if m else ""
+        exp = any(host == d or host.endswith("." + d) for d in tbl_bl)
+        g = got.loc[did]
+        check("url_blocklist_table",
+              g.domain == host and bool(g.blocked) == exp,
+              f"doc {did}: {g.domain}/{g.blocked} != {host}/{exp}", fails)
+
+    # ---- contamination_scores_bloom (round-5: Bloom prefilter must be
+    # invisible in the result at ANY fp_rate — exact verify) ----
+    cn = rng.randint(2, 4)
+    bench_ids = {d for d in by_id if rng.random() < 0.3}
+    bench = docs.filter(docs.doc_id.isin(list(bench_ids))) if bench_ids \
+        else docs.limit(0)
+    fp = rng.choice([0.005, 0.05, 0.5])
+    got = T.contamination_scores_bloom(docs, bench, n=cn, fp_rate=fp) \
+        .toPandas().set_index("doc_id").sort_index()
+    bench_grams = set()
+    for did in bench_ids:
+        bench_grams.update(grams_of(toks_of(by_id[did]), cn))
+    for did, text in by_id.items():
+        gset = set(grams_of(toks_of(text), cn))
+        if not gset:
+            check("bloom_contam", did not in got.index,
+                  f"doc {did} gramless but present", fails)
+            continue
+        nh = len(gset & bench_grams)
+        g = got.loc[did]
+        check("bloom_contam",
+              g.n_grams == len(gset) and g.n_hits == nh
+              and g.contamination == nh / len(gset),
+              f"doc {did} fp={fp} n={cn}", fails)
+
     return fails
 
 
