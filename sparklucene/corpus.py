@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 CORPUS_COLS = ["repo", "path", "commit", "lang", "content", "doc_id"]
 
+#: bucket count for assign_doc_ids' two-phase rank — a pinned constant
+#: (NOT cluster parallelism) so ids are identical on any cluster size;
+#: 1024 spreads the rank shuffle across ≥1024 tasks at any scale while
+#: the offset table stays a ≤1024-row broadcast.
+N_ID_BUCKETS = 1024
+
 
 def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -69,22 +75,29 @@ def assign_doc_ids(df: DataFrame) -> DataFrame:
     """Dense deterministic doc_id for a raw (repo,path,commit,...) corpus.
 
     Two-phase hash-bucketed rank, done exactly once per corpus build
-    (SURVEY.md §7.4.2), fully distributed: bucket = murmur3(key) mod B
-    (B ≈ 4× parallelism), per-bucket row counts (one tiny collect,
-    B rows), then per-bucket row_number + the bucket's cumulative
-    offset. An unpartitioned ``Window.orderBy`` would coalesce the
-    whole corpus into ONE task — a non-starter at 10^12 files — and a
-    range-partitioned sort would make ids depend on sampled partition
-    boundaries computed independently by the count and rank jobs; the
-    hash bucket is a pure row function, so both phases agree by
-    construction and ids are deterministic and stable across retries
-    for unique keys. Ids are dense and key-sorted WITHIN each bucket
-    (not globally key-ordered — the contract is density + determinism,
-    not global order).
+    (SURVEY.md §7.4.2), fully distributed: bucket = murmur3(key) mod
+    ``N_ID_BUCKETS`` (a PINNED constant — never cluster parallelism, so
+    the same corpus yields the same ids on any cluster size), per-bucket
+    row counts (one tiny collect, ≤N_ID_BUCKETS rows), then per-bucket
+    row_number + the bucket's cumulative offset. An unpartitioned
+    ``Window.orderBy`` would coalesce the whole corpus into ONE task — a
+    non-starter at 10^12 files — and a range-partitioned sort would make
+    ids depend on sampled partition boundaries computed independently by
+    the count and rank jobs; the hash bucket is a pure row function, so
+    both phases agree by construction and ids are deterministic and
+    stable across retries for unique keys. Ids are dense and key-sorted
+    WITHIN each bucket (not globally key-ordered — the contract is
+    density + determinism, not global order).
+
+    Snapshot requirement (inherent to ANY multi-pass job over a mutable
+    source, including the index build itself): the two passes must see
+    the same rows. Read an immutable source — an Iceberg snapshot
+    (time-travel/pinned snapshot-id) or a staged parquet dir; if the
+    source offers no snapshot isolation, ``df.localCheckpoint()`` first.
     """
     keys = ["repo", "path", "commit"]
-    n_b = max(df.sparkSession.sparkContext.defaultParallelism, 8) * 4
-    bucketed = df.withColumn("_b", F.pmod(F.hash(*keys), F.lit(n_b)))
+    bucketed = df.withColumn(
+        "_b", F.pmod(F.hash(*keys), F.lit(N_ID_BUCKETS)))
     counts = {r["_b"]: r["c"] for r in
               bucketed.groupBy("_b").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0

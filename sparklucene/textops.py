@@ -276,6 +276,12 @@ def contamination_scores(docs: DataFrame, bench: DataFrame,
     totals = cg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (cg.join(bg, "h", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return _contamination_tail(totals, hits)
+
+
+def _contamination_tail(totals: DataFrame, hits: DataFrame) -> DataFrame:
+    """Shared score assembly for both contamination forms — one place,
+    so the exact and Bloom-prefiltered paths cannot drift."""
     return (totals.join(hits, "doc_id", "left")
             .select("doc_id", "n_grams",
                     F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
@@ -353,11 +359,16 @@ def contamination_scores_bloom(docs: DataFrame, bench: DataFrame,
     sets raise fp_rate or fall back to ``contamination_scores``."""
     import math
 
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
     cg = _distinct_gram_hashes(docs, n)
     totals = cg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    bg = _distinct_gram_hashes(bench, n).select("h").distinct()
+    # the bench gram set feeds THREE jobs (count, bitset build, exact
+    # verify) — persist the small side once instead of re-deriving it
+    bg = _distinct_gram_hashes(bench, n).select("h").distinct().persist()
     n_items = bg.count()
     if n_items == 0:
+        bg.unpersist()
         return totals.select(
             "doc_id", "n_grams", F.lit(0).cast("long").alias("n_hits"),
             F.lit(0.0).alias("contamination"))
@@ -370,12 +381,7 @@ def contamination_scores_bloom(docs: DataFrame, bench: DataFrame,
             .select("doc_id", "h"))
     hits = (cand.join(bg, "h", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
-    return (totals.join(hits, "doc_id", "left")
-            .select("doc_id", "n_grams",
-                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-                    .alias("n_hits"))
-            .select("*", (F.col("n_hits") / F.col("n_grams").cast("double"))
-                    .alias("contamination")))
+    return _contamination_tail(totals, hits)
 
 
 def chunk_overlap(docs: DataFrame, size: int = 64,
@@ -718,6 +724,15 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
         red.alias("redacted"))
 
 
+#: scheme://host extraction — shared by BOTH blocklist forms, whose
+#: contract is exact per-row equality
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def _url_host(url_col: str) -> Column:
+    return F.lower(F.regexp_extract(F.col(url_col), _URL_HOST_RE, 1))
+
+
 def url_blocklist_filter(docs: DataFrame, blocklist: "tuple[str, ...]",
                          url_col: str = "url") -> DataFrame:
     """Domain blocklist filtering — the UT1/adult-list pass every web
@@ -733,14 +748,17 @@ def url_blocklist_filter(docs: DataFrame, blocklist: "tuple[str, ...]",
     beyond expression size (UT1 is ~4M domains) the same semantics
     become a broadcast left-semi join on the domain-suffix set; this
     function pins the expression form for operator-constant lists.
+    A NULL url has no host, so ``blocked`` is NULL (three-valued, like
+    the OR-chain itself) — pinned explicitly so the expression and
+    table forms agree even for an empty blocklist.
     """
-    host = F.lower(F.regexp_extract(F.col(url_col),
-                                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)",
-                                    1))
+    host = _url_host(url_col)
     blocked = F.lit(False)
     for b in sorted(set(blocklist)):
         d = b.lower()
         blocked = blocked | (host == d) | host.endswith("." + d)
+    blocked = F.when(host.isNull(),
+                     F.lit(None).cast("boolean")).otherwise(blocked)
     return docs.withColumn("domain", host).withColumn("blocked", blocked)
 
 
@@ -759,11 +777,10 @@ def url_blocklist_filter_table(docs: DataFrame, blocklist: DataFrame,
     via an equi-join against the distinct blocklist (Spark broadcasts
     it when it fits, shuffle-joins otherwise), and one key-wise
     aggregate marks the row. The wide doc columns never ride through
-    the explode — only (key, suffix) does."""
-    host = F.lower(F.regexp_extract(F.col(url_col),
-                                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)",
-                                    1))
-    with_host = docs.withColumn("domain", host)
+    the explode — only (key, suffix) does. NULL urls yield
+    ``blocked = NULL`` exactly like the expression form (whose OR-chain
+    propagates the NULL host)."""
+    with_host = docs.withColumn("domain", _url_host(url_col))
     labels = F.split(F.col("domain"), r"\.")
     sfx = F.transform(
         F.sequence(F.lit(0), F.size(labels) - 1),
@@ -779,7 +796,10 @@ def url_blocklist_filter_table(docs: DataFrame, blocklist: DataFrame,
     return (with_host
             .join(hits, with_host[key_col] == hits["_k"], "left")
             .drop("_k")
-            .withColumn("blocked", F.coalesce(F.col("_blk"), F.lit(False)))
+            .withColumn("blocked",
+                        F.when(F.col("domain").isNull(),
+                               F.lit(None).cast("boolean"))
+                        .otherwise(F.coalesce(F.col("_blk"), F.lit(False))))
             .drop("_blk"))
 
 

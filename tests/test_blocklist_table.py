@@ -53,6 +53,22 @@ def test_table_form_empty_blocklist(spark):
     assert out.count() == len(URLS)
 
 
+def test_both_forms_null_url_yields_null_blocked(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "url": [None, "https://ok.org/"]})
+    ).withColumn("url", F.col("url").cast("string"))
+    bl_df = spark.createDataFrame(pd.DataFrame({"domain": ["bad.com"]}))
+    for out in (url_blocklist_filter(docs, ("bad.com",)),
+                url_blocklist_filter_table(docs, bl_df)):
+        rows = {r["doc_id"]: r["blocked"] for r in out.collect()}
+        assert rows[0] is None and rows[1] is False
+    # empty-blocklist corner: still NULL for a NULL host, in BOTH forms
+    for out in (url_blocklist_filter(docs, ()),
+                url_blocklist_filter_table(docs, bl_df.limit(0))):
+        rows = {r["doc_id"]: r["blocked"] for r in out.collect()}
+        assert rows[0] is None and rows[1] is False
+
+
 def test_table_form_case_insensitive_list(spark):
     docs = _mk(spark)
     bl = spark.createDataFrame(pd.DataFrame({"domain": ["BAD.COM"]}))

@@ -70,6 +70,14 @@ def test_bloom_filter_no_false_negatives_and_fp_bounded(spark):
     assert fp < 0.05
 
 
+def test_bloom_fp_rate_validated(spark):
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0], "text": ["a b c"]}))
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError, match="fp_rate"):
+            contamination_scores_bloom(docs, docs, n=2, fp_rate=bad)
+
+
 def test_bloom_bitset_validates_size(spark):
     members = spark.range(4).select(F.col("id").alias("h"))
     with pytest.raises(ValueError, match="multiple of 64"):

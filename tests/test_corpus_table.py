@@ -59,9 +59,11 @@ def test_assign_doc_ids_plan_has_no_global_window(spark, corpus_view):
     base = spark.sql(
         "SELECT repo, path, commit, lang, content FROM corpus_tbl")
     plan = assign_doc_ids(base)._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window" in line and "row_number" in line:
-            assert "partitionBy" not in line or "_b" in line
+    win_lines = [l for l in plan.splitlines()
+                 if "Window" in l and "row_number" in l]
+    assert win_lines, plan
+    for line in win_lines:  # the rank window must partition by _b
+        assert "_b#" in line, line
     # an unpartitioned window plan would show 'SinglePartition' exchange
     assert "SinglePartition" not in plan
     empty = assign_doc_ids(base.limit(0))
