@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--stride", type=int, default=96)
     p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--expand", type=int, default=1,
+                   help="deterministic K-fold replication for scale runs"
+                        " (doc_id' = replica*n + doc_id; replica 0 keeps"
+                        " the original text, later replicas get a"
+                        " replica-tagged prefix so near-dup still bites)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,24 +51,39 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     docs = spark.read.parquet(f"{args.corpus}/documents.parquet")
+    if args.expand > 1:
+        n0 = docs.count()
+        rep = F.explode(F.sequence(F.lit(0), F.lit(args.expand - 1)))
+        docs = (docs.select("*", rep.alias("_r"))
+                .withColumn("doc_id", F.col("_r") * n0 + F.col("doc_id"))
+                .withColumn(
+                    "text",
+                    F.when(F.col("_r") == 0, F.col("text"))
+                    .otherwise(F.concat(F.lit("rep"),
+                                        F.col("_r").cast("string"),
+                                        F.lit(" "), F.col("text"))))
+                .drop("_r"))
     n_raw = docs.count()
 
     # 1. exact dedup: keep min doc_id per content hash
     sha = docs.select("doc_id", F.sha2("text", 256).alias("sha"))
     keep_exact = (sha.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
-                  .select("doc_id"))
+                  .select("doc_id").persist())
     docs1 = docs.join(keep_exact, "doc_id")
     n_exact = docs1.count()
 
     # 2. near-dup: drop the higher-id member of each LSH candidate pair
     pairs = dedup.lsh_candidate_pairs(docs1)
-    losers = pairs.select(F.greatest("doc_a", "doc_b")
-                          .alias("doc_id")).distinct()
+    # persist the id-only stage outputs: every later funnel count
+    # re-executes its upstream joins, and without these pins the LSH
+    # banding / perplexity aggs would re-run once per count
+    losers = (pairs.select(F.greatest("doc_a", "doc_b")
+                           .alias("doc_id")).distinct().persist())
     docs2 = docs1.join(losers, "doc_id", "left_anti")
     n_neardup = docs2.count()
 
     # 3. quality filter (signals + thresholds from textops)
-    survivors = textops.quality_filter(docs2).select("doc_id")
+    survivors = textops.quality_filter(docs2).select("doc_id").persist()
     docs3 = docs2.join(survivors, "doc_id")
     n_quality = docs3.count()
 
