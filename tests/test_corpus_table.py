@@ -71,6 +71,39 @@ def test_assign_doc_ids_plan_has_no_global_window(spark, corpus_view):
     assert "doc_id" in empty.columns
 
 
+def test_assign_doc_ids_properties_random(spark):
+    """Seeded property sweep: dense 0..n-1, deterministic across
+    recomputation, and invariant under input partitioning — over
+    adversarial key distributions (duplicate repos, empty strings,
+    unicode, skewed key prefixes)."""
+    import random
+
+    import pandas as pd
+
+    from sparklucene.corpus import assign_doc_ids
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.randint(1, 300)
+        repos = ["r" + str(rng.randint(0, 3)), "", "répo-ü", "dup"]
+        rows = [{"repo": rng.choice(repos),
+                 "path": f"p{rng.randint(0, n)}/{i}",
+                 "commit": f"c{rng.randint(0, 5)}",
+                 "lang": "x", "content": f"body {i}"}
+                for i in range(n)]
+        pdf = pd.DataFrame(rows)
+        df = spark.createDataFrame(pdf)
+        out1 = assign_doc_ids(df).collect()
+        ids1 = sorted(r.doc_id for r in out1)
+        assert ids1 == list(range(n)), f"seed {seed}: not dense"
+        key = lambda r: (r.repo, r.path, r.commit)  # noqa: E731
+        m1 = {key(r): r.doc_id for r in out1}
+        # recompute from a differently-partitioned equal input
+        m2 = {key(r): r.doc_id
+              for r in assign_doc_ids(df.repartition(7)).collect()}
+        assert m1 == m2, f"seed {seed}: partitioning changed ids"
+
+
 def test_table_load_prunes_extra_columns(spark, corpus_view):
     spark.sql(
         "SELECT *, length(content) AS extra_len FROM corpus_tbl"
