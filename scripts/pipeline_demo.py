@@ -55,7 +55,13 @@ def main(argv: list[str] | None = None) -> int:
         n0 = docs.count()
         rep = F.explode(F.sequence(F.lit(0), F.lit(args.expand - 1)))
         docs = (docs.select("*", rep.alias("_r"))
-                .withColumn("doc_id", F.col("_r") * n0 + F.col("doc_id"))
+                # long casts: int32 * int32 overflows (ANSI abort) once
+                # replica*n0 passes 2^31 — exactly the scale runs this
+                # flag exists for
+                .withColumn("doc_id",
+                            F.col("_r").cast("long")
+                            * F.lit(n0).cast("long")
+                            + F.col("doc_id").cast("long"))
                 .withColumn(
                     "text",
                     F.when(F.col("_r") == 0, F.col("text"))
@@ -63,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
                                         F.col("_r").cast("string"),
                                         F.lit(" "), F.col("text"))))
                 .drop("_r"))
+        if "n_chars" in docs.columns:  # re-derive: replica tag changed text
+            docs = docs.withColumn("n_chars", F.length("text"))
     n_raw = docs.count()
 
     # 1. exact dedup: keep min doc_id per content hash

@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 CORPUS_COLS = ["repo", "path", "commit", "lang", "content", "doc_id"]
 
 #: bucket count for assign_doc_ids' two-phase rank — a pinned constant
-#: (NOT cluster parallelism) so ids are identical on any cluster size;
-#: 1024 spreads the rank shuffle across ≥1024 tasks at any scale while
-#: the offset table stays a ≤1024-row broadcast.
-N_ID_BUCKETS = 1024
+#: (NOT cluster parallelism) so ids are identical on any cluster size.
+#: 2^20 keeps per-bucket work ~10^6 rows even at the 10^12-file design
+#: point; at small scale it costs nothing (the counts collect and the
+#: offset broadcast carry only NON-EMPTY buckets, bounded by min(rows,
+#: buckets)).
+N_ID_BUCKETS = 1 << 20
 
 
 def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,7 +80,8 @@ def assign_doc_ids(df: DataFrame) -> DataFrame:
     (SURVEY.md §7.4.2), fully distributed: bucket = murmur3(key) mod
     ``N_ID_BUCKETS`` (a PINNED constant — never cluster parallelism, so
     the same corpus yields the same ids on any cluster size), per-bucket
-    row counts (one tiny collect, ≤N_ID_BUCKETS rows), then per-bucket
+    row counts (one collect bounded by the NON-EMPTY bucket count, i.e.
+    min(rows, N_ID_BUCKETS)), then per-bucket
     row_number + the bucket's cumulative offset. An unpartitioned
     ``Window.orderBy`` would coalesce the whole corpus into ONE task — a
     non-starter at 10^12 files — and a range-partitioned sort would make
@@ -96,10 +99,15 @@ def assign_doc_ids(df: DataFrame) -> DataFrame:
     source offers no snapshot isolation, ``df.localCheckpoint()`` first.
     """
     keys = ["repo", "path", "commit"]
+    bcol, ocol = "_sl_idbkt", "_sl_idoff"
+    clash = [c for c in (bcol, ocol) if c in df.columns]
+    if clash:
+        raise ValueError(f"input columns {clash} collide with "
+                         "assign_doc_ids' working columns")
     bucketed = df.withColumn(
-        "_b", F.pmod(F.hash(*keys), F.lit(N_ID_BUCKETS)))
-    counts = {r["_b"]: r["c"] for r in
-              bucketed.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+        bcol, F.pmod(F.hash(*keys), F.lit(N_ID_BUCKETS)))
+    counts = {r[bcol]: r["c"] for r in
+              bucketed.groupBy(bcol).agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc
@@ -110,14 +118,15 @@ def assign_doc_ids(df: DataFrame) -> DataFrame:
     # the expression tree once B tracks cluster parallelism)
     spark = df.sparkSession
     offs = spark.createDataFrame(
-        [(b, offsets[b]) for b in sorted(offsets)], "_b int, _off long")
-    w = Window.partitionBy("_b").orderBy(*keys)
+        [(b, offsets[b]) for b in sorted(offsets)],
+        f"{bcol} int, {ocol} long")
+    w = Window.partitionBy(bcol).orderBy(*keys)
     return (bucketed
-            .join(F.broadcast(offs), "_b")
+            .join(F.broadcast(offs), bcol)
             .withColumn("doc_id",
                         (F.row_number().over(w).cast("long") - 1
-                         + F.col("_off")))
-            .drop("_b", "_off"))
+                         + F.col(ocol)))
+            .drop(bcol, ocol))
 
 
 def expand_corpus(df: DataFrame, factor: int, n_base: int) -> DataFrame:
@@ -131,7 +140,9 @@ def expand_corpus(df: DataFrame, factor: int, n_base: int) -> DataFrame:
     replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("replica")
     out = df.select("*", replicas)
     return (out
-            .withColumn("doc_id", F.col("replica") * n_base + F.col("doc_id"))
+            .withColumn("doc_id",
+                        F.col("replica").cast("long") * F.lit(int(n_base))
+                        .cast("long") + F.col("doc_id").cast("long"))
             .withColumn("repo", F.concat_ws("-", "repo", "replica"))
             .drop("replica"))
 

@@ -363,18 +363,23 @@ def contamination_scores_bloom(docs: DataFrame, bench: DataFrame,
         raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
     cg = _distinct_gram_hashes(docs, n)
     totals = cg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    # the bench gram set feeds THREE jobs (count, bitset build, exact
-    # verify) — persist the small side once instead of re-deriving it
-    bg = _distinct_gram_hashes(bench, n).select("h").distinct().persist()
-    n_items = bg.count()
-    if n_items == 0:
-        bg.unpersist()
+    bg = _distinct_gram_hashes(bench, n).select("h").distinct()
+    # size the filter from a CHEAP upper bound on the bench gram count
+    # (sum of per-doc gram counts — one narrow agg, no explode/distinct
+    # job, and no persist whose cache would outlive the call); a bound
+    # above the true distinct count only LOWERS the fp rate
+    toks = F.expr(TOKEN_EXPR)
+    bound_row = (bench.agg(F.sum(F.greatest(F.size(toks) - (n - 1),
+                                            F.lit(0))).alias("b"))
+                 .first())
+    n_bound = int(bound_row["b"] or 0)
+    if n_bound == 0:
         return totals.select(
             "doc_id", "n_grams", F.lit(0).cast("long").alias("n_hits"),
             F.lit(0.0).alias("contamination"))
-    m_bits = int(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    m_bits = int(-n_bound * math.log(fp_rate) / (math.log(2) ** 2))
     m_bits = max(64, ((m_bits + 63) // 64) * 64)
-    k = max(1, min(16, round(m_bits / n_items * math.log(2))))
+    k = max(1, min(16, round(m_bits / n_bound * math.log(2))))
     bits = bloom_bitset(bg, m_bits, k)
     cand = (cg.crossJoin(F.broadcast(bits))
             .where(F.expr(bloom_might_contain_sql("h", "bits", m_bits, k)))
@@ -779,7 +784,10 @@ def url_blocklist_filter_table(docs: DataFrame, blocklist: DataFrame,
     aggregate marks the row. The wide doc columns never ride through
     the explode — only (key, suffix) does. NULL urls yield
     ``blocked = NULL`` exactly like the expression form (whose OR-chain
-    propagates the NULL host)."""
+    propagates the NULL host). ``key_col`` must be a UNIQUE, NON-NULL
+    row key (the corpus doc_id contract): duplicate keys would smear
+    one row's hit onto its siblings and NULL keys never match the
+    hits join — both diverge from the per-row expression form."""
     with_host = docs.withColumn("domain", _url_host(url_col))
     labels = F.split(F.col("domain"), r"\.")
     sfx = F.transform(

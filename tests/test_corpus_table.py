@@ -62,8 +62,8 @@ def test_assign_doc_ids_plan_has_no_global_window(spark, corpus_view):
     win_lines = [l for l in plan.splitlines()
                  if "Window" in l and "row_number" in l]
     assert win_lines, plan
-    for line in win_lines:  # the rank window must partition by _b
-        assert "_b#" in line, line
+    for line in win_lines:  # the rank window must partition by the bucket
+        assert "_sl_idbkt#" in line, line
     # an unpartitioned window plan would show 'SinglePartition' exchange
     assert "SinglePartition" not in plan
     empty = assign_doc_ids(base.limit(0))
